@@ -1,0 +1,40 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (SURVEY.md §5.2 item 6) so that the
+multi-chip sharding paths are exercised without real TPU hardware, and so
+results are deterministic.  Set E2E_TPU=1 to run the suite against the real
+TPU device instead (sharding tests will skip if fewer than 2 devices).
+
+Environment variables must be set before jax is imported anywhere.
+"""
+
+import os
+
+if os.environ.get("E2E_TPU", "0") != "1":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def random_ctc_problem(rng, B, T, S, V, blank=0, min_t_frac=0.5, dtype=np.float32):
+    """Random padded CTC problem in torch.nn.CTCLoss layout."""
+    logits = rng.standard_normal((T, B, V)).astype(np.float64) * 2.0
+    log_probs = logits - np.log(np.sum(np.exp(logits), axis=-1, keepdims=True))
+    log_probs = log_probs.astype(dtype)
+    input_lengths = rng.integers(max(1, int(T * min_t_frac)), T + 1, size=B)
+    target_lengths = rng.integers(1, S + 1, size=B)
+    # ensure feasible alignments: need T_n >= ... keep S_n small enough
+    target_lengths = np.minimum(target_lengths, np.maximum(input_lengths // 3, 1))
+    labels = rng.integers(1, V, size=(B, S))  # avoid blank id 0 in labels
+    return log_probs, labels.astype(np.int32), input_lengths.astype(np.int32), target_lengths.astype(np.int32)
