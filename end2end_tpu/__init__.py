@@ -1,0 +1,30 @@
+"""end2end_tpu — TPU-native CTC losses and decoders for end-to-end ASR/OCR.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the reference
+`artbataev/end2end` library (see SURVEY.md for the full blueprint).  Public
+API mirrors the reference (BASELINE.json):
+
+    ctc_loss(log_probs, targets, input_lengths, target_lengths, ...)
+    greedy_decode(log_probs, input_lengths, ...)
+    beam_search_decode(log_probs, input_lengths, ...)
+
+plus module-style wrappers CTCLoss / GreedyCTCDecoder / BeamSearchCTCDecoder.
+"""
+
+from .ops.ctc_loss import CTCLoss, ctc_loss, ctc_loss_jit, ctc_nll
+from .ops.greedy import GreedyCTCDecoder, greedy_decode
+from .ops.beam_search import BeamSearchCTCDecoder, beam_search_decode
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ctc_loss",
+    "ctc_loss_jit",
+    "ctc_nll",
+    "CTCLoss",
+    "greedy_decode",
+    "GreedyCTCDecoder",
+    "beam_search_decode",
+    "BeamSearchCTCDecoder",
+    "__version__",
+]

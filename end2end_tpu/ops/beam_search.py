@@ -1,0 +1,302 @@
+"""Prefix beam search as a fixed-width, shape-static `jax.lax.scan`.
+
+Rebuild of the reference's C++ prefix beam-search decoder (SURVEY.md §3.1 N3).
+The reference runs a per-sample dynamic hash-map beam loop on a CPU thread
+pool; under XLA that control flow must compile once, so the beam state is a
+static `(W, S_cap)` token matrix plus per-beam `(p_blank, p_non_blank)` in
+log space and two 32-bit rolling prefix hashes (SURVEY.md §4.4, §7.3).
+
+Per frame:
+  1. top-K vocabulary pruning (`prune_k`),
+  2. W "stay" candidates (blank extension + repeat-last, prefix unchanged)
+     and W*K "extend" candidates (new prefixes),
+  3. prefix merging: because live beams are always distinct prefixes, the only
+     possible duplicates are extend-candidates equal to a stay-candidate's
+     prefix; those are detected by hash equality and combined with logaddexp
+     (the correctness property SURVEY.md §6.3 demands — never max),
+  4. masked top-W pruning, gathering parent token rows for the survivors.
+
+Batch parallelism is `jax.vmap` (the reference's thread pool, SURVEY.md §3.1
+N4, dissolves into a vectorized axis).  Optional shallow-fusion LM hook: any
+object implementing the `ShallowFusionLM` protocol in `lm.py` scores extend
+candidates; its per-beam state rides along in the scan carry.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .semiring import LOG0, LOG0_THRESHOLD, logaddexp2
+
+_M1 = np.uint32(2654435761)
+_M2 = np.uint32(0x85EBCA6B)
+_SEED1 = np.uint32(1)
+_SEED2 = np.uint32(7)
+_DEAD = np.uint32(0xDEAD0000)
+
+
+def _masked_logsumexp(x, mask, axis):
+    """logsumexp over `axis` counting only `mask`; empty -> LOG0.  Finite-safe."""
+    xm = jnp.where(mask, x, LOG0)
+    m = jnp.max(xm, axis=axis)
+    m_safe = jnp.maximum(m, LOG0)
+    s = jnp.sum(jnp.where(mask, jnp.exp(x - jnp.expand_dims(m_safe, axis)), 0.0), axis=axis)
+    out = m_safe + jnp.log(jnp.maximum(s, 1e-38))
+    return jnp.where(m > LOG0_THRESHOLD, out, LOG0)
+
+
+def _beam_search_single(lp, il, W, K, s_cap, blank, lm=None, lm_alpha=0.0, lm_beta=0.0):
+    """Beam search for ONE sample.  lp: (T, V); il: scalar length."""
+    t_max, v = lp.shape
+    arange_w = jnp.arange(W, dtype=jnp.uint32)
+
+    tokens0 = jnp.full((W, s_cap), -1, jnp.int32)
+    lens0 = jnp.zeros((W,), jnp.int32)
+    last0 = jnp.full((W,), -1, jnp.int32)
+    pb0 = jnp.where(jnp.arange(W) == 0, 0.0, LOG0).astype(lp.dtype)
+    pnb0 = jnp.full((W,), LOG0, lp.dtype)
+    # Dead padding beams get unique hashes so they can never merge with live
+    # prefixes; beam 0 is the (live) empty prefix.
+    h1_0 = jnp.where(jnp.arange(W) == 0, _SEED1, _DEAD + arange_w)
+    h2_0 = jnp.where(jnp.arange(W) == 0, _SEED2, _DEAD + arange_w)
+    lm_state0 = lm.init_state(W) if lm is not None else jnp.zeros((W, 0))
+    lm_score0 = jnp.zeros((W,), lp.dtype)  # accumulated alpha*lm + beta bonus
+
+    def step(state, xs):
+        tokens, lens, last, pb, pnb, h1, h2, lm_state, lm_score = state
+        lp_t, t = xs
+        total = logaddexp2(pb, pnb)
+
+        # --- stay candidates: same prefix --------------------------------
+        lp_last = lp_t[jnp.clip(last, 0, v - 1)]
+        pb_stay = total + lp_t[blank]
+        pnb_stay = jnp.where(last >= 0, pnb + lp_last, LOG0)
+
+        # --- extend candidates: prefix + c -------------------------------
+        lpk, ck = jax.lax.top_k(lp_t, K)  # (K,)
+        ck = ck.astype(jnp.int32)
+        same = ck[None, :] == last[:, None]  # (W, K)
+        base = jnp.where(same, pb[:, None], total[:, None])
+        pnb_ext = base + lpk[None, :]
+        invalid = (ck[None, :] == blank) | (lens[:, None] >= s_cap)
+        pnb_ext = jnp.where(invalid, LOG0, pnb_ext)
+        cku = ck.astype(jnp.uint32) + 1
+        h1e = h1[:, None] * _M1 + cku[None, :]
+        h2e = h2[:, None] * _M2 + cku[None, :]
+
+        if lm is not None:
+            lm_lp, lm_state_ext = lm.score(lm_state, ck)  # (W, K), pytree
+            lm_delta = lm_alpha * lm_lp + lm_beta
+        else:
+            lm_lp = jnp.zeros((W, K), lp.dtype)
+            lm_state_ext = None
+            lm_delta = jnp.zeros((W, K), lp.dtype)
+        lm_score_ext = lm_score[:, None] + lm_delta  # (W, K)
+
+        # --- merge extends that recreate an existing beam's prefix -------
+        match = (
+            (h1[:, None, None] == h1e[None, :, :])
+            & (h2[:, None, None] == h2e[None, :, :])
+            & ~invalid[None, :, :]
+        )  # (W_stay, W, K)
+        add = _masked_logsumexp(
+            jnp.broadcast_to(pnb_ext[None, :, :], match.shape), match, axis=(1, 2)
+        )
+        pnb_stay = logaddexp2(pnb_stay, add)
+        matched = jnp.any(match, axis=0)  # (W, K)
+        pnb_ext = jnp.where(matched, LOG0, pnb_ext)
+
+        # --- rank all W + W*K candidates (LM-adjusted), keep top W -------
+        cand_pb = jnp.concatenate([pb_stay, jnp.full((W * K,), LOG0, lp.dtype)])
+        cand_pnb = jnp.concatenate([pnb_stay, pnb_ext.reshape(-1)])
+        cand_lm = jnp.concatenate([lm_score, lm_score_ext.reshape(-1)])
+        cand_score = logaddexp2(cand_pb, cand_pnb) + cand_lm
+        _, sel = jax.lax.top_k(cand_score, W)
+        is_stay = sel < W
+        parent = jnp.where(is_stay, sel, (sel - W) // K).astype(jnp.int32)
+        kk = jnp.where(is_stay, 0, (sel - W) % K).astype(jnp.int32)
+        c_sel = ck[kk]
+
+        new_tokens = tokens[parent]
+        parent_len = lens[parent]
+        slot = jnp.arange(s_cap, dtype=jnp.int32)[None, :] == parent_len[:, None]
+        new_tokens = jnp.where(
+            slot & (~is_stay)[:, None], c_sel[:, None], new_tokens
+        )
+        new_lens = jnp.minimum(
+            jnp.where(is_stay, parent_len, parent_len + 1), s_cap
+        )
+        new_last = jnp.where(is_stay, last[parent], c_sel)
+        new_h1 = jnp.where(is_stay, h1[parent], h1e[parent, kk])
+        new_h2 = jnp.where(is_stay, h2[parent], h2e[parent, kk])
+        new_pb = cand_pb[sel]
+        new_pnb = cand_pnb[sel]
+        new_lm_score = cand_lm[sel]
+        if lm is not None:
+            new_lm_state = lm.select(lm_state, lm_state_ext, parent, kk, is_stay)
+        else:
+            new_lm_state = lm_state
+
+        # freeze past the sample's length
+        upd = t < il
+        out = []
+        for new, old in (
+            (new_tokens, tokens), (new_lens, lens), (new_last, last),
+            (new_pb, pb), (new_pnb, pnb), (new_h1, h1), (new_h2, h2),
+            (new_lm_state, lm_state), (new_lm_score, lm_score),
+        ):
+            out.append(jax.tree.map(lambda a, b: jnp.where(upd, a, b), new, old))
+        return tuple(out), None
+
+    state0 = (tokens0, lens0, last0, pb0, pnb0, h1_0, h2_0, lm_state0, lm_score0)
+    ts = jnp.arange(t_max, dtype=jnp.int32)
+    state, _ = jax.lax.scan(step, state0, (lp, ts))
+    tokens, lens, last, pb, pnb, h1, h2, lm_state, lm_score = state
+
+    scores = logaddexp2(pb, pnb) + lm_score
+    if lm is not None:
+        scores = scores + lm_alpha * lm.final(lm_state)
+    scores, order = jax.lax.top_k(scores, W)
+    scores = jnp.where(scores > LOG0_THRESHOLD, scores, -jnp.inf)
+    return tokens[order], lens[order], scores
+
+
+@partial(
+    jax.jit,
+    static_argnames=("beam_width", "blank", "prune_k", "max_symbols", "lm", "lm_alpha", "lm_beta"),
+)
+def _beam_search_batched(
+    log_probs, input_lengths, beam_width, blank, prune_k, max_symbols, lm, lm_alpha, lm_beta
+):
+    t_max, n, v = log_probs.shape
+    fn = partial(
+        _beam_search_single,
+        W=beam_width,
+        K=prune_k,
+        s_cap=max_symbols,
+        blank=blank,
+        lm=lm,
+        lm_alpha=lm_alpha,
+        lm_beta=lm_beta,
+    )
+    return jax.vmap(fn)(jnp.moveaxis(log_probs, 1, 0), input_lengths)
+
+
+def beam_search_decode(
+    log_probs,
+    input_lengths=None,
+    beam_width: int = 8,
+    blank: int = 0,
+    prune_k: int | None = None,
+    max_symbols: int | None = None,
+    lm=None,
+    lm_alpha: float = 0.0,
+    lm_beta: float = 0.0,
+):
+    """Batched CTC prefix beam search.
+
+    Args:
+      log_probs: (T, N, C) log-probabilities.
+      input_lengths: (N,) valid frame counts (default: T).
+      beam_width: number of live prefixes W.
+      prune_k: per-frame vocabulary pruning (top-K); None = full vocab
+        (exact w.r.t. the reference algorithm).
+      max_symbols: static cap on decoded length (default min(T, 512)).
+      lm / lm_alpha / lm_beta: optional shallow-fusion LM (see lm.py) with
+        weight alpha and per-token insertion bonus beta — the TPU-native
+        replacement for the reference's KenLM hook (SURVEY.md §3.1 N6).
+
+    Returns:
+      tokens: (N, W, max_symbols) int32, -1 padded, best beam first.
+      lengths: (N, W) int32.
+      scores: (N, W) float log p(prefix | x) (LM-adjusted when lm is given);
+        -inf for dead padding beams.
+    """
+    log_probs = jnp.asarray(log_probs)
+    t_max, n, v = log_probs.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((n,), t_max, jnp.int32)
+    if prune_k is None:
+        prune_k = v
+    prune_k = min(prune_k, v)
+    if max_symbols is None:
+        max_symbols = min(t_max, 512)
+    return _beam_search_batched(
+        log_probs,
+        jnp.asarray(input_lengths, jnp.int32),
+        int(beam_width),
+        int(blank),
+        int(prune_k),
+        int(max_symbols),
+        lm,
+        float(lm_alpha),
+        float(lm_beta),
+    )
+
+
+class BeamSearchCTCDecoder:
+    """Class-style decoder mirroring the reference's beam-search decoder API
+    (SURVEY.md §3.2 P3): holds static config, `decode()` returns the best
+    hypothesis per sample, `decode_beams()` all beams with scores."""
+
+    def __init__(
+        self,
+        beam_width: int = 8,
+        blank: int = 0,
+        labels=None,
+        prune_k: int | None = None,
+        max_symbols: int | None = None,
+        lm=None,
+        lm_alpha: float = 0.0,
+        lm_beta: float = 0.0,
+    ):
+        self.beam_width = beam_width
+        self.blank = blank
+        self.labels = list(labels) if labels is not None else None
+        self.prune_k = prune_k
+        self.max_symbols = max_symbols
+        self.lm = lm
+        self.lm_alpha = lm_alpha
+        self.lm_beta = lm_beta
+
+    def _to_text(self, ids):
+        return "".join(self.labels[c] for c in ids) if self.labels else ids
+
+    def decode_beams(self, log_probs, input_lengths=None):
+        log_probs = jnp.asarray(log_probs)
+        t_max, n, _ = log_probs.shape
+        if input_lengths is None:
+            input_lengths = np.full((n,), t_max, np.int32)
+        tokens, lengths, scores = jax.device_get(
+            beam_search_decode(
+                log_probs,
+                jnp.asarray(input_lengths, jnp.int32),
+                beam_width=self.beam_width,
+                blank=self.blank,
+                prune_k=self.prune_k,
+                max_symbols=self.max_symbols,
+                lm=self.lm,
+                lm_alpha=self.lm_alpha,
+                lm_beta=self.lm_beta,
+            )
+        )
+        out = []
+        for i in range(n):
+            beams = []
+            for w in range(self.beam_width):
+                if not np.isfinite(scores[i, w]):
+                    continue
+                ids = tokens[i, w, : lengths[i, w]].tolist()
+                beams.append((self._to_text(ids), float(scores[i, w])))
+            out.append(beams)
+        return out
+
+    def decode(self, log_probs, input_lengths=None):
+        beams = self.decode_beams(log_probs, input_lengths)
+        texts = [b[0][0] if b else self._to_text([]) for b in beams]
+        scores = [b[0][1] if b else float("-inf") for b in beams]
+        return texts, scores

@@ -1,0 +1,71 @@
+"""Shared lattice-table construction for the CTC forward-backward DP.
+
+The extended label sequence l' = [b, l1, b, l2, ..., lS, b] (length 2S+1) and
+its transition-permission masks are the same for every implementation (XLA
+scan, Pallas kernel, NumPy oracle).  Everything here is static-shape: the
+lattice is built at the padded S_max and masked with per-sample lengths, so a
+single compiled program serves a whole (T, S) bucket (SURVEY.md §4.5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .semiring import LOG0
+
+
+class CTCTables(NamedTuple):
+    """Per-batch static lattice tables, all shaped (N, L) with L = 2*S_max+1.
+
+    ext_labels: vocabulary id emitted at each lattice state (blank at even s).
+    skip2: True where the s-2 "skip" transition INTO state s is allowed
+      (s odd, s >= 3, and the two labels differ — the repeated-label rule).
+    valid: True for states s < 2*target_length+1 (per-sample lattice width).
+    """
+
+    ext_labels: jnp.ndarray
+    skip2: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def build_ctc_tables(
+    targets: jnp.ndarray,
+    target_lengths: jnp.ndarray,
+    blank: int,
+    num_classes: int,
+) -> CTCTables:
+    """Build the extended-label lattice tables from padded (N, S) targets."""
+    targets = jnp.asarray(targets, dtype=jnp.int32)
+    if targets.ndim != 2:
+        raise ValueError(f"targets must be (N, S) padded; got shape {targets.shape}")
+    n, s_max = targets.shape
+    L = 2 * s_max + 1
+    pos = jnp.arange(L, dtype=jnp.int32)
+    is_odd = (pos % 2) == 1
+    lab_idx = jnp.clip((pos - 1) // 2, 0, max(s_max - 1, 0))
+    if s_max == 0:
+        ext = jnp.full((n, 1), blank, dtype=jnp.int32)
+        skip2 = jnp.zeros((n, 1), dtype=bool)
+    else:
+        tgt_at = jnp.clip(targets[:, lab_idx], 0, num_classes - 1)  # (N, L)
+        prev_at = jnp.clip(targets[:, jnp.maximum(lab_idx - 1, 0)], 0, num_classes - 1)
+        ext = jnp.where(is_odd[None, :], tgt_at, blank).astype(jnp.int32)
+        skip2 = is_odd[None, :] & (pos[None, :] >= 3) & (tgt_at != prev_at)
+    valid = pos[None, :] < (2 * target_lengths[:, None].astype(jnp.int32) + 1)
+    return CTCTables(ext_labels=ext, skip2=skip2, valid=valid)
+
+
+def gather_lp_ext(log_probs: jnp.ndarray, tables: CTCTables) -> jnp.ndarray:
+    """Gather per-state emission log-probs: (T, N, C) -> (T, N, L).
+
+    Invalid (padded) lattice states are masked to log-zero, which (a) keeps
+    them from ever contributing to valid states in either scan direction and
+    (b) keeps the renormalization max finite.
+    """
+    t = log_probs.shape[0]
+    n, L = tables.ext_labels.shape
+    idx = jnp.broadcast_to(tables.ext_labels[None, :, :], (t, n, L))
+    lp_ext = jnp.take_along_axis(log_probs, idx, axis=2)
+    return jnp.where(tables.valid[None, :, :], lp_ext, LOG0)

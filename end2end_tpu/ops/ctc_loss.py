@@ -1,0 +1,144 @@
+"""Public CTC loss API — mirrors the reference's `ctc_loss(...)` surface.
+
+Contract (SURVEY.md §6.1, pinned from torch/nn/functional.py:3094-3167 of the
+installed torch wheel, which BASELINE.json names as the parity oracle):
+
+  ctc_loss(log_probs, targets, input_lengths, target_lengths,
+           blank=0, reduction='mean', zero_infinity=False)
+
+  * log_probs: (T, N, C) time-major, already log-softmaxed.
+  * targets: (N, S) padded, or 1-D concatenated (unpacked at this layer —
+    TPU kernels take dense padded labels only, like TF's TPU CTC).
+  * reduction='mean' divides each sample's loss by max(target_length, 1),
+    then averages over the batch; 'sum' sums; 'none' returns (N,).
+  * zero_infinity zeroes infinite losses and their gradients.
+
+Implementations: 'xla' (lax.scan, runs anywhere) and 'pallas' (fused TPU
+kernel); 'auto' picks pallas on TPU, xla elsewhere.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ctc_loss_xla import ctc_nll_xla
+
+_IMPLEMENTATIONS = ("auto", "xla", "pallas")
+
+
+def _unpack_flat_targets(targets, target_lengths, batch):
+    """Convert 1-D concatenated targets to padded (N, S) at the host level."""
+    targets = np.asarray(targets)
+    lengths = np.asarray(target_lengths)
+    s_max = int(lengths.max()) if lengths.size else 0
+    out = np.zeros((batch, max(s_max, 1)), dtype=np.int32)
+    off = 0
+    for n in range(batch):
+        ln = int(lengths[n])
+        out[n, :ln] = targets[off : off + ln]
+        off += ln
+    return out
+
+
+def _resolve_impl(implementation):
+    if implementation not in _IMPLEMENTATIONS:
+        raise ValueError(
+            f"implementation must be one of {_IMPLEMENTATIONS}, got {implementation!r}"
+        )
+    if implementation != "auto":
+        return implementation
+    if jax.default_backend() == "tpu":
+        try:  # pallas kernel present and importable?
+            from . import ctc_loss_pallas  # noqa: F401
+
+            return "pallas"
+        except ImportError:
+            return "xla"
+    return "xla"
+
+
+def ctc_nll(log_probs, targets, input_lengths, target_lengths, blank=0, implementation="auto"):
+    """Per-sample negative log likelihood (reduction='none', no zero_infinity)."""
+    impl = _resolve_impl(implementation)
+    if impl == "pallas":
+        from .ctc_loss_pallas import ctc_nll_pallas
+
+        return ctc_nll_pallas(log_probs, targets, input_lengths, target_lengths, blank)
+    return ctc_nll_xla(log_probs, targets, input_lengths, target_lengths, blank)
+
+
+def ctc_loss(
+    log_probs,
+    targets,
+    input_lengths,
+    target_lengths,
+    blank: int = 0,
+    reduction: str = "mean",
+    zero_infinity: bool = False,
+    implementation: str = "auto",
+):
+    """CTC loss with torch.nn.CTCLoss-compatible semantics.  Jit-friendly:
+    all options are static; lengths are data (no recompiles across lengths)."""
+    if reduction not in ("none", "mean", "sum"):
+        raise ValueError(f"invalid reduction {reduction!r}")
+    log_probs = jnp.asarray(log_probs)
+    if log_probs.ndim != 3:
+        raise ValueError(f"log_probs must be (T, N, C); got {log_probs.shape}")
+    n = log_probs.shape[1]
+    if not isinstance(targets, jax.core.Tracer) and np.asarray(targets).ndim == 1:
+        targets = _unpack_flat_targets(targets, target_lengths, n)
+    targets = jnp.asarray(targets, dtype=jnp.int32)
+    input_lengths = jnp.asarray(input_lengths, dtype=jnp.int32)
+    target_lengths = jnp.asarray(target_lengths, dtype=jnp.int32)
+
+    nll = ctc_nll(
+        log_probs, targets, input_lengths, target_lengths, blank, implementation
+    )
+    if zero_infinity:
+        nll = jnp.where(jnp.isinf(nll), 0.0, nll)
+    if reduction == "none":
+        return nll
+    if reduction == "sum":
+        return jnp.sum(nll)
+    denom = jnp.maximum(target_lengths, 1).astype(nll.dtype)
+    return jnp.mean(nll / denom)
+
+
+class CTCLoss:
+    """Module-style wrapper mirroring the reference's `CTCLoss` nn.Module
+    (SURVEY.md §3.2 P1).  Stateless; holds the static configuration."""
+
+    def __init__(self, blank=0, reduction="mean", zero_infinity=False, implementation="auto"):
+        self.blank = blank
+        self.reduction = reduction
+        self.zero_infinity = zero_infinity
+        self.implementation = implementation
+
+    def __call__(self, log_probs, targets, input_lengths, target_lengths):
+        return ctc_loss(
+            log_probs,
+            targets,
+            input_lengths,
+            target_lengths,
+            blank=self.blank,
+            reduction=self.reduction,
+            zero_infinity=self.zero_infinity,
+            implementation=self.implementation,
+        )
+
+
+def ctc_loss_jit(blank=0, reduction="mean", zero_infinity=False, implementation="auto"):
+    """Return a jitted ctc_loss closure with the static options baked in."""
+    return jax.jit(
+        partial(
+            ctc_loss,
+            blank=blank,
+            reduction=reduction,
+            zero_infinity=zero_infinity,
+            implementation=implementation,
+        )
+    )

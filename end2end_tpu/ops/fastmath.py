@@ -1,0 +1,110 @@
+"""Accurate float32 transcendentals for the CTC hot loops.
+
+Why this exists: XLA's default f32 `log` / `log1p` lowerings carry ~1e-4
+absolute error (measured on both this machine's CPU backend and the TPU v5e
+chip — see tests/test_fastmath.py), which random-walks across the T-step CTC
+scan and blows the <1e-4 parity budget vs torch.nn.CTCLoss (BASELINE.json).
+These are ~1-ulp polynomial implementations built only from VPU-friendly ops
+(FMA chains, round, integer exponent assembly), so the log-semiring scans get
+libm-class accuracy at full vector throughput, identically on every backend.
+
+  exp32(x)     — e^x for x <= ~88, Cephes-style ln2 reduction + degree-6 poly,
+                 exact flush-to-zero below -87.3.
+  log1p32(u)   — log(1+u) for u in [0, 3], via 2*atanh(u/(2+u)) odd series.
+  logaddexp2_acc / logaddexp3_acc — stable log-semiring sums built on the two
+                 primitives, with the exact max term cancelled (log1p of the
+                 residual), finite log-zero convention from semiring.py.
+
+Also here: round_to_half(x) — round to the 0.5 grid; used by the scans'
+renormalization so the running norm is exactly representable and can be
+accumulated in int32 with zero rounding error (SURVEY.md §6.2's
+renormalization trick, made exact).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .semiring import LOG0, LOG0_THRESHOLD
+
+_LOG2E = 1.44269504088896341
+# ln2 split (Cephes): n*C1 exact for |n| < 2^15, C2 carries the residual.
+_C1 = 0.693359375
+_C2 = -2.12194440e-4
+
+
+def exp32(x):
+    """Accurate float32 e^x for x <= 88; underflows to exactly 0 below -87.3."""
+    x = jnp.asarray(x, jnp.float32)
+    n = jnp.round(x * jnp.float32(_LOG2E))
+    r = x - n * jnp.float32(_C1)
+    r = r - n * jnp.float32(_C2)
+    # e^r on [-ln2/2, ln2/2], Cephes expf polynomial (~1 ulp).
+    p = jnp.float32(1.9875691500e-4)
+    p = p * r + jnp.float32(1.3981999507e-3)
+    p = p * r + jnp.float32(8.3334519073e-3)
+    p = p * r + jnp.float32(4.1665795894e-2)
+    p = p * r + jnp.float32(1.6666665459e-1)
+    p = p * r + jnp.float32(5.0000001201e-1)
+    p = (p * r * r + r) + jnp.float32(1.0)
+    # Scale by 2^n via exponent-bit assembly (exact).
+    ni = jnp.clip(n, -126.0, 127.0).astype(jnp.int32)
+    two_n = jax.lax.bitcast_convert_type(
+        (ni + jnp.int32(127)) << jnp.int32(23), jnp.float32
+    )
+    out = p * two_n
+    return jnp.where(x < jnp.float32(-87.3), jnp.float32(0.0), out)
+
+
+def log1p32(u):
+    """Accurate float32 log(1+u) for u in [0, 3] via 2*atanh(u/(2+u))."""
+    u = jnp.asarray(u, jnp.float32)
+    z = u / (u + jnp.float32(2.0))
+    z2 = z * z
+    # sum_{k=0..11} z^(2k) / (2k+1), Horner in z^2 (|z| <= 0.6 for u <= 3).
+    p = jnp.float32(1.0 / 23.0)
+    for k in (21, 19, 17, 15, 13, 11, 9, 7, 5, 3):
+        p = p * z2 + jnp.float32(1.0 / k)
+    p = p * z2 + jnp.float32(1.0)
+    return jnp.float32(2.0) * z * p
+
+
+def logaddexp2_acc(a, b):
+    """~1-ulp log(e^a + e^b) in the finite log-zero convention."""
+    m = jnp.maximum(a, b)
+    m_safe = jnp.maximum(m, LOG0)
+    d = -jnp.abs(a - b)
+    out = m_safe + log1p32(exp32(jnp.maximum(d, jnp.float32(LOG0))))
+    return jnp.where(m > LOG0_THRESHOLD, out, LOG0)
+
+
+def logaddexp3_acc(a, b, c):
+    """~1-ulp log(e^a + e^b + e^c): exact-max cancellation + log1p residual.
+
+    The max term's exp is exactly 1 and is not recomputed; the other two are
+    summed and passed through log1p, so no precision is lost near the max.
+    """
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m_safe = jnp.maximum(m, LOG0)
+    da = a - m_safe
+    db = b - m_safe
+    dc = c - m_safe
+    # Exactly one of da/db/dc is 0 (the max); drop it from the residual sum.
+    ea = jnp.where(da < 0, exp32(da), 0.0)
+    eb = jnp.where(db < 0, exp32(db), 0.0)
+    ec = jnp.where(dc < 0, exp32(dc), 0.0)
+    # If ties exist, the duplicates of the max must still be counted.
+    n_max = (
+        (da >= 0).astype(jnp.float32)
+        + (db >= 0).astype(jnp.float32)
+        + (dc >= 0).astype(jnp.float32)
+    )
+    u = ea + eb + ec + (n_max - jnp.float32(1.0))
+    out = m_safe + log1p32(u)
+    return jnp.where(m > LOG0_THRESHOLD, out, LOG0)
+
+
+def round_to_half(x):
+    """Round to the nearest multiple of 0.5 (exactly representable grid)."""
+    return jnp.round(jnp.asarray(x, jnp.float32) * 2.0) * jnp.float32(0.5)

@@ -1,0 +1,79 @@
+"""Greedy (best-path) CTC decoding, fully vectorized for TPU.
+
+Rebuild of the reference's C++ greedy decoder kernel (SURVEY.md §3.1 N2): the
+per-sample loop `argmax -> collapse repeats -> strip blanks` becomes one XLA
+program over the whole batch — argmax over the vocab axis, a shift-compare
+dedup mask, a blank mask, and a cumsum-scatter compaction (SURVEY.md §4.3).
+No Pallas kernel is needed; XLA fuses this into a few elementwise passes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def greedy_decode(log_probs, input_lengths=None, blank: int = 0, pad_id: int = -1):
+    """Decode the best path and collapse it.
+
+    Args:
+      log_probs: (T, N, C) log-probabilities (or logits — argmax is invariant).
+      input_lengths: (N,) valid frame counts; defaults to T for all samples.
+      blank: blank label id.
+      pad_id: fill value for padded positions of the output token matrix.
+
+    Returns:
+      tokens: (N, T) int32, decoded label ids left-aligned, pad_id elsewhere.
+      lengths: (N,) int32 decoded lengths.
+      scores: (N,) float, sum over valid frames of the best-path log-prob.
+    """
+    log_probs = jnp.asarray(log_probs)
+    t_max, n, _ = log_probs.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((n,), t_max, dtype=jnp.int32)
+    il = jnp.asarray(input_lengths, dtype=jnp.int32)
+
+    best = jnp.max(log_probs, axis=-1)  # (T, N)
+    ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)  # (T, N)
+    ids_nt = ids.T  # (N, T)
+    t_mask = jnp.arange(t_max, dtype=jnp.int32)[None, :] < il[:, None]
+
+    prev = jnp.concatenate(
+        [jnp.full((n, 1), -1, jnp.int32), ids_nt[:, :-1]], axis=1
+    )
+    keep = (ids_nt != blank) & (ids_nt != prev) & t_mask
+
+    pos = jnp.cumsum(keep, axis=1) - 1  # output slot for kept symbols
+    scatter_idx = jnp.where(keep, pos, t_max)  # out-of-bounds -> dropped
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    tokens = jnp.full((n, t_max), pad_id, jnp.int32)
+    tokens = tokens.at[rows, scatter_idx].set(ids_nt, mode="drop")
+    lengths = jnp.sum(keep, axis=1).astype(jnp.int32)
+    scores = jnp.sum(jnp.where(t_mask, best.T, 0.0), axis=1)
+    return tokens, lengths, scores
+
+
+class GreedyCTCDecoder:
+    """Class-style greedy decoder mirroring the reference's decoder API
+    (SURVEY.md §3.2 P3): optional label alphabet, `decode()` returns python
+    lists (or joined strings when labels are given) plus path scores."""
+
+    def __init__(self, blank: int = 0, labels=None):
+        self.blank = blank
+        self.labels = list(labels) if labels is not None else None
+        self._fn = jax.jit(lambda lp, il: greedy_decode(lp, il, blank=blank))
+
+    def decode(self, log_probs, input_lengths=None):
+        log_probs = jnp.asarray(log_probs)
+        t_max, n, _ = log_probs.shape
+        if input_lengths is None:
+            input_lengths = np.full((n,), t_max, dtype=np.int32)
+        tokens, lengths, scores = jax.device_get(
+            self._fn(log_probs, jnp.asarray(input_lengths, jnp.int32))
+        )
+        out = []
+        for i in range(n):
+            ids = tokens[i, : lengths[i]].tolist()
+            out.append("".join(self.labels[c] for c in ids) if self.labels else ids)
+        return out, scores.tolist()

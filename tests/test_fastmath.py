@@ -1,0 +1,90 @@
+"""Accuracy tests for the custom f32 transcendentals (fastmath.py).
+
+Also documents WHY they exist: the backend's own jnp.log/log1p f32 error is
+measured here and is orders of magnitude worse.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from end2end_tpu.ops.fastmath import exp32, log1p32, logaddexp2_acc, logaddexp3_acc, round_to_half
+from end2end_tpu.ops.semiring import LOG0
+
+
+def test_exp32_accuracy():
+    x = np.linspace(-87.0, 10.0, 200001).astype(np.float32)
+    got = np.asarray(jax.jit(exp32)(x)).astype(np.float64)
+    want = np.exp(x.astype(np.float64))
+    rel = np.abs(got - want) / want
+    assert rel.max() < 3e-7, rel.max()
+
+
+def test_exp32_flush_and_zero():
+    assert float(exp32(jnp.float32(0.0))) == 1.0
+    assert float(exp32(jnp.float32(-100.0))) == 0.0
+    assert float(exp32(jnp.float32(LOG0))) == 0.0
+
+
+def test_log1p32_accuracy():
+    u = np.linspace(0.0, 3.0, 200001).astype(np.float32)
+    got = np.asarray(jax.jit(log1p32)(u)).astype(np.float64)
+    want = np.log1p(u.astype(np.float64))
+    assert np.abs(got - want).max() < 1e-6
+    # tighter on the logaddexp3 operating range u in [0, 2]
+    m = u <= 2.0
+    assert np.abs(got - want)[m].max() < 4e-7
+
+
+def test_backend_log_is_why_we_bother():
+    """The backend's own f32 log1p error is >100x ours on [0, 3]."""
+    u = np.linspace(1e-6, 3.0, 100000).astype(np.float32)
+    backend = np.asarray(jax.jit(jnp.log1p)(u)).astype(np.float64)
+    err = np.abs(backend - np.log1p(u.astype(np.float64))).max()
+    if err < 1e-6:  # some future backend may fix this; then this test is moot
+        return
+    assert err > 3e-5
+
+
+def test_logaddexp2_acc():
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-50, 0, 100000).astype(np.float32)
+    b = rng.uniform(-50, 0, 100000).astype(np.float32)
+    got = np.asarray(jax.jit(logaddexp2_acc)(a, b)).astype(np.float64)
+    want = np.logaddexp(a.astype(np.float64), b.astype(np.float64))
+    assert np.abs(got - want).max() < 5e-6
+    # log-zero identities
+    from end2end_tpu.ops.semiring import LOG0_THRESHOLD
+    assert float(logaddexp2_acc(jnp.float32(LOG0), jnp.float32(LOG0))) < LOG0_THRESHOLD
+    np.testing.assert_allclose(
+        float(logaddexp2_acc(jnp.float32(-1.5), jnp.float32(LOG0))), -1.5, rtol=1e-6
+    )
+
+
+def test_logaddexp3_acc():
+    rng = np.random.default_rng(1)
+    a = rng.uniform(-50, 0, 100000).astype(np.float32)
+    b = rng.uniform(-50, 0, 100000).astype(np.float32)
+    c = rng.uniform(-50, 0, 100000).astype(np.float32)
+    got = np.asarray(jax.jit(logaddexp3_acc)(a, b, c)).astype(np.float64)
+    want = np.logaddexp(
+        np.logaddexp(a.astype(np.float64), b.astype(np.float64)), c.astype(np.float64)
+    )
+    assert np.abs(got - want).max() < 5e-6
+    # exact ties: logaddexp3(x,x,x) = x + log(3)
+    x = jnp.float32(-2.0)
+    np.testing.assert_allclose(
+        float(logaddexp3_acc(x, x, x)), -2.0 + np.log(3.0), rtol=1e-6
+    )
+    # one live term
+    np.testing.assert_allclose(
+        float(logaddexp3_acc(x, jnp.float32(LOG0), jnp.float32(LOG0))), -2.0, rtol=1e-6
+    )
+    from end2end_tpu.ops.semiring import LOG0_THRESHOLD
+    assert float(logaddexp3_acc(*([jnp.float32(LOG0)] * 3))) < LOG0_THRESHOLD
+
+
+def test_round_to_half():
+    x = np.array([-3.3, -0.26, -0.24, 0.0, 1.74, 2.26], np.float32)
+    got = np.asarray(round_to_half(x))
+    np.testing.assert_array_equal(got, [-3.5, -0.5, 0.0, 0.0, 1.5, 2.5])
