@@ -1,0 +1,153 @@
+"""Greedy and prefix beam-search decoders vs the NumPy oracle.
+
+SURVEY.md §5.2 item 4: greedy == loop decode on random inputs; beam-1 ==
+greedy on peaked inputs; beam == exhaustive/oracle beam on tiny (T,V);
+prefix-merge correctness (logaddexp, never max).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from end2end_tpu import (
+    BeamSearchCTCDecoder,
+    GreedyCTCDecoder,
+    beam_search_decode,
+    greedy_decode,
+)
+from end2end_tpu.utils.reference_impl import beam_search_decode_ref, greedy_decode_ref
+
+
+def log_softmax_np(x):
+    return x - np.log(np.sum(np.exp(x), axis=-1, keepdims=True))
+
+
+@pytest.mark.parametrize("B,T,V", [(8, 60, 29), (4, 40, 96), (3, 25, 7)])
+def test_greedy_matches_oracle(rng, B, T, V):
+    lp = log_softmax_np(rng.standard_normal((T, B, V)) * 2).astype(np.float32)
+    il = rng.integers(T // 2, T + 1, B).astype(np.int32)
+    tokens, lengths, scores = jax.jit(lambda x: greedy_decode(x, il))(jnp.asarray(lp))
+    ref = greedy_decode_ref(lp, il)
+    for b in range(B):
+        got = np.asarray(tokens)[b, : int(lengths[b])].tolist()
+        assert got == ref[b], (b, got, ref[b])
+    # scores = sum of per-frame best log-probs over valid frames
+    want_scores = [lp[: il[b], b].max(-1).sum() for b in range(B)]
+    np.testing.assert_allclose(np.asarray(scores), want_scores, rtol=1e-5)
+
+
+def test_greedy_nonzero_blank(rng):
+    B, T, V = 3, 30, 11
+    lp = log_softmax_np(rng.standard_normal((T, B, V))).astype(np.float32)
+    il = np.full(B, T, np.int32)
+    tokens, lengths, _ = greedy_decode(lp, il, blank=5)
+    ref = greedy_decode_ref(lp, il, blank=5)
+    for b in range(B):
+        assert np.asarray(tokens)[b, : int(lengths[b])].tolist() == ref[b]
+
+
+def test_greedy_decoder_class_labels(rng):
+    labels = ["_", "a", "b", "c"]
+    # path: a a _ b b c -> "abc" ; with explicit argmax construction
+    path = [1, 1, 0, 2, 2, 3]
+    lp = np.full((6, 1, 4), -9.0, np.float32)
+    for t, c in enumerate(path):
+        lp[t, 0, c] = -0.01
+    texts, scores = GreedyCTCDecoder(blank=0, labels=labels).decode(lp)
+    assert texts == ["abc"]
+
+
+@pytest.mark.parametrize("W", [2, 4, 16])
+def test_beam_matches_oracle_small(rng, W):
+    B, T, V = 3, 12, 5
+    lp = log_softmax_np(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = np.array([12, 9, 6], np.int32)
+    tokens, lengths, scores = beam_search_decode(lp, il, beam_width=W)
+    ref = beam_search_decode_ref(lp.astype(np.float64), il, beam_width=W)
+    for b in range(B):
+        # Oracle and JAX implement the identical algorithm: same top beams,
+        # same scores (up to f32).  Compare the full beam set as score-sorted
+        # prefix lists (ties can permute; compare as multiset by prefix).
+        got = {
+            tuple(np.asarray(tokens)[b, w, : int(lengths[b, w])].tolist()): float(
+                scores[b, w]
+            )
+            for w in range(W)
+            if np.isfinite(scores[b, w])
+        }
+        want = dict(ref[b])
+        assert set(got) == set(map(tuple, want)), (b, got.keys(), want.keys())
+        for p, s in got.items():
+            np.testing.assert_allclose(s, want[p], rtol=2e-4, atol=2e-4)
+
+
+def test_beam_exact_vs_exhaustive(rng):
+    """Wide beam on tiny lattice == exact posterior over collapsed outputs."""
+    from tests.test_reference_impl import _exhaustive_prefix_scores
+
+    T, V = 5, 3
+    logits = rng.standard_normal((T, V)) * 2
+    lp = log_softmax_np(logits).astype(np.float32)
+    tokens, lengths, scores = beam_search_decode(
+        lp[:, None, :], np.array([T], np.int32), beam_width=48
+    )
+    exact = _exhaustive_prefix_scores(lp.astype(np.float64))
+    got = {
+        tuple(np.asarray(tokens)[0, w, : int(lengths[0, w])].tolist()): float(scores[0, w])
+        for w in range(48)
+        if np.isfinite(scores[0, w])
+    }
+    # Every surviving beam's score must equal the exact collapsed posterior.
+    for p, s in got.items():
+        np.testing.assert_allclose(s, exact[p], rtol=1e-4, atol=1e-4)
+    # And the best prefix must be the true argmax.
+    best = max(exact.items(), key=lambda kv: kv[1])[0]
+    assert max(got.items(), key=lambda kv: kv[1])[0] == best
+
+
+def test_beam_prune_k_exact_when_full(rng):
+    B, T, V = 2, 10, 6
+    lp = log_softmax_np(rng.standard_normal((T, B, V))).astype(np.float32)
+    il = np.full(B, T, np.int32)
+    t1, l1, s1 = beam_search_decode(lp, il, beam_width=4, prune_k=V)
+    t2, l2, s2 = beam_search_decode(lp, il, beam_width=4)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
+
+
+def test_beam_length_masking(rng):
+    """Frames past input_length must not affect the result."""
+    B, T, V = 2, 14, 5
+    lp = log_softmax_np(rng.standard_normal((T, B, V))).astype(np.float32)
+    il = np.array([8, 14], np.int32)
+    t1, l1, s1 = beam_search_decode(lp, il, beam_width=4)
+    lp2 = lp.copy()
+    lp2[8:, 0, :] = log_softmax_np(rng.standard_normal((6, V))).astype(np.float32)
+    t2, l2, s2 = beam_search_decode(lp2, il, beam_width=4)
+    np.testing.assert_array_equal(np.asarray(t1)[0], np.asarray(t2)[0])
+    np.testing.assert_allclose(np.asarray(s1)[0], np.asarray(s2)[0])
+
+
+def test_beam_decoder_class(rng):
+    labels = ["_", "a", "b"]
+    path = [1, 0, 2, 2]
+    lp = np.full((4, 1, 3), -8.0, np.float32)
+    for t, c in enumerate(path):
+        lp[t, 0, c] = -0.01
+    dec = BeamSearchCTCDecoder(beam_width=4, blank=0, labels=labels)
+    texts, scores = dec.decode(lp)
+    assert texts == ["ab"]
+    beams = dec.decode_beams(lp)[0]
+    assert beams[0][0] == "ab" and len(beams) <= 4
+    assert all(beams[i][1] >= beams[i + 1][1] for i in range(len(beams) - 1))
+
+
+def test_beam_max_symbols_cap(rng):
+    B, T, V = 1, 30, 4
+    lp = log_softmax_np(rng.standard_normal((T, B, V))).astype(np.float32)
+    tokens, lengths, scores = beam_search_decode(
+        lp, np.array([T], np.int32), beam_width=2, max_symbols=5
+    )
+    assert np.asarray(lengths).max() <= 5
+    assert np.asarray(tokens).shape[-1] == 5
