@@ -202,14 +202,14 @@ def _posterior_scatter(gamma, targets, blank, num_classes):
     post_blank = jnp.sum(gamma[..., 0::2], axis=-1)  # (T, N)
     post = jnp.zeros((t_max, n, num_classes), gamma.dtype)
     if s_max > 0:
-        gamma_odd = gamma[..., 1::2]  # (T, N, S)
-        flat_vals = gamma_odd.reshape(t_max * n, s_max)
-        idx = jnp.broadcast_to(targets[None].astype(jnp.int32), (t_max, n, s_max))
-        flat_idx = idx.reshape(t_max * n, s_max)
-        rows = jnp.arange(t_max * n, dtype=jnp.int32)[:, None]
-        post = post.reshape(t_max * n, num_classes).at[rows, flat_idx].add(
-            flat_vals, mode="drop"
-        ).reshape(t_max, n, num_classes)
+        # Indices are constant over time: scatter along the MAJOR axis with
+        # T-contiguous rows (fast on TPU; ~10x vs minor-axis scatter).
+        gamma_odd = jnp.moveaxis(gamma[..., 1::2], 0, 2)  # (N, S, T)
+        acc = jnp.zeros((n, num_classes, t_max), gamma.dtype)
+        acc = acc.at[
+            jnp.arange(n, dtype=jnp.int32)[:, None], targets.astype(jnp.int32), :
+        ].add(gamma_odd, mode="drop")
+        post = jnp.moveaxis(acc, 2, 0)  # (T, N, C)
     post = post.at[..., blank].add(post_blank)
     return post
 

@@ -18,6 +18,14 @@ if os.environ.get("E2E_TPU", "0") != "1":
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
 
+import jax  # noqa: E402
+
+# Persistent compilation cache: scan compiles are ~40-60s each on this
+# 1-vCPU box; caching makes repeat suite runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_e2e")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
