@@ -1,0 +1,397 @@
+"""Fused Pallas TPU kernels for the CTC forward-backward loss.
+
+Rebuild target: the reference's C++ per-sample alpha/beta loops (SURVEY.md
+§3.1 N1) — here as two Pallas kernels that keep the whole DP state resident
+in VMEM and stream the (T, B, L) lattice through the sequential TPU grid:
+
+  * grid = T/Tc chunks; Pallas pipelines the HBM<->VMEM block DMAs
+    automatically (double-buffered) while the kernel walks the chunk with a
+    `fori_loop`.  The alpha row (B, Lp) and the int32 norm accumulator are
+    VMEM/SMEM scratch that persists across grid steps (TPU grids run
+    sequentially on a core — this is the canonical Pallas scan pattern).
+  * The inner step is the same exact-renormalized log-semiring update as the
+    XLA path (ctc_loss_xla.py), built on the ~1-ulp fastmath polynomials —
+    identical numerics, so the two implementations cross-check bit-for-bit
+    in the test suite up to op-order.
+  * The backward kernel runs the grid in REVERSE (index_map flips the chunk
+    order), carries beta in scratch, and emits the occupation probabilities
+    gamma = exp(alpha + beta~ - logZ) directly — the fused-gradient form
+    (SURVEY.md §4.2); the final `exp(lp) - scatter(gamma)` combine stays in
+    XLA where it fuses with the caller.
+
+Batch parallelism: the batch is the sublane axis of every vector op — the
+reference's thread pool (SURVEY.md §3.1 N4) is just the VPU's width here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ctc_common import build_ctc_tables, gather_lp_ext
+from .ctc_loss_xla import _posterior_scatter
+from .fastmath import exp32, log1p32
+from .semiring import LOG0, LOG0_THRESHOLD
+
+_NORM_CLAMP = 512.0
+
+
+def _round_to_half(x):
+    return jnp.round(x * 2.0) * 0.5
+
+
+def _exp32_k(x):
+    """exp32 clone with kernel-safe ldexp (identical math to fastmath.exp32)."""
+    return exp32(x)
+
+
+def _logaddexp3_k(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m_safe = jnp.maximum(m, LOG0)
+    da = a - m_safe
+    db = b - m_safe
+    dc = c - m_safe
+    ea = jnp.where(da < 0, _exp32_k(da), 0.0)
+    eb = jnp.where(db < 0, _exp32_k(db), 0.0)
+    ec = jnp.where(dc < 0, _exp32_k(dc), 0.0)
+    n_max = (
+        (da >= 0).astype(jnp.float32)
+        + (db >= 0).astype(jnp.float32)
+        + (dc >= 0).astype(jnp.float32)
+    )
+    u = ea + eb + ec + (n_max - 1.0)
+    out = m_safe + log1p32(u)
+    return jnp.where(m > LOG0_THRESHOLD, out, LOG0)
+
+
+def _shift_r1(x, lane):
+    y = pltpu.roll(x, 1, 1)
+    return jnp.where(lane == 0, LOG0, y)
+
+
+def _shift_r2(x, lane):
+    y = pltpu.roll(x, 2, 1)
+    return jnp.where(lane < 2, LOG0, y)
+
+
+def _shift_l1(x, lane, lp_lanes):
+    y = pltpu.roll(x, lp_lanes - 1, 1)  # roll takes non-negative shifts
+    return jnp.where(lane == lp_lanes - 1, LOG0, y)
+
+
+def _shift_l2(x, lane, lp_lanes):
+    y = pltpu.roll(x, lp_lanes - 2, 1)
+    return jnp.where(lane >= lp_lanes - 2, LOG0, y)
+
+
+def _fwd_kernel(
+    lp_ref, skip2_ref, init_mask_ref, end_mask_ref, il_ref,
+    alpha_ref, anorm_ref, zhat_ref, normend_ref,
+    a_scr, n_scr,
+):
+    i = pl.program_id(0)
+    tc_len, b, lp_lanes = lp_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, lp_lanes), 1)
+
+    @pl.when(i == 0)
+    def _():
+        a_scr[:] = jnp.full((b, lp_lanes), LOG0, jnp.float32)
+        n_scr[:] = jnp.zeros((b, 1), jnp.int32)
+
+    il = il_ref[:]  # (B, 1) int32
+    skip2 = skip2_ref[:]  # (B, Lp) f32 0/1
+
+    def body(tc, _):
+        t = i * tc_len + tc
+        lp_t = lp_ref[tc]
+        prev = a_scr[:]
+        a1 = _shift_r1(prev, lane)
+        a2 = jnp.where(skip2 > 0, _shift_r2(prev, lane), LOG0)
+        upd_a = _logaddexp3_k(prev, a1, a2) + lp_t
+        init_a = jnp.where(init_mask_ref[:] > 0, lp_t, LOG0)
+        anew = jnp.where(t == 0, init_a, upd_a)
+        anew = jnp.maximum(anew, LOG0)
+        m = jnp.max(anew, axis=1, keepdims=True)
+        m = _round_to_half(jnp.clip(m, -_NORM_CLAMP, _NORM_CLAMP))
+        a_hat = jnp.maximum(anew - m, LOG0)
+        upd = t < il  # (B, 1)
+        a_next = jnp.where(upd, a_hat, prev)
+        n_next = jnp.where(upd, n_scr[:] + (m * 2.0).astype(jnp.int32), n_scr[:])
+        a_scr[:] = a_next
+        n_scr[:] = n_next
+        alpha_ref[tc] = a_next
+        anorm_ref[tc] = n_next
+        return 0
+
+    jax.lax.fori_loop(0, tc_len, body, 0)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        a = a_scr[:]
+        em = end_mask_ref[:] > 0
+        am = jnp.where(em, a, LOG0)
+        mx = jnp.max(am, axis=1, keepdims=True)
+        mx_safe = jnp.maximum(mx, LOG0)
+        u = jnp.sum(
+            jnp.where(em & (am < mx_safe), _exp32_k(am - mx_safe), 0.0),
+            axis=1, keepdims=True,
+        )
+        n_at_max = jnp.sum(
+            jnp.where(em & (am >= mx_safe), 1.0, 0.0), axis=1, keepdims=True
+        )
+        z = mx_safe + log1p32(u + (n_at_max - 1.0))
+        zhat_ref[:] = jnp.where(mx > LOG0_THRESHOLD, z, LOG0)
+        normend_ref[:] = n_scr[:]
+
+
+def _bwd_kernel(
+    lp_ref, alpha_ref, anorm_ref, skip2s_ref, end_mask_ref, il_ref,
+    zhat_ref, normend_ref, valid_ref,
+    gamma_ref,
+    b_scr, bn_scr, lpnext_scr,
+):
+    i = pl.program_id(0)
+    tc_len, b, lp_lanes = lp_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, lp_lanes), 1)
+
+    @pl.when(i == 0)
+    def _():
+        b_scr[:] = jnp.full((b, lp_lanes), LOG0, jnp.float32)
+        bn_scr[:] = jnp.zeros((b, 1), jnp.int32)
+        lpnext_scr[:] = jnp.full((b, lp_lanes), LOG0, jnp.float32)
+
+    il = il_ref[:]
+    skip2s = skip2s_ref[:] > 0  # allowed s -> s+2 (shifted mask)
+    zhat = zhat_ref[:]  # (B, 1) f32
+    normend = normend_ref[:]  # (B, 1) i32
+    init_row = jnp.where(end_mask_ref[:] > 0, 0.0, LOG0)
+    valid = valid_ref[:] > 0
+
+    def body(j, _):
+        tc = tc_len - 1 - j
+        t = i * tc_len + tc  # NOTE: grid is reversed by the index_map
+        lp_t = lp_ref[tc]
+        prev_b = b_scr[:]
+        lp_next = lpnext_scr[:]
+        bsum = prev_b + lp_next
+        b1 = _shift_l1(bsum, lane, lp_lanes)
+        b2 = jnp.where(skip2s, _shift_l2(bsum, lane, lp_lanes), LOG0)
+        bnew = jnp.maximum(_logaddexp3_k(bsum, b1, b2), LOG0)
+        m = jnp.max(bnew, axis=1, keepdims=True)
+        m = _round_to_half(jnp.clip(m, -_NORM_CLAMP, _NORM_CLAMP))
+        b_hat_cand = jnp.maximum(bnew - m, LOG0)
+        bn_cand = bn_scr[:] + (m * 2.0).astype(jnp.int32)
+
+        is_init = t == (il - 1)  # (B, 1)
+        is_pad = t >= il
+        b_next = jnp.where(is_init, init_row, jnp.where(is_pad, LOG0, b_hat_cand))
+        bn_next = jnp.where(is_init | is_pad, 0, bn_cand)
+        b_scr[:] = b_next
+        bn_scr[:] = bn_next
+        lpnext_scr[:] = lp_t
+
+        alpha_t = alpha_ref[tc]
+        anorm_t = anorm_ref[tc]  # (B, 1) i32
+        shift = (anorm_t + bn_next - normend).astype(jnp.float32) * 0.5
+        log_g = alpha_t + b_next + (shift - zhat)
+        g = _exp32_k(jnp.minimum(log_g, 0.0))
+        g = jnp.where(valid & jnp.logical_not(is_pad) & (zhat > LOG0_THRESHOLD), g, 0.0)
+        gamma_ref[tc] = g
+        return 0
+
+    jax.lax.fori_loop(0, tc_len, body, 0)
+
+
+def _pick_tc(t_pad, b, lp_lanes):
+    """Chunk length: keep the double-buffered lp+alpha+gamma blocks ~<=6MB."""
+    row_bytes = b * lp_lanes * 4
+    tc = max(8, min(256, (2 * 1024 * 1024) // max(row_bytes, 1)))
+    tc = min(tc, t_pad)
+    while t_pad % tc:
+        tc -= 1
+    return tc
+
+
+def _pad_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _prep(log_probs, targets, input_lengths, target_lengths, blank):
+    """Shared host-side prep: tables, fast gather, padding to kernel tiles."""
+    t_max, n, num_classes = log_probs.shape
+    tables = build_ctc_tables(targets, target_lengths, blank, num_classes)
+    lp_ext = gather_lp_ext(log_probs.astype(jnp.float32), tables)  # (T, N, L)
+    L = lp_ext.shape[-1]
+    lp_lanes = _pad_up(L, 128)
+    b_pad = _pad_up(n, 8)
+    t_pad = t_max  # chunking handles T; pad to a multiple of tc below
+    tc = _pick_tc(t_max, b_pad, lp_lanes)
+    t_pad = _pad_up(t_max, tc)
+
+    lp_full = jnp.full((t_pad, b_pad, lp_lanes), LOG0, jnp.float32)
+    lp_full = lp_full.at[:t_max, :n, :L].set(lp_ext)
+
+    pos = jnp.arange(lp_lanes, dtype=jnp.int32)
+    tl = jnp.zeros((b_pad,), jnp.int32).at[:n].set(target_lengths.astype(jnp.int32))
+    il = jnp.zeros((b_pad,), jnp.int32).at[:n].set(input_lengths.astype(jnp.int32))
+    skip2 = jnp.zeros((b_pad, lp_lanes), jnp.float32).at[:n, :L].set(
+        tables.skip2.astype(jnp.float32)
+    )
+    valid = jnp.zeros((b_pad, lp_lanes), jnp.float32).at[:n, :L].set(
+        tables.valid.astype(jnp.float32)
+    )
+    init_mask = (
+        (pos[None, :] == 0) | ((pos[None, :] == 1) & (tl[:, None] > 0))
+    ).astype(jnp.float32)
+    end_mask = (
+        (pos[None, :] == 2 * tl[:, None])
+        | ((pos[None, :] == 2 * tl[:, None] - 1) & (tl[:, None] > 0))
+    ).astype(jnp.float32)
+    # Dead padding rows must not produce a finite z: kill their end mask.
+    row_live = (jnp.arange(b_pad) < n) & (il > 0)
+    end_mask = end_mask * row_live[:, None].astype(jnp.float32)
+    meta = dict(
+        t_max=t_max, n=n, L=L, lp_lanes=lp_lanes, b_pad=b_pad,
+        t_pad=t_pad, tc=tc, tables=tables,
+    )
+    return lp_full, skip2, valid, init_mask, end_mask, il, tl, meta
+
+
+def _run_fwd(lp_full, skip2, init_mask, end_mask, il, meta):
+    tc, t_pad, b_pad, lp_lanes = meta["tc"], meta["t_pad"], meta["b_pad"], meta["lp_lanes"]
+    n_chunks = t_pad // tc
+    vspec = lambda shape, imap: pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+    fixed2 = lambda i: (0, 0)
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            vspec((tc, b_pad, lp_lanes), lambda i: (i, 0, 0)),
+            vspec((b_pad, lp_lanes), fixed2),
+            vspec((b_pad, lp_lanes), fixed2),
+            vspec((b_pad, lp_lanes), fixed2),
+            vspec((b_pad, 1), fixed2),
+        ],
+        out_specs=[
+            vspec((tc, b_pad, lp_lanes), lambda i: (i, 0, 0)),
+            vspec((tc, b_pad, 1), lambda i: (i, 0, 0)),
+            vspec((b_pad, 1), fixed2),
+            vspec((b_pad, 1), fixed2),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, b_pad, lp_lanes), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, b_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, lp_lanes), jnp.float32),
+            pltpu.VMEM((b_pad, 1), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(lp_full, skip2, init_mask, end_mask, il[:, None])
+    return out  # alpha_hat, anorm2, z_hat, norm_end2
+
+
+def _run_bwd(lp_full, alpha_hat, anorm2, skip2, valid, end_mask, il, z_hat, norm_end2, meta):
+    tc, t_pad, b_pad, lp_lanes = meta["tc"], meta["t_pad"], meta["b_pad"], meta["lp_lanes"]
+    n_chunks = t_pad // tc
+    rev3 = lambda i: (n_chunks - 1 - i, 0, 0)
+    fixed2 = lambda i: (0, 0)
+    vspec = lambda shape, imap: pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+    # Shifted skip mask: transition s -> s+2 allowed iff skip2[s+2].
+    skip2s = jnp.pad(skip2, ((0, 0), (0, 2)))[:, 2:]
+    gamma = pl.pallas_call(
+        _bwd_kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            vspec((tc, b_pad, lp_lanes), rev3),
+            vspec((tc, b_pad, lp_lanes), rev3),
+            vspec((tc, b_pad, 1), rev3),
+            vspec((b_pad, lp_lanes), fixed2),
+            vspec((b_pad, lp_lanes), fixed2),
+            vspec((b_pad, 1), fixed2),
+            vspec((b_pad, 1), fixed2),
+            vspec((b_pad, 1), fixed2),
+            vspec((b_pad, lp_lanes), fixed2),
+        ],
+        out_specs=vspec((tc, b_pad, lp_lanes), rev3),
+        out_shape=jax.ShapeDtypeStruct((t_pad, b_pad, lp_lanes), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, lp_lanes), jnp.float32),
+            pltpu.VMEM((b_pad, 1), jnp.int32),
+            pltpu.VMEM((b_pad, lp_lanes), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(
+        lp_full, alpha_hat, anorm2, skip2s, end_mask, il[:, None],
+        z_hat, norm_end2, valid,
+    )
+    return gamma
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def ctc_nll_pallas(log_probs, targets, input_lengths, target_lengths, blank=0):
+    """Per-sample CTC NLL via the fused Pallas kernels (float32 only).
+
+    Same contract as ctc_nll_xla; used automatically on TPU via
+    implementation='auto' (ctc_loss.py)."""
+    nll, _ = _nll_fwd_impl(log_probs, targets, input_lengths, target_lengths, blank)
+    return nll
+
+
+def _nll_fwd_impl(log_probs, targets, input_lengths, target_lengths, blank):
+    lp_full, skip2, valid, init_mask, end_mask, il, tl, meta = _prep(
+        log_probs, targets, input_lengths, target_lengths, blank
+    )
+    alpha_hat, anorm2, z_hat, norm_end2 = _run_fwd(
+        lp_full, skip2, init_mask, end_mask, il, meta
+    )
+    n = meta["n"]
+    finite = z_hat[:n, 0] > LOG0_THRESHOLD
+    log_z = z_hat[:n, 0] + norm_end2[:n, 0].astype(jnp.float32) * 0.5
+    nll = jnp.where(finite, -log_z, jnp.inf).astype(log_probs.dtype)
+    res = (lp_full, alpha_hat, anorm2, skip2, valid, end_mask, il, z_hat, norm_end2, meta)
+    return nll, res
+
+
+def _nll_fwd(log_probs, targets, input_lengths, target_lengths, blank):
+    nll, res = _nll_fwd_impl(log_probs, targets, input_lengths, target_lengths, blank)
+    return nll, (log_probs, targets, input_lengths, target_lengths, res)
+
+
+def _nll_bwd(blank, saved, g):
+    log_probs, targets, input_lengths, target_lengths, res = saved
+    (lp_full, alpha_hat, anorm2, skip2, valid, end_mask, il, z_hat, norm_end2, meta) = res
+    z_safe = jnp.where(z_hat > LOG0_THRESHOLD, z_hat, 0.0)
+    gamma_pad = _run_bwd(
+        lp_full, alpha_hat, anorm2, skip2, valid, end_mask, il, z_safe, norm_end2, meta
+    )
+    t_max, n, L = meta["t_max"], meta["n"], meta["L"]
+    gamma = gamma_pad[:t_max, :n, :L]
+    num_classes = log_probs.shape[-1]
+    post = _posterior_scatter(gamma, targets, blank, num_classes)
+    t_mask = (
+        jnp.arange(t_max, dtype=jnp.int32)[:, None]
+        < input_lengths[None, :].astype(jnp.int32)
+    )
+    grad = (jnp.exp(log_probs) - post) * t_mask[:, :, None] * g[None, :, None]
+    f0 = lambda x: np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+    return (
+        grad.astype(log_probs.dtype),
+        f0(targets),
+        f0(input_lengths),
+        f0(target_lengths),
+    )
+
+
+ctc_nll_pallas.defvjp(_nll_fwd, _nll_bwd)
