@@ -179,9 +179,12 @@ def ctc_backward_scan(
         ab_t = alpha_t + b_hat + (shift - z_hat)[:, None]
         return (b_hat, bnorm2), ab_t
 
+    # Derive the initial carry from the (possibly mesh-varying) inputs so the
+    # scan types match under shard_map autodiff (0*x keeps finiteness: the
+    # log-zero convention guarantees lp_ext is finite).
     carry0 = (
-        jnp.full((n, L), LOG0, lp_ext.dtype),
-        jnp.zeros((n,), jnp.int32),
+        jnp.full((n, L), LOG0, lp_ext.dtype) + 0.0 * lp_ext[0],
+        jnp.zeros((n,), jnp.int32) + 0 * il,
     )
     ts = jnp.arange(t_max, dtype=jnp.int32)
     _, log_gamma = jax.lax.scan(

@@ -1,0 +1,109 @@
+"""Multi-chip parallelism for the CTC stack.
+
+The reference is a single-process CPU library whose only parallelism is a
+thread pool over batch items (SURVEY.md §3.3).  The TPU-native counterpart is
+batch-dimension sharding over a `jax.sharding.Mesh`: losses and decoders are
+per-sample, so data parallelism is exact — each chip owns a batch shard, the
+only communication is the final mean/sum reduction, which XLA lowers to a
+`psum` over ICI (SURVEY.md §3.3, §7 comm-backend row: no NCCL/MPI analog
+needed; JAX collectives + GSPMD own the wire).
+
+Two styles, both exposed:
+  * `shard_batch(...)` + plain jit — GSPMD partitions the compiled program
+    from input shardings (recommended: composes with any surrounding model).
+  * `ctc_loss_data_parallel(...)` — explicit `jax.shard_map` with a psum-mean
+    inside, for callers who want guaranteed-local compute + one collective.
+
+Tested on a virtual 8-device CPU mesh (tests/test_sharding.py); the same code
+drives N real chips over ICI unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.ctc_loss import ctc_loss
+from ..ops.ctc_loss_xla import ctc_nll_xla
+from ..ops.greedy import greedy_decode
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    """A 1-D mesh over the first n devices (default: all local devices)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def shard_batch(mesh: Mesh, log_probs, targets, input_lengths, target_lengths,
+                axis_name: str = "data"):
+    """Place a CTC problem with the batch dim sharded over the mesh.
+
+    log_probs is (T, N, C) — batch is axis 1; everything else axis 0.
+    """
+    s_lp = NamedSharding(mesh, P(None, axis_name, None))
+    s_n = NamedSharding(mesh, P(axis_name))
+    return (
+        jax.device_put(log_probs, s_lp),
+        jax.device_put(targets, NamedSharding(mesh, P(axis_name, None))),
+        jax.device_put(input_lengths, s_n),
+        jax.device_put(target_lengths, s_n),
+    )
+
+
+def ctc_loss_data_parallel(
+    log_probs, targets, input_lengths, target_lengths,
+    mesh: Mesh, blank: int = 0, reduction: str = "mean",
+    zero_infinity: bool = False, axis_name: str = "data",
+):
+    """Explicit shard_map data-parallel CTC loss.
+
+    Each device runs the full forward-backward on its batch shard (zero
+    communication); 'mean'/'sum' reductions psum across the mesh.  Gradients
+    flow through (shard_map is differentiable; the custom VJP runs per-shard).
+    """
+    n = log_probs.shape[1]
+    if n % mesh.devices.size:
+        raise ValueError(
+            f"batch {n} must divide evenly over {mesh.devices.size} devices"
+        )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(axis_name, None), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name) if reduction == "none" else P(),
+    )
+    def shard_fn(lp, tgt, il, tl):
+        nll = ctc_nll_xla(lp, tgt, il, tl, blank)
+        if zero_infinity:
+            nll = jnp.where(jnp.isinf(nll), 0.0, nll)
+        if reduction == "none":
+            return nll
+        if reduction == "sum":
+            return jax.lax.psum(jnp.sum(nll), axis_name)
+        denom = jnp.maximum(tl, 1).astype(nll.dtype)
+        return jax.lax.psum(jnp.sum(nll / denom), axis_name) / n
+
+    return shard_fn(log_probs, targets, input_lengths, target_lengths)
+
+
+def greedy_decode_data_parallel(log_probs, input_lengths, mesh: Mesh,
+                                blank: int = 0, axis_name: str = "data"):
+    """Batch-sharded greedy decode: zero communication, pure map."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(axis_name)),
+        out_specs=(P(axis_name, None), P(axis_name), P(axis_name)),
+    )
+    def shard_fn(lp, il):
+        return greedy_decode(lp, il, blank=blank)
+
+    return shard_fn(log_probs, input_lengths)

@@ -10,15 +10,14 @@ Environment variables must be set before jax is imported anywhere.
 
 import os
 
-if os.environ.get("E2E_TPU", "0") != "1":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
-
 import jax  # noqa: E402
+
+if os.environ.get("E2E_TPU", "0") != "1":
+    # The environment's sitecustomize imports jax and registers the axon TPU
+    # plugin at interpreter start, so env vars are too late here — use the
+    # config API to force an 8-device virtual CPU platform for tests.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: scan compiles are ~40-60s each on this
 # 1-vCPU box; caching makes repeat suite runs fast.

@@ -1,0 +1,93 @@
+"""Multi-chip batch sharding on the virtual 8-device CPU mesh.
+
+SURVEY.md §5.2 item 6: only batch sharding exists (the loss is per-sample);
+assert sharded == unsharded for loss, grad, and decode, and that GSPMD-style
+plain-jit on sharded inputs also works.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from end2end_tpu import ctc_loss, greedy_decode
+from end2end_tpu.parallel.sharding import (
+    ctc_loss_data_parallel,
+    greedy_decode_data_parallel,
+    make_mesh,
+    shard_batch,
+)
+from tests.conftest import random_ctc_problem
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@needs_devices
+@pytest.mark.parametrize("reduction", ["none", "mean", "sum"])
+def test_data_parallel_loss_matches(rng, reduction):
+    B, T, S, V = 16, 30, 8, 12
+    lp, tgt, il, tl = random_ctc_problem(rng, B, T, S, V)
+    mesh = make_mesh(8)
+    args = shard_batch(mesh, jnp.asarray(lp), tgt, il, tl)
+    got = jax.jit(
+        lambda *a: ctc_loss_data_parallel(*a, mesh=mesh, reduction=reduction)
+    )(*args)
+    want = ctc_loss(lp, tgt, il, tl, reduction=reduction, implementation="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+@needs_devices
+def test_data_parallel_grad_matches(rng):
+    B, T, S, V = 8, 24, 6, 10
+    lp, tgt, il, tl = random_ctc_problem(rng, B, T, S, V)
+    mesh = make_mesh(8)
+    args = shard_batch(mesh, jnp.asarray(lp), tgt, il, tl)
+
+    g_sharded = jax.jit(
+        jax.grad(lambda x: ctc_loss_data_parallel(x, *args[1:], mesh=mesh))
+    )(args[0])
+    g_local = jax.grad(
+        lambda x: ctc_loss(x, tgt, il, tl, reduction="mean", implementation="xla")
+    )(jnp.asarray(lp))
+    np.testing.assert_allclose(
+        np.asarray(g_sharded), np.asarray(g_local), rtol=1e-5, atol=1e-7
+    )
+
+
+@needs_devices
+def test_gspmd_plain_jit_on_sharded_inputs(rng):
+    """No shard_map at all: jit partitions from input shardings."""
+    B, T, S, V = 16, 20, 5, 9
+    lp, tgt, il, tl = random_ctc_problem(rng, B, T, S, V)
+    mesh = make_mesh(8)
+    args = shard_batch(mesh, jnp.asarray(lp), tgt, il, tl)
+    f = jax.jit(lambda *a: ctc_loss(*a, reduction="none", implementation="xla"))
+    got = f(*args)
+    want = ctc_loss(lp, tgt, il, tl, reduction="none", implementation="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+@needs_devices
+def test_data_parallel_greedy(rng):
+    B, T, V = 16, 25, 8
+    lp, _, il, _ = random_ctc_problem(rng, B, T, 5, V)
+    mesh = make_mesh(8)
+    s_lp, _, s_il, _ = shard_batch(mesh, jnp.asarray(lp), np.zeros((B, 1), np.int32), il, il)
+    toks, lens, scores = jax.jit(
+        lambda a, b: greedy_decode_data_parallel(a, b, mesh=mesh)
+    )(s_lp, s_il)
+    toks0, lens0, scores0 = greedy_decode(lp, il)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks0))
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(lens0))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(scores0), rtol=1e-6)
+
+
+@needs_devices
+def test_uneven_batch_raises(rng):
+    B, T, S, V = 6, 10, 3, 5
+    lp, tgt, il, tl = random_ctc_problem(rng, B, T, S, V)
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="divide evenly"):
+        ctc_loss_data_parallel(jnp.asarray(lp), tgt, il, tl, mesh=mesh)
