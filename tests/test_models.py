@@ -1,0 +1,102 @@
+"""Frontend + Conformer-CTC pipeline (BASELINE.json config 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from end2end_tpu.models.conformer import ConformerEncoder, ConvSubsampling
+from end2end_tpu.models.frontend import log_mel_spectrogram, mel_filterbank, num_frames
+from end2end_tpu.models.pipeline import ConformerCTCPipeline, PipelineConfig
+
+CFG = PipelineConfig(vocab_size=8, d_model=32, num_layers=1, num_heads=2, n_mels=16)
+
+
+def test_mel_filterbank_shape_and_coverage():
+    fb = mel_filterbank(80, 400, 16000, 0.0, 8000.0)
+    assert fb.shape == (201, 80)
+    assert (fb >= 0).all()
+    assert (fb.sum(axis=0) > 0).all()  # every mel bin covers some energy
+
+
+def test_log_mel_shapes_and_lengths(rng):
+    wav = rng.standard_normal((2, 16000)).astype(np.float32)
+    feats = log_mel_spectrogram(wav, n_mels=16)
+    frames = int(num_frames(16000))
+    assert feats.shape == (2, frames, 16)
+    assert np.isfinite(np.asarray(feats)).all()
+    # sine at 1kHz must peak near the 1kHz mel bin region
+    t = np.arange(16000) / 16000
+    sine = np.sin(2 * np.pi * 1000 * t)[None].astype(np.float32)
+    fs = np.asarray(log_mel_spectrogram(sine, n_mels=40))
+    peak_bin = fs.mean(axis=(0, 1)).argmax()
+    assert 5 < peak_bin < 25  # roughly the 1kHz neighborhood on a 40-mel scale
+
+
+def test_subsample_lengths():
+    lens = jnp.asarray([1, 2, 3, 4, 7, 8, 100])
+    out = ConvSubsampling.out_length(lens)
+    want = [-(-(-(-l // 2)) // 2) for l in [1, 2, 3, 4, 7, 8, 100]]
+    want = [int(np.ceil(np.ceil(l / 2) / 2)) for l in [1, 2, 3, 4, 7, 8, 100]]
+    np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_encoder_shapes_and_padding_independence(rng):
+    enc = ConformerEncoder(vocab_size=8, d_model=32, num_layers=1, num_heads=2)
+    feats = rng.standard_normal((2, 40, 16)).astype(np.float32)
+    lens = np.array([40, 24], np.int32)
+    params = enc.init(jax.random.key(0), jnp.asarray(feats), jnp.asarray(lens))
+    logits, out_len = enc.apply(params, jnp.asarray(feats), jnp.asarray(lens))
+    assert logits.shape == (2, 10, 8)
+    np.testing.assert_array_equal(np.asarray(out_len), [10, 6])
+    # Changing padding frames of sample 1 must not change its valid logits.
+    feats2 = feats.copy()
+    feats2[1, 24:, :] = 123.0
+    logits2, _ = enc.apply(params, jnp.asarray(feats2), jnp.asarray(lens))
+    np.testing.assert_allclose(
+        np.asarray(logits)[1, :6], np.asarray(logits2)[1, :6], rtol=2e-4, atol=2e-5
+    )
+
+
+def test_pipeline_loss_and_decode(rng):
+    pipe = ConformerCTCPipeline(CFG)
+    wav = rng.standard_normal((2, 4000)).astype(np.float32)
+    ns = np.array([4000, 3000], np.int32)
+    params = pipe.init(jax.random.key(0), wav, ns)
+    tgt = rng.integers(1, 8, (2, 4)).astype(np.int32)
+    tl = np.array([4, 2], np.int32)
+    loss = jax.jit(lambda p: pipe.loss(p, wav, ns, tgt, tl))(params)
+    assert np.isfinite(float(loss))
+    toks, lens, scores = jax.jit(lambda p: pipe.decode(p, wav, ns))(params)
+    assert toks.shape[0] == 2
+    btoks, blens, bscores = jax.jit(lambda p: pipe.decode(p, wav, ns, beam_width=4))(params)
+    assert btoks.shape[0] == 2
+    # beam best score should not be worse than greedy's best-path bound
+    assert np.all(np.asarray(bscores) > -1e5)
+
+
+def test_pipeline_overfits_tiny_batch(rng):
+    """End-to-end trainability: adamw on one tiny batch drives the loss down."""
+    pipe = ConformerCTCPipeline(CFG)
+    wav = rng.standard_normal((2, 2400)).astype(np.float32)
+    ns = np.array([2400, 2400], np.int32)
+    tgt = np.array([[1, 2, 3], [4, 5, 6]], np.int32)
+    tl = np.array([3, 3], np.int32)
+    params = pipe.init(jax.random.key(1), wav, ns)
+    opt = optax.adamw(3e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        loss, grads = jax.value_and_grad(
+            lambda p: pipe.loss(p, wav, ns, tgt, tl, implementation="xla")
+        )(params)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state, loss
+
+    losses = []
+    for _ in range(15):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses
