@@ -1,0 +1,144 @@
+"""Loader for the native C++ host runtime (csrc/e2e_native.cpp).
+
+Builds the shared library on first use with g++ (cached next to the source),
+and exposes ctypes wrappers.  Every entry point has a pure-Python/JAX
+fallback elsewhere in the package, so the library degrades gracefully when no
+compiler is available — `available()` reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "e2e_native.cpp")
+_OUT = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "build", "libe2e_native.so")
+
+
+def _build() -> str | None:
+    src = os.path.abspath(_SRC)
+    out = os.path.abspath(_OUT)
+    if not os.path.exists(src):
+        return None
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+           "-pthread", src, "-o", out]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return None
+    return out
+
+
+def _load():
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        path = _build()
+        if path is None:
+            return None
+        lib = ctypes.CDLL(path)
+        c_i32p = ctypes.POINTER(ctypes.c_int32)
+        c_f32p = ctypes.POINTER(ctypes.c_float)
+        lib.e2e_beam_search.argtypes = [
+            c_f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, c_i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            c_i32p, c_i32p, c_f32p, ctypes.c_int,
+        ]
+        lib.e2e_greedy_decode.argtypes = [
+            c_f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, c_i32p,
+            ctypes.c_int, c_i32p, c_i32p,
+        ]
+        lib.e2e_parse_arpa.restype = ctypes.c_long
+        lib.e2e_parse_arpa.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+            c_f32p, c_f32p, c_f32p, c_f32p,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def beam_search_cpu(log_probs, input_lengths, beam_width=8, prune_k=None,
+                    blank=0, max_symbols=None, n_threads=0):
+    """Threaded native prefix beam search on the host.
+
+    log_probs: (T, N, V) float (torch layout, like the JAX API).  Returns
+    (tokens (N, W, s_cap), lengths (N, W), scores (N, W)).  Raises if the
+    native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable (g++ build failed?)")
+    lp = np.ascontiguousarray(np.moveaxis(np.asarray(log_probs, np.float32), 1, 0))
+    n, t_max, v = lp.shape
+    il = np.ascontiguousarray(np.asarray(input_lengths, np.int32))
+    k = min(prune_k or v, v)
+    s_cap = max_symbols or min(t_max, 512)
+    tokens = np.empty((n, beam_width, s_cap), np.int32)
+    lens = np.empty((n, beam_width), np.int32)
+    scores = np.empty((n, beam_width), np.float32)
+    lib.e2e_beam_search(_f32p(lp), n, t_max, v, _i32p(il), beam_width, k,
+                        blank, s_cap, _i32p(tokens), _i32p(lens),
+                        _f32p(scores), n_threads)
+    return tokens, lens, scores
+
+
+def greedy_decode_cpu(log_probs, input_lengths, blank=0):
+    """Native greedy decode; returns (tokens (N, T), lengths (N,))."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable (g++ build failed?)")
+    lp = np.ascontiguousarray(np.moveaxis(np.asarray(log_probs, np.float32), 1, 0))
+    n, t_max, v = lp.shape
+    il = np.ascontiguousarray(np.asarray(input_lengths, np.int32))
+    tokens = np.empty((n, t_max), np.int32)
+    lens = np.empty((n,), np.int32)
+    lib.e2e_greedy_decode(_f32p(lp), n, t_max, v, _i32p(il), blank,
+                          _i32p(tokens), _i32p(lens))
+    return tokens, lens
+
+
+def parse_arpa_native(path: str, vocab: list[str]):
+    """Parse an ARPA file into dense tables via the native parser.
+
+    Returns (unigram (V,), bigram (V, V), start (V,), eos (V,)) natural-log
+    float32 arrays, or None if the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    v = len(vocab)
+    blob = b"\0".join(w.encode() for w in vocab) + b"\0"
+    unigram = np.empty((v,), np.float32)
+    bigram = np.empty((v, v), np.float32)
+    start = np.empty((v,), np.float32)
+    eos = np.empty((v,), np.float32)
+    n = lib.e2e_parse_arpa(path.encode(), blob, v, _f32p(unigram),
+                           _f32p(bigram), _f32p(start), _f32p(eos))
+    if n < 0:
+        raise FileNotFoundError(path)
+    return unigram, bigram, start, eos

@@ -1,0 +1,164 @@
+"""Native C++ host runtime: beam search, greedy, ARPA parser.
+
+The native beam decoder is an independent implementation of the same
+algorithm as both the NumPy oracle and the JAX scan — three-way agreement is
+strong evidence of correctness (SURVEY.md §5).
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from end2end_tpu.utils import native
+from end2end_tpu.utils.arpa import load_arpa, parse_arpa_python
+from end2end_tpu.utils.reference_impl import beam_search_decode_ref, greedy_decode_ref
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+def log_softmax_np(x):
+    return x - np.log(np.sum(np.exp(x), axis=-1, keepdims=True))
+
+
+def test_native_greedy_matches_oracle(rng):
+    B, T, V = 6, 50, 29
+    lp = log_softmax_np(rng.standard_normal((T, B, V))).astype(np.float32)
+    il = rng.integers(T // 2, T + 1, B).astype(np.int32)
+    tokens, lens = native.greedy_decode_cpu(lp, il)
+    ref = greedy_decode_ref(lp, il)
+    for b in range(B):
+        assert tokens[b, : lens[b]].tolist() == ref[b]
+
+
+@pytest.mark.parametrize("W,threads", [(4, 1), (8, 4)])
+def test_native_beam_matches_oracle(rng, W, threads):
+    B, T, V = 4, 15, 6
+    lp = log_softmax_np(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = np.array([15, 11, 8, 15], np.int32)
+    tokens, lens, scores = native.beam_search_cpu(
+        lp, il, beam_width=W, n_threads=threads
+    )
+    ref = beam_search_decode_ref(lp.astype(np.float64), il, beam_width=W)
+    for b in range(B):
+        got = {
+            tuple(tokens[b, w, : lens[b, w]].tolist()): float(scores[b, w])
+            for w in range(W)
+            if np.isfinite(scores[b, w])
+        }
+        want = dict(ref[b])
+        assert set(got) == set(map(tuple, want))
+        for p, s in got.items():
+            np.testing.assert_allclose(s, want[p], rtol=1e-4, atol=1e-4)
+
+
+ARPA = """\
+\\data\\
+ngram 1=6
+ngram 2=4
+
+\\1-grams:
+-0.30103 <unk>
+-0.69897 <s> -0.30103
+-0.52 </s>
+-0.60206 a -0.17609
+-0.90309 b -0.22185
+-1.20412 c
+
+\\2-grams:
+-0.30103 <s> a
+-0.47712 a b
+-0.60206 b c
+-0.95424 b </s>
+
+\\end\\
+"""
+
+
+def _write_arpa():
+    f = tempfile.NamedTemporaryFile("w", suffix=".arpa", delete=False)
+    f.write(ARPA)
+    f.close()
+    return f.name
+
+
+def test_arpa_python_parser_semantics():
+    path = _write_arpa()
+    vocab = ["a", "b", "c", "d"]
+    uni, bigram, start, eos = parse_arpa_python(path, vocab)
+    ln10 = np.log(10.0)
+    np.testing.assert_allclose(uni[0], -0.60206 * ln10, rtol=1e-6)  # a
+    np.testing.assert_allclose(uni[3], -0.30103 * ln10, rtol=1e-6)  # d -> <unk>
+    # explicit bigram a->b
+    np.testing.assert_allclose(bigram[0, 1], -0.47712 * ln10, rtol=1e-6)
+    # backoff bigram a->c = bo(a) + p(c)
+    np.testing.assert_allclose(
+        bigram[0, 2], (-0.17609 + -1.20412) * ln10, rtol=1e-6
+    )
+    # start: explicit <s> a; backoff <s> b = bo(<s>) + p(b)
+    np.testing.assert_allclose(start[0], -0.30103 * ln10, rtol=1e-6)
+    np.testing.assert_allclose(start[1], (-0.30103 + -0.90309) * ln10, rtol=1e-6)
+    # eos: b </s>
+    np.testing.assert_allclose(eos[1], -0.95424 * ln10, rtol=1e-6)
+    os.unlink(path)
+
+
+def test_arpa_native_matches_python():
+    path = _write_arpa()
+    vocab = ["a", "b", "c", "d"]
+    py = parse_arpa_python(path, vocab)
+    nat = native.parse_arpa_native(path, vocab)
+    assert nat is not None
+    for a, b in zip(py, nat):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    # and the loader prefers native with identical output
+    ld = load_arpa(path, vocab)
+    for a, b in zip(py, ld):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    os.unlink(path)
+
+
+def test_native_beam_vs_jax_beam(rng):
+    """Native C++ vs JAX scan decoder: same beams on the same inputs."""
+    from end2end_tpu import beam_search_decode
+
+    B, T, V, W = 3, 12, 5, 4
+    lp = log_softmax_np(rng.standard_normal((T, B, V))).astype(np.float32)
+    il = np.full(B, T, np.int32)
+    nt, nl, ns = native.beam_search_cpu(lp, il, beam_width=W)
+    jt, jl, js = beam_search_decode(lp, il, beam_width=W)
+    for b in range(B):
+        got_n = {tuple(nt[b, w, : nl[b, w]].tolist()) for w in range(W) if np.isfinite(ns[b, w])}
+        got_j = {
+            tuple(np.asarray(jt)[b, w, : int(jl[b, w])].tolist())
+            for w in range(W)
+            if np.isfinite(np.asarray(js)[b, w])
+        }
+        assert got_n == got_j
+
+
+def test_arpa_lm_without_explicit_eos_keeps_beams_finite(rng):
+    """Regression: unseen "w </s>" bigrams must back off, not nuke beams."""
+    import tempfile
+
+    from end2end_tpu import beam_search_decode
+    from end2end_tpu.utils.arpa import ngram_lm_from_arpa
+
+    arpa = (
+        "\\data\\\nngram 1=4\nngram 2=1\n\n\\1-grams:\n"
+        "-0.3 <unk>\n-0.5 <s> -0.2\n-0.5 </s>\n-0.6 a -0.2\n\n"
+        "\\2-grams:\n-0.1 a a\n\n\\end\\\n"
+    )
+    f = tempfile.NamedTemporaryFile("w", suffix=".arpa", delete=False)
+    f.write(arpa)
+    f.close()
+    lm = ngram_lm_from_arpa(f.name, ["_", "a", "b"])
+    lp = log_softmax_np(rng.standard_normal((6, 1, 3))).astype(np.float32)
+    tokens, lengths, scores = beam_search_decode(
+        lp, beam_width=3, lm=lm, lm_alpha=1.0
+    )
+    assert np.isfinite(np.asarray(scores)[0, 0])
+    os.unlink(f.name)
