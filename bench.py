@@ -81,6 +81,30 @@ def bench_beam(B, T, V, W, K, iters=5):
     return dt, B / dt
 
 
+def bench_beam_collapsed(B, T, V, W, K, iters=5, blank_frac=0.7, peak=0.995):
+    """Beam decode on a trained-model-like peaked lattice after blank
+    collapse (arXiv:2210.17017).  Returns (dt, seq/s, kept-frame ratio)."""
+    from end2end_tpu.ops.decode_utils import collapse_and_bucket
+
+    rng = np.random.default_rng(0)
+    lp = np.full((T, B, V), np.log((1 - peak) / (V - 1)), np.float32)
+    ids = np.where(rng.random((T, B)) < blank_frac, 0,
+                   rng.integers(1, V, (T, B)))
+    for t in range(T):
+        lp[t, np.arange(B), ids[t]] = np.log(peak)
+    il = np.full(B, T, np.int32)
+    packed, new_len = collapse_and_bucket(lp, il)
+    packed = jax.device_put(jnp.asarray(packed))
+    new_len = jnp.asarray(new_len)
+
+    def fn(x):
+        return beam_search_decode(x, new_len, beam_width=W, prune_k=K,
+                                  max_symbols=256)
+
+    dt = time_fn(fn, packed, iters=iters)
+    return dt, B / dt, packed.shape[0] / T
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="full config table")
@@ -108,6 +132,9 @@ def main():
             dt, sps = bench_beam(32, 1000, 1024, W, K)
             print(f"beam-{W} (prune {K}) B=32,T=1000,V=1024 {dt*1e3:8.2f} ms/iter "
                   f"{sps:9.1f} seq/s", file=sys.stderr)
+        dt, sps, ratio = bench_beam_collapsed(32, 1000, 1024, 8, 16)
+        print(f"beam-8 + blank-collapse (peaked lattice, keep={ratio:.0%}) "
+              f"{dt*1e3:8.2f} ms/iter {sps:9.1f} seq/s", file=sys.stderr)
 
     dt, cps = bench_loss_grad(32, 1000, 100, 1024, args.impl, args.iters)
     print(json.dumps({

@@ -61,14 +61,20 @@ def _resolve_impl(implementation):
     return "xla"
 
 
-def ctc_nll(log_probs, targets, input_lengths, target_lengths, blank=0, implementation="auto"):
-    """Per-sample negative log likelihood (reduction='none', no zero_infinity)."""
+def ctc_nll(log_probs, targets, input_lengths, target_lengths, blank=0,
+            implementation="auto", checkpoint_every=0):
+    """Per-sample negative log likelihood (reduction='none', no zero_infinity).
+
+    checkpoint_every > 0 selects the rematerializing long-T scan (alpha
+    memory O(T/K + K) instead of O(T); XLA path only — see ctc_loss_xla)."""
     impl = _resolve_impl(implementation)
-    if impl == "pallas":
+    if impl == "pallas" and not checkpoint_every:
         from .ctc_loss_pallas import ctc_nll_pallas
 
         return ctc_nll_pallas(log_probs, targets, input_lengths, target_lengths, blank)
-    return ctc_nll_xla(log_probs, targets, input_lengths, target_lengths, blank)
+    return ctc_nll_xla(
+        log_probs, targets, input_lengths, target_lengths, blank, checkpoint_every
+    )
 
 
 def ctc_loss(
@@ -80,6 +86,7 @@ def ctc_loss(
     reduction: str = "mean",
     zero_infinity: bool = False,
     implementation: str = "auto",
+    checkpoint_every: int = 0,
 ):
     """CTC loss with torch.nn.CTCLoss-compatible semantics.  Jit-friendly:
     all options are static; lengths are data (no recompiles across lengths)."""
@@ -96,7 +103,8 @@ def ctc_loss(
     target_lengths = jnp.asarray(target_lengths, dtype=jnp.int32)
 
     nll = ctc_nll(
-        log_probs, targets, input_lengths, target_lengths, blank, implementation
+        log_probs, targets, input_lengths, target_lengths, blank, implementation,
+        checkpoint_every,
     )
     if zero_infinity:
         nll = jnp.where(jnp.isinf(nll), 0.0, nll)

@@ -217,52 +217,73 @@ def _posterior_scatter(gamma, targets, blank, num_classes):
     return post
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4,))
-def ctc_nll_xla(log_probs, targets, input_lengths, target_lengths, blank=0):
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def ctc_nll_xla(log_probs, targets, input_lengths, target_lengths, blank=0,
+                checkpoint_every=0):
     """Per-sample CTC negative log-likelihood (reduction='none', no options).
 
     log_probs: (T, N, C) log-softmaxed; targets: (N, S) padded int32.
     Gradient wrt log_probs is the fused exp(lp) - posterior form, computed by
     one backward scan (SURVEY.md §4.2).
+
+    checkpoint_every=0 stores every alpha row for the backward pass (fastest);
+    checkpoint_every=K > 0 stores only every K-th scan carry and recomputes
+    alpha per chunk in the backward pass — alpha memory drops from O(T*L) to
+    O((T/K + K)*L), the long-T scaling mode of SURVEY.md §7 (the gradient
+    itself is inherently O(T*C)).
     """
-    nll, _ = _fwd_impl(log_probs, targets, input_lengths, target_lengths, blank)
+    nll, _ = _fwd_impl(
+        log_probs, targets, input_lengths, target_lengths, blank, checkpoint_every
+    )
     return nll
 
 
-def _fwd_impl(log_probs, targets, input_lengths, target_lengths, blank):
+def _fwd_impl(log_probs, targets, input_lengths, target_lengths, blank, every):
     num_classes = log_probs.shape[-1]
     tables = build_ctc_tables(targets, target_lengths, blank, num_classes)
     lp_ext = gather_lp_ext(log_probs, tables)
+    if every:
+        nll, log_z, z_hat, ckpt = ctc_forward_scan_ckpt(
+            lp_ext, tables.skip2, input_lengths, target_lengths, every
+        )
+        return nll, (z_hat, ckpt, None, None, tables)
     nll, log_z, z_hat, alpha_hat, anorm2 = ctc_forward_scan(
         lp_ext, tables.skip2, input_lengths, target_lengths
     )
-    return nll, (lp_ext, z_hat, alpha_hat, anorm2, tables)
+    return nll, (z_hat, None, alpha_hat, anorm2, tables)
 
 
-def _ctc_nll_fwd(log_probs, targets, input_lengths, target_lengths, blank):
-    nll, (lp_ext, z_hat, alpha_hat, anorm2, tables) = _fwd_impl(
-        log_probs, targets, input_lengths, target_lengths, blank
+def _ctc_nll_fwd(log_probs, targets, input_lengths, target_lengths, blank, every):
+    nll, (z_hat, ckpt, alpha_hat, anorm2, tables) = _fwd_impl(
+        log_probs, targets, input_lengths, target_lengths, blank, every
     )
     res = (
         log_probs, targets, input_lengths, target_lengths,
-        z_hat, lp_ext, alpha_hat, anorm2, tables,
+        z_hat, ckpt, alpha_hat, anorm2, tables,
     )
     return nll, res
 
 
-def _ctc_nll_bwd(blank, res, g):
+def _ctc_nll_bwd(blank, every, res, g):
     (
         log_probs, targets, input_lengths, target_lengths,
-        z_hat, lp_ext, alpha_hat, anorm2, tables,
+        z_hat, ckpt, alpha_hat, anorm2, tables,
     ) = res
     t_max, n, num_classes = log_probs.shape
     finite = z_hat > LOG0_THRESHOLD
     z_hat_safe = jnp.where(finite, z_hat, 0.0)
 
-    log_gamma = ctc_backward_scan(
-        lp_ext, alpha_hat, anorm2, z_hat_safe, tables.skip2,
-        input_lengths, target_lengths,
-    )
+    lp_ext = gather_lp_ext(log_probs, tables)  # cheap regather (major-axis)
+    if every:
+        log_gamma = ctc_backward_scan_ckpt(
+            lp_ext, ckpt, z_hat_safe, tables.skip2,
+            input_lengths, target_lengths, every,
+        )
+    else:
+        log_gamma = ctc_backward_scan(
+            lp_ext, alpha_hat, anorm2, z_hat_safe, tables.skip2,
+            input_lengths, target_lengths,
+        )
     _, _, expf = _ops(log_probs.dtype)
     gamma = expf(jnp.minimum(log_gamma, 0.0))
     gamma = jnp.where(finite[None, :, None], gamma, 0.0)
@@ -286,3 +307,155 @@ def _ctc_nll_bwd(blank, res, g):
 
 
 ctc_nll_xla.defvjp(_ctc_nll_fwd, _ctc_nll_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed (rematerializing) variant for long T: store one scan carry per
+# K-step chunk in the forward pass; the backward pass recomputes each chunk's
+# alpha rows from its checkpoint before running the beta scan through it.
+# ---------------------------------------------------------------------------
+
+
+def _make_alpha_step(laddexp3, skip2, il, tl, L, dtype):
+    """Alpha step with the t==0 initialization folded in (branchless)."""
+    pos = jnp.arange(L, dtype=jnp.int32)
+    init_mask = (pos[None, :] == 0) | ((pos[None, :] == 1) & (tl[:, None] > 0))
+
+    def step(carry, lp_t, t):
+        a_hat, norm2 = carry
+        a1 = _shift_right(a_hat, 1)
+        a2 = jnp.where(skip2, _shift_right(a_hat, 2), LOG0)
+        upd = laddexp3(a_hat, a1, a2) + lp_t
+        init = jnp.where(init_mask, lp_t, LOG0)
+        anew = jnp.maximum(jnp.where(t == 0, init, upd), LOG0)
+        m, m_i = _renorm_shift(jnp.max(anew, axis=-1))
+        a_hat_new = jnp.maximum(anew - m[:, None], LOG0)
+        live = (t < il)
+        a_hat = jnp.where(live[:, None], a_hat_new, a_hat)
+        norm2 = jnp.where(live, norm2 + m_i, norm2)
+        return (a_hat, norm2)
+
+    return step
+
+
+def _pad_chunks(x, every, fill):
+    """(T, ...) -> (n_chunks, every, ...) with fill-padding at the tail."""
+    t = x.shape[0]
+    n_chunks = -(-t // every)
+    pad = n_chunks * every - t
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0
+        )
+    return x.reshape((n_chunks, every) + x.shape[1:])
+
+
+def ctc_forward_scan_ckpt(lp_ext, skip2, input_lengths, target_lengths, every):
+    """Alpha scan storing one carry per chunk.  Returns (nll, log_z, z_hat,
+    ckpt) where ckpt = (a_hat (C,N,L), norm2 (C,N)) carries at chunk starts."""
+    t_max, n, L = lp_ext.shape
+    laddexp3, laddexp2, _ = _ops(lp_ext.dtype)
+    il = input_lengths.astype(jnp.int32)
+    tl = target_lengths.astype(jnp.int32)
+    step = _make_alpha_step(laddexp3, skip2, il, tl, L, lp_ext.dtype)
+
+    lp_c = _pad_chunks(lp_ext, every, LOG0)
+    n_chunks = lp_c.shape[0]
+    ts_c = _pad_chunks(jnp.arange(n_chunks * every, dtype=jnp.int32), every, 0)
+
+    def chunk(carry, xs):
+        lp_chunk, ts_chunk = xs
+        ckpt = carry
+
+        def inner(c, x):
+            return step(c, x[0], x[1]), None
+
+        carry2, _ = jax.lax.scan(inner, carry, (lp_chunk, ts_chunk))
+        return carry2, ckpt
+
+    carry0 = (jnp.full((n, L), LOG0, lp_ext.dtype), jnp.zeros((n,), jnp.int32))
+    (a_hat_f, norm2_f), ckpt = jax.lax.scan(chunk, carry0, (lp_c, ts_c))
+
+    end1 = jnp.take_along_axis(a_hat_f, (2 * tl)[:, None], axis=1)[:, 0]
+    end2 = jnp.take_along_axis(a_hat_f, jnp.maximum(2 * tl - 1, 0)[:, None], axis=1)[:, 0]
+    end2 = jnp.where(tl > 0, end2, LOG0)
+    z_hat = laddexp2(end1, end2)
+    log_z = z_hat + norm2_f.astype(lp_ext.dtype) * 0.5
+    finite = z_hat > LOG0_THRESHOLD
+    nll = jnp.where(finite, -log_z, jnp.inf)
+    # Final norm rides along for the posterior shift in the backward pass.
+    return nll, jnp.where(finite, log_z, LOG0), z_hat, (ckpt, norm2_f)
+
+
+def ctc_backward_scan_ckpt(
+    lp_ext, ckpt, z_hat, skip2, input_lengths, target_lengths, every
+):
+    """Chunked beta scan with per-chunk alpha recomputation.  Returns the log
+    state posteriors (T, N, L) like ctc_backward_scan."""
+    (ckpt_carries, anorm_end2) = ckpt
+    t_max, n, L = lp_ext.shape
+    laddexp3, _, _ = _ops(lp_ext.dtype)
+    pos = jnp.arange(L, dtype=jnp.int32)
+    il = input_lengths.astype(jnp.int32)
+    tl = target_lengths.astype(jnp.int32)
+    astep = _make_alpha_step(laddexp3, skip2, il, tl, L, lp_ext.dtype)
+
+    skip2_succ = _shift_left_bool(skip2, 2)
+    init_row = jnp.where(
+        (pos[None, :] == 2 * tl[:, None])
+        | ((pos[None, :] == 2 * tl[:, None] - 1) & (tl[:, None] > 0)),
+        0.0,
+        LOG0,
+    ).astype(lp_ext.dtype)
+
+    lp_next = jnp.concatenate(
+        [lp_ext[1:], jnp.full((1, n, L), LOG0, lp_ext.dtype)], axis=0
+    )
+    lp_c = _pad_chunks(lp_ext, every, LOG0)
+    lpn_c = _pad_chunks(lp_next, every, LOG0)
+    n_chunks = lp_c.shape[0]
+    ts_c = _pad_chunks(jnp.arange(n_chunks * every, dtype=jnp.int32), every, 0)
+    # Padded tail steps have t >= T >= il so the is_pad branch handles them.
+
+    def beta_step(carry, xs):
+        b_hat, bnorm2 = carry
+        lp_nt, alpha_t, anorm2_t, t = xs
+        bsum = b_hat + lp_nt
+        b1 = _shift_left(bsum, 1)
+        b2 = jnp.where(skip2_succ, _shift_left(bsum, 2), LOG0)
+        bnew = jnp.maximum(laddexp3(bsum, b1, b2), LOG0)
+        m, m_i = _renorm_shift(jnp.max(bnew, axis=-1))
+        b_hat_cand = jnp.maximum(bnew - m[:, None], LOG0)
+        bnorm2_cand = bnorm2 + m_i
+        is_init = (t == il - 1)[:, None]
+        is_pad = (t >= il)[:, None]
+        b_hat = jnp.where(is_init, init_row, jnp.where(is_pad, LOG0, b_hat_cand))
+        bnorm2 = jnp.where(
+            is_init[:, 0], 0, jnp.where(is_pad[:, 0], 0, bnorm2_cand)
+        ).astype(jnp.int32)
+        shift = (anorm2_t + bnorm2 - anorm_end2).astype(lp_ext.dtype) * 0.5
+        ab_t = alpha_t + b_hat + (shift - z_hat)[:, None]
+        return (b_hat, bnorm2), ab_t
+
+    def chunk(carry_b, xs):
+        ckpt_carry, lp_chunk, lpn_chunk, ts_chunk = xs
+
+        # recompute this chunk's alpha rows from the checkpoint
+        def inner_a(c, x):
+            new = astep(c, x[0], x[1])
+            return new, new
+
+        _, (a_rows, n_rows) = jax.lax.scan(inner_a, ckpt_carry, (lp_chunk, ts_chunk))
+        carry_b, gamma_chunk = jax.lax.scan(
+            beta_step, carry_b, (lpn_chunk, a_rows, n_rows, ts_chunk), reverse=True
+        )
+        return carry_b, gamma_chunk
+
+    carry_b0 = (
+        jnp.full((n, L), LOG0, lp_ext.dtype) + 0.0 * lp_ext[0],
+        jnp.zeros((n,), jnp.int32) + 0 * il,
+    )
+    _, gamma_chunks = jax.lax.scan(
+        chunk, carry_b0, (ckpt_carries, lp_c, lpn_c, ts_c), reverse=True
+    )
+    return gamma_chunks.reshape(n_chunks * every, n, L)[:t_max]

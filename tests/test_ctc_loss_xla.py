@@ -204,3 +204,30 @@ def test_jit_cache_reuse_across_lengths(rng):
     tl2 = np.maximum(tl - 1, 1).astype(np.int32)
     f(jnp.asarray(lp), il2, tl2)
     assert f._cache_size() == 1
+
+
+@pytest.mark.parametrize("every", [4, 7, 30, 64])
+def test_checkpointed_remat_matches_full(rng, every):
+    """checkpoint_every must not change loss or grad (only memory/compute)."""
+    B, T, S, V = 3, 30, 7, 11
+    lp, tgt, il, tl = random_ctc_problem(rng, B, T, S, V)
+
+    @jax.jit
+    def full(x):
+        nll = ctc_nll_xla(x, tgt, il, tl, 0)
+        g = jax.grad(lambda y: jnp.sum(ctc_nll_xla(y, tgt, il, tl, 0)))(x)
+        return nll, g
+
+    def make_ckpt(k):
+        @jax.jit
+        def f(x):
+            nll = ctc_nll_xla(x, tgt, il, tl, 0, k)
+            g = jax.grad(lambda y: jnp.sum(ctc_nll_xla(y, tgt, il, tl, 0, k)))(x)
+            return nll, g
+
+        return f
+
+    nll0, g0 = map(np.asarray, full(jnp.asarray(lp)))
+    nll1, g1 = map(np.asarray, make_ckpt(every)(jnp.asarray(lp)))
+    np.testing.assert_allclose(nll1, nll0, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(g1, g0, rtol=1e-5, atol=1e-7)
