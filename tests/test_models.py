@@ -100,3 +100,57 @@ def test_pipeline_overfits_tiny_batch(rng):
         params, state, loss = step(params, state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_ocr_recognizer_shapes_and_training(rng):
+    """OCR family (BASELINE config 3): shapes, padding independence, and a
+    few training steps with CTC loss + beam-10 decode."""
+    import optax
+
+    from end2end_tpu import beam_search_decode, ctc_loss
+    from end2end_tpu.models.ocr import OCRRecognizer
+
+    V = 12
+    model = OCRRecognizer(vocab_size=V, d_model=32, num_layers=1, num_heads=2)
+    imgs = rng.standard_normal((2, 16, 48)).astype(np.float32)
+    widths = np.array([48, 32], np.int32)
+    params = model.init(jax.random.key(0), jnp.asarray(imgs), jnp.asarray(widths))
+    logits, out_w = model.apply(params, jnp.asarray(imgs), jnp.asarray(widths))
+    assert logits.shape == (2, 12, V)
+    np.testing.assert_array_equal(np.asarray(out_w), [12, 8])
+
+    # padding-content independence
+    imgs2 = imgs.copy()
+    imgs2[1, :, 32:] = 55.0
+    logits2, _ = model.apply(params, jnp.asarray(imgs2), jnp.asarray(widths))
+    np.testing.assert_allclose(
+        np.asarray(logits)[1, :8], np.asarray(logits2)[1, :8], rtol=2e-4, atol=2e-5
+    )
+
+    # trains + decodes with beam width 10
+    tgt = np.array([[1, 2, 3], [4, 5, 0]], np.int32)
+    tl = np.array([3, 2], np.int32)
+    opt = optax.adamw(3e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        def loss_fn(p):
+            lg, ow = model.apply(p, jnp.asarray(imgs), jnp.asarray(widths))
+            lp = jnp.moveaxis(jax.nn.log_softmax(lg, -1), 0, 1)
+            return ctc_loss(lp, tgt, ow, tl, implementation="xla")
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state, loss
+
+    losses = []
+    for _ in range(12):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+    lg, ow = model.apply(params, jnp.asarray(imgs), jnp.asarray(widths))
+    lp = jnp.moveaxis(jax.nn.log_softmax(lg, -1), 0, 1)
+    toks, lens, scores = beam_search_decode(lp, ow, beam_width=10)
+    assert toks.shape[:2] == (2, 10)
