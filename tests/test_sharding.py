@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.sharding import Mesh
 
 from end2end_tpu import ctc_loss, greedy_decode
 from end2end_tpu.parallel.sharding import (
@@ -91,3 +92,40 @@ def test_uneven_batch_raises(rng):
     mesh = make_mesh(8)
     with pytest.raises(ValueError, match="divide evenly"):
         ctc_loss_data_parallel(jnp.asarray(lp), tgt, il, tl, mesh=mesh)
+
+
+@needs_devices
+def test_time_parallel_loss_matches_sequential(rng):
+    """Sequence/context parallelism: T sharded over the mesh (SURVEY.md §3.3).
+
+    The per-chunk L x L log-semiring operators compose associatively; the
+    result must match the sequential scan."""
+    from end2end_tpu.parallel.time_parallel import ctc_nll_time_parallel
+    from end2end_tpu.ops.ctc_loss_xla import ctc_nll_xla
+
+    B, T, S, V = 4, 64, 6, 10
+    lp, tgt, il, tl = random_ctc_problem(rng, B, T, S, V)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("time",))
+    got = jax.jit(
+        lambda x: ctc_nll_time_parallel(x, tgt, il, tl, mesh=mesh)
+    )(jnp.asarray(lp))
+    want = ctc_nll_xla(jnp.asarray(lp), tgt, il, tl, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+@needs_devices
+def test_time_parallel_repeated_labels_and_variable_lengths(rng):
+    from end2end_tpu.parallel.time_parallel import ctc_nll_time_parallel
+    from end2end_tpu.ops.ctc_loss_xla import ctc_nll_xla
+
+    B, T, V = 2, 32, 6
+    lp, _, _, _ = random_ctc_problem(rng, B, T, 4, V)
+    tgt = np.array([[2, 2, 3, 3], [1, 1, 1, 4]], dtype=np.int32)
+    tl = np.array([4, 3], np.int32)
+    il = np.array([32, 21], np.int32)  # length NOT aligned to chunk edges
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("time",))
+    got = jax.jit(
+        lambda x: ctc_nll_time_parallel(x, tgt, il, tl, mesh=mesh)
+    )(jnp.asarray(lp))
+    want = ctc_nll_xla(jnp.asarray(lp), tgt, il, tl, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
