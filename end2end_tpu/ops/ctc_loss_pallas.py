@@ -172,9 +172,13 @@ def _bwd_kernel(
     init_row = jnp.where(end_mask_ref[:] > 0, 0.0, LOG0)
     valid = valid_ref[:] > 0
 
+    # The index_map reverses the chunk order: grid step i holds TIME chunk
+    # n_chunks-1-i, so global time indices must use the time-chunk id.
+    chunk_id = pl.num_programs(0) - 1 - i
+
     def body(j, _):
         tc = tc_len - 1 - j
-        t = i * tc_len + tc  # NOTE: grid is reversed by the index_map
+        t = chunk_id * tc_len + tc
         lp_t = lp_ref[tc]
         prev_b = b_scr[:]
         lp_next = lpnext_scr[:]

@@ -95,3 +95,25 @@ def test_ctc_loss_api_pallas_impl(rng):
     a = ctc_loss(lp, tgt, il, tl, reduction="mean", implementation="pallas")
     b = ctc_loss(lp, tgt, il, tl, reduction="mean", implementation="xla")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_pallas_multichunk_grid(rng, monkeypatch):
+    """Regression: the backward kernel runs the grid in REVERSE; global time
+    indices must use the time-chunk id, not the grid step (this was wrong
+    and invisible in single-chunk configs)."""
+    import end2end_tpu.ops.ctc_loss_pallas as P
+
+    monkeypatch.setattr(P, "_pick_tc", lambda t_pad, b, lanes: 8)
+    B, T, S, V = 3, 37, 6, 9
+    lp, tgt, il, tl = random_ctc_problem(rng, B, T, S, V)
+    p_loss, p_grad = pallas_loss_grad(lp, tgt, il, tl)
+
+    @jax.jit
+    def fx(x):
+        nll = ctc_nll_xla(x, tgt, il, tl, 0)
+        grad = jax.grad(lambda y: jnp.sum(ctc_nll_xla(y, tgt, il, tl, 0)))(x)
+        return nll, grad
+
+    x_loss, x_grad = map(np.asarray, fx(jnp.asarray(lp)))
+    np.testing.assert_allclose(p_loss, x_loss, rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(p_grad, x_grad, rtol=1e-5, atol=1e-6)
