@@ -1,0 +1,52 @@
+"""Label alphabets and text<->id conversion (SURVEY.md §3.2 P3: the decoder
+classes' vocab/labels handling).
+
+Conventions match the library: id 0 is the CTC blank by default; alphabets
+are lists indexed by label id (index 0 = blank symbol, rendered as "").
+"""
+
+from __future__ import annotations
+
+import string
+
+# 29-symbol char ASR set (BASELINE configs 1-2): blank + a-z + ' + space.
+ASR_CHARS = [""] + list(string.ascii_lowercase) + ["'", " "]
+
+# 96-symbol printable OCR charset (BASELINE config 3): blank + printables.
+OCR_CHARS = [""] + list(string.printable[:95])
+
+
+class Alphabet:
+    """Bidirectional label mapping with blank at a configurable id."""
+
+    def __init__(self, symbols, blank_id: int = 0):
+        self.symbols = list(symbols)
+        self.blank_id = blank_id
+        self._to_id = {
+            s: i for i, s in enumerate(self.symbols) if i != blank_id
+        }
+
+    def __len__(self):
+        return len(self.symbols)
+
+    def encode(self, text: str):
+        """Text -> list of label ids (raises KeyError on unknown symbols)."""
+        return [self._to_id[c] for c in text]
+
+    def decode(self, ids) -> str:
+        """Label ids -> text (blank / out-of-range ids are skipped)."""
+        out = []
+        for i in ids:
+            i = int(i)
+            if i == self.blank_id or not 0 <= i < len(self.symbols):
+                continue
+            out.append(self.symbols[i])
+        return "".join(out)
+
+
+def asr_alphabet() -> Alphabet:
+    return Alphabet(ASR_CHARS)
+
+
+def ocr_alphabet() -> Alphabet:
+    return Alphabet(OCR_CHARS)

@@ -154,3 +154,34 @@ def test_ocr_recognizer_shapes_and_training(rng):
     lp = jnp.moveaxis(jax.nn.log_softmax(lg, -1), 0, 1)
     toks, lens, scores = beam_search_decode(lp, ow, beam_width=10)
     assert toks.shape[:2] == (2, 10)
+
+
+def test_checkpoint_save_restore(rng, tmp_path):
+    """Checkpoint/resume (SURVEY.md §7): params round-trip through orbax."""
+    from end2end_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    pipe = ConformerCTCPipeline(CFG)
+    wav = rng.standard_normal((1, 2400)).astype(np.float32)
+    params = pipe.init(jax.random.key(0), wav)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, params)
+    fresh = pipe.init(jax.random.key(99), wav)  # different init
+    restored = restore_checkpoint(path, fresh)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params,
+        restored,
+    )
+
+
+def test_alphabets():
+    from end2end_tpu.utils.text import Alphabet, asr_alphabet, ocr_alphabet
+
+    a = asr_alphabet()
+    assert len(a) == 29
+    ids = a.encode("hello world")
+    assert a.decode(ids) == "hello world"
+    assert a.decode([0, 8, 0, 9, -1, 99]) == "hi"
+    o = ocr_alphabet()
+    assert len(o) == 96
+    assert o.decode(o.encode("Hello, World! 42")) == "Hello, World! 42"
