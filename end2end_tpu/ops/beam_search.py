@@ -49,7 +49,7 @@ def _masked_logsumexp(x, mask, axis):
     return jnp.where(m > LOG0_THRESHOLD, out, LOG0)
 
 
-def _beam_search_single(lp, il, W, K, s_cap, blank, lm=None, lm_alpha=0.0, lm_beta=0.0):
+def _beam_search_single(lp, il, W, K, s_cap, blank, lm=None, lm_alpha=0.0, lm_beta=0.0, approx_topk=False):
     """Beam search for ONE sample.  lp: (T, V); il: scalar length."""
     t_max, v = lp.shape
     arange_w = jnp.arange(W, dtype=jnp.uint32)
@@ -77,7 +77,13 @@ def _beam_search_single(lp, il, W, K, s_cap, blank, lm=None, lm_alpha=0.0, lm_be
         pnb_stay = jnp.where(last >= 0, pnb + lp_last, LOG0)
 
         # --- extend candidates: prefix + c -------------------------------
-        lpk, ck = jax.lax.top_k(lp_t, K)  # (K,)
+        if approx_topk:
+            # TPU-native approximate top-k for the vocab prune (the prune is
+            # already a heuristic; recall ~0.95+ at these sizes, much faster
+            # than exact sort-based top_k on long vocab axes).
+            lpk, ck = jax.lax.approx_max_k(lp_t, K)
+        else:
+            lpk, ck = jax.lax.top_k(lp_t, K)  # (K,)
         ck = ck.astype(jnp.int32)
         same = ck[None, :] == last[:, None]  # (W, K)
         base = jnp.where(same, pb[:, None], total[:, None])
@@ -167,10 +173,14 @@ def _beam_search_single(lp, il, W, K, s_cap, blank, lm=None, lm_alpha=0.0, lm_be
 
 @partial(
     jax.jit,
-    static_argnames=("beam_width", "blank", "prune_k", "max_symbols", "lm", "lm_alpha", "lm_beta"),
+    static_argnames=(
+        "beam_width", "blank", "prune_k", "max_symbols", "lm", "lm_alpha",
+        "lm_beta", "approx_topk",
+    ),
 )
 def _beam_search_batched(
-    log_probs, input_lengths, beam_width, blank, prune_k, max_symbols, lm, lm_alpha, lm_beta
+    log_probs, input_lengths, beam_width, blank, prune_k, max_symbols, lm,
+    lm_alpha, lm_beta, approx_topk=False,
 ):
     t_max, n, v = log_probs.shape
     fn = partial(
@@ -182,6 +192,7 @@ def _beam_search_batched(
         lm=lm,
         lm_alpha=lm_alpha,
         lm_beta=lm_beta,
+        approx_topk=approx_topk,
     )
     return jax.vmap(fn)(jnp.moveaxis(log_probs, 1, 0), input_lengths)
 
@@ -196,6 +207,7 @@ def beam_search_decode(
     lm=None,
     lm_alpha: float = 0.0,
     lm_beta: float = 0.0,
+    approx_topk: bool = False,
 ):
     """Batched CTC prefix beam search.
 
@@ -209,6 +221,8 @@ def beam_search_decode(
       lm / lm_alpha / lm_beta: optional shallow-fusion LM (see lm.py) with
         weight alpha and per-token insertion bonus beta — the TPU-native
         replacement for the reference's KenLM hook (SURVEY.md §3.1 N6).
+      approx_topk: use the TPU-native approximate top-k for the per-frame
+        vocabulary prune (faster on large V; the prune is heuristic anyway).
 
     Returns:
       tokens: (N, W, max_symbols) int32, -1 padded, best beam first.
@@ -235,6 +249,7 @@ def beam_search_decode(
         lm,
         float(lm_alpha),
         float(lm_beta),
+        bool(approx_topk),
     )
 
 

@@ -51,21 +51,14 @@ def _exp32_k(x):
 
 
 def _logaddexp3_k(a, b, c):
+    # Same form as fastmath.logaddexp3_acc: the max term's exp32 is exactly
+    # 1.0, so summing all three and subtracting 1 is exact and tie-safe.
     m = jnp.maximum(jnp.maximum(a, b), c)
     m_safe = jnp.maximum(m, LOG0)
-    da = a - m_safe
-    db = b - m_safe
-    dc = c - m_safe
-    ea = jnp.where(da < 0, _exp32_k(da), 0.0)
-    eb = jnp.where(db < 0, _exp32_k(db), 0.0)
-    ec = jnp.where(dc < 0, _exp32_k(dc), 0.0)
-    n_max = (
-        (da >= 0).astype(jnp.float32)
-        + (db >= 0).astype(jnp.float32)
-        + (dc >= 0).astype(jnp.float32)
-    )
-    u = ea + eb + ec + (n_max - 1.0)
-    out = m_safe + log1p32(u)
+    u = (
+        _exp32_k(a - m_safe) + _exp32_k(b - m_safe) + _exp32_k(c - m_safe)
+    ) - 1.0
+    out = m_safe + log1p32(jnp.maximum(u, 0.0))
     return jnp.where(m > LOG0_THRESHOLD, out, LOG0)
 
 

@@ -87,21 +87,14 @@ def logaddexp3_acc(a, b, c):
     """
     m = jnp.maximum(jnp.maximum(a, b), c)
     m_safe = jnp.maximum(m, LOG0)
-    da = a - m_safe
-    db = b - m_safe
-    dc = c - m_safe
-    # Exactly one of da/db/dc is 0 (the max); drop it from the residual sum.
-    ea = jnp.where(da < 0, exp32(da), 0.0)
-    eb = jnp.where(db < 0, exp32(db), 0.0)
-    ec = jnp.where(dc < 0, exp32(dc), 0.0)
-    # If ties exist, the duplicates of the max must still be counted.
-    n_max = (
-        (da >= 0).astype(jnp.float32)
-        + (db >= 0).astype(jnp.float32)
-        + (dc >= 0).astype(jnp.float32)
-    )
-    u = ea + eb + ec + (n_max - jnp.float32(1.0))
-    out = m_safe + log1p32(u)
+    # The max term's exp32 is exactly 1.0 (exp32(0) == 1 exactly), so the
+    # residual u = sum - 1 is exact for it and handles ties for free; the
+    # other terms lose nothing (they're <= 1 and the subtraction of the
+    # exact 1 does not cancel their bits at f32 precision scale).
+    u = (
+        exp32(a - m_safe) + exp32(b - m_safe) + exp32(c - m_safe)
+    ) - jnp.float32(1.0)
+    out = m_safe + log1p32(jnp.maximum(u, 0.0))
     return jnp.where(m > LOG0_THRESHOLD, out, LOG0)
 
 
