@@ -49,8 +49,14 @@ def _masked_logsumexp(x, mask, axis):
     return jnp.where(m > LOG0_THRESHOLD, out, LOG0)
 
 
-def _beam_search_single(lp, il, W, K, s_cap, blank, lm=None, lm_alpha=0.0, lm_beta=0.0, approx_topk=False):
-    """Beam search for ONE sample.  lp: (T, V); il: scalar length."""
+def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
+                        lm_alpha=0.0, lm_beta=0.0):
+    """Beam search for ONE sample.
+
+    lp: (T, V); lpk/ck_all: (T, K) per-frame top-K values/ids precomputed
+    OUTSIDE the scan (the vocabulary prune is beam-state independent, so
+    hoisting it turns T sequential small top-ks into one big batched one —
+    the dominant cost at large V); il: scalar length."""
     t_max, v = lp.shape
     arange_w = jnp.arange(W, dtype=jnp.uint32)
 
@@ -68,7 +74,7 @@ def _beam_search_single(lp, il, W, K, s_cap, blank, lm=None, lm_alpha=0.0, lm_be
 
     def step(state, xs):
         tokens, lens, last, pb, pnb, h1, h2, lm_state, lm_score = state
-        lp_t, t = xs
+        lp_t, lpk_t, ck, t = xs
         total = logaddexp2(pb, pnb)
 
         # --- stay candidates: same prefix --------------------------------
@@ -76,14 +82,8 @@ def _beam_search_single(lp, il, W, K, s_cap, blank, lm=None, lm_alpha=0.0, lm_be
         pb_stay = total + lp_t[blank]
         pnb_stay = jnp.where(last >= 0, pnb + lp_last, LOG0)
 
-        # --- extend candidates: prefix + c -------------------------------
-        if approx_topk:
-            # TPU-native approximate top-k for the vocab prune (the prune is
-            # already a heuristic; recall ~0.95+ at these sizes, much faster
-            # than exact sort-based top_k on long vocab axes).
-            lpk, ck = jax.lax.approx_max_k(lp_t, K)
-        else:
-            lpk, ck = jax.lax.top_k(lp_t, K)  # (K,)
+        # --- extend candidates: prefix + c (pre-pruned vocab) -------------
+        lpk = lpk_t
         ck = ck.astype(jnp.int32)
         same = ck[None, :] == last[:, None]  # (W, K)
         base = jnp.where(same, pb[:, None], total[:, None])
@@ -160,7 +160,7 @@ def _beam_search_single(lp, il, W, K, s_cap, blank, lm=None, lm_alpha=0.0, lm_be
 
     state0 = (tokens0, lens0, last0, pb0, pnb0, h1_0, h2_0, lm_state0, lm_score0)
     ts = jnp.arange(t_max, dtype=jnp.int32)
-    state, _ = jax.lax.scan(step, state0, (lp, ts))
+    state, _ = jax.lax.scan(step, state0, (lp, lpk, ck_all, ts))
     tokens, lens, last, pb, pnb, h1, h2, lm_state, lm_score = state
 
     scores = logaddexp2(pb, pnb) + lm_score
@@ -183,6 +183,12 @@ def _beam_search_batched(
     lm_alpha, lm_beta, approx_topk=False,
 ):
     t_max, n, v = log_probs.shape
+    # Hoist the per-frame vocabulary prune out of the scan: one batched
+    # top-k over all (T*N) frames at once.
+    if approx_topk and prune_k < v:
+        lpk, ck = jax.lax.approx_max_k(log_probs, prune_k)
+    else:
+        lpk, ck = jax.lax.top_k(log_probs, prune_k)  # (T, N, K)
     fn = partial(
         _beam_search_single,
         W=beam_width,
@@ -192,9 +198,10 @@ def _beam_search_batched(
         lm=lm,
         lm_alpha=lm_alpha,
         lm_beta=lm_beta,
-        approx_topk=approx_topk,
     )
-    return jax.vmap(fn)(jnp.moveaxis(log_probs, 1, 0), input_lengths)
+    return jax.vmap(fn, in_axes=(1, 1, 1, 0))(
+        log_probs, lpk, ck.astype(jnp.int32), input_lengths
+    )
 
 
 def beam_search_decode(
