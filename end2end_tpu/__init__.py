@@ -11,6 +11,7 @@ API mirrors the reference (BASELINE.json):
 plus module-style wrappers CTCLoss / GreedyCTCDecoder / BeamSearchCTCDecoder.
 """
 
+from .ops.alignment import ForcedAlignment, ctc_forced_alignment
 from .ops.ctc_loss import CTCLoss, ctc_loss, ctc_loss_jit, ctc_nll
 from .ops.greedy import GreedyCTCDecoder, greedy_decode
 from .ops.beam_search import BeamSearchCTCDecoder, beam_search_decode
@@ -26,5 +27,7 @@ __all__ = [
     "GreedyCTCDecoder",
     "beam_search_decode",
     "BeamSearchCTCDecoder",
+    "ctc_forced_alignment",
+    "ForcedAlignment",
     "__version__",
 ]
