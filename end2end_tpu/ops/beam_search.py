@@ -98,7 +98,6 @@ def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
             lm_lp, lm_state_ext = lm.score(lm_state, ck)  # (W, K), pytree
             lm_delta = lm_alpha * lm_lp + lm_beta
         else:
-            lm_lp = jnp.zeros((W, K), lp.dtype)
             lm_state_ext = None
             lm_delta = jnp.zeros((W, K), lp.dtype)
         lm_score_ext = lm_score[:, None] + lm_delta  # (W, K)

@@ -95,6 +95,10 @@ def ctc_loss(
     log_probs = jnp.asarray(log_probs)
     if log_probs.ndim != 3:
         raise ValueError(f"log_probs must be (T, N, C); got {log_probs.shape}")
+    if log_probs.dtype in (jnp.bfloat16, jnp.float16):
+        # kernels compute in f32; custom-VJP grads come back in f32 and are
+        # cast to the caller's dtype by the autodiff convert rule
+        log_probs = log_probs.astype(jnp.float32)
     n = log_probs.shape[1]
     if not isinstance(targets, jax.core.Tracer) and np.asarray(targets).ndim == 1:
         targets = _unpack_flat_targets(targets, target_lengths, n)
@@ -139,7 +143,8 @@ class CTCLoss:
         )
 
 
-def ctc_loss_jit(blank=0, reduction="mean", zero_infinity=False, implementation="auto"):
+def ctc_loss_jit(blank=0, reduction="mean", zero_infinity=False,
+                 implementation="auto", checkpoint_every=0):
     """Return a jitted ctc_loss closure with the static options baked in."""
     return jax.jit(
         partial(
@@ -148,5 +153,6 @@ def ctc_loss_jit(blank=0, reduction="mean", zero_infinity=False, implementation=
             reduction=reduction,
             zero_infinity=zero_infinity,
             implementation=implementation,
+            checkpoint_every=checkpoint_every,
         )
     )

@@ -45,18 +45,13 @@ def _round_to_half(x):
     return jnp.round(x * 2.0) * 0.5
 
 
-def _exp32_k(x):
-    """exp32 clone with kernel-safe ldexp (identical math to fastmath.exp32)."""
-    return exp32(x)
-
-
 def _logaddexp3_k(a, b, c):
     # Same form as fastmath.logaddexp3_acc: the max term's exp32 is exactly
     # 1.0, so summing all three and subtracting 1 is exact and tie-safe.
     m = jnp.maximum(jnp.maximum(a, b), c)
     m_safe = jnp.maximum(m, LOG0)
     u = (
-        _exp32_k(a - m_safe) + _exp32_k(b - m_safe) + _exp32_k(c - m_safe)
+        exp32(a - m_safe) + exp32(b - m_safe) + exp32(c - m_safe)
     ) - 1.0
     out = m_safe + log1p32(jnp.maximum(u, 0.0))
     return jnp.where(m > LOG0_THRESHOLD, out, LOG0)
@@ -131,7 +126,7 @@ def _fwd_kernel(
         mx = jnp.max(am, axis=1, keepdims=True)
         mx_safe = jnp.maximum(mx, LOG0)
         u = jnp.sum(
-            jnp.where(em & (am < mx_safe), _exp32_k(am - mx_safe), 0.0),
+            jnp.where(em & (am < mx_safe), exp32(am - mx_safe), 0.0),
             axis=1, keepdims=True,
         )
         n_at_max = jnp.sum(
@@ -196,7 +191,7 @@ def _bwd_kernel(
         anorm_t = anorm_ref[tc]  # (B, 1) i32
         shift = (anorm_t + bn_next - normend).astype(jnp.float32) * 0.5
         log_g = alpha_t + b_next + (shift - zhat)
-        g = _exp32_k(jnp.minimum(log_g, 0.0))
+        g = exp32(jnp.minimum(log_g, 0.0))
         g = jnp.where(valid & jnp.logical_not(is_pad) & (zhat > LOG0_THRESHOLD), g, 0.0)
         gamma_ref[tc] = g
         return 0

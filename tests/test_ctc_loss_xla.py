@@ -231,3 +231,21 @@ def test_checkpointed_remat_matches_full(rng, every):
     nll1, g1 = map(np.asarray, make_ckpt(every)(jnp.asarray(lp)))
     np.testing.assert_allclose(nll1, nll0, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(g1, g0, rtol=1e-5, atol=1e-7)
+
+
+def test_bf16_inputs_accepted(rng):
+    """bf16 log-probs upcast internally; loss matches f32 to bf16 tolerance."""
+    B, T, S, V = 2, 20, 5, 8
+    lp, tgt, il, tl = random_ctc_problem(rng, B, T, S, V)
+    f32 = ctc_loss(lp, tgt, il, tl, reduction="none", implementation="xla")
+    bf = ctc_loss(
+        jnp.asarray(lp, jnp.bfloat16), tgt, il, tl, reduction="none",
+        implementation="xla",
+    )
+    np.testing.assert_allclose(np.asarray(bf), np.asarray(f32), rtol=2e-2, atol=0.3)
+    g = jax.grad(
+        lambda x: jnp.sum(
+            ctc_loss(x, tgt, il, tl, reduction="none", implementation="xla")
+        )
+    )(jnp.asarray(lp, jnp.bfloat16))
+    assert g.dtype == jnp.bfloat16
