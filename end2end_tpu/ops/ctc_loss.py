@@ -69,8 +69,15 @@ def ctc_nll(log_probs, targets, input_lengths, target_lengths, blank=0,
     memory O(T/K + K) instead of O(T); XLA path only — see ctc_loss_xla)."""
     impl = _resolve_impl(implementation)
     if impl == "pallas" and not checkpoint_every:
-        from .ctc_loss_pallas import ctc_nll_pallas
+        from .ctc_loss_pallas import ctc_nll_pallas, fits_vmem
 
+        s_max = jnp.shape(targets)[-1]
+        lp_lanes = -(-(2 * s_max + 1) // 128) * 128
+        b_pad = -(-jnp.shape(log_probs)[1] // 8) * 8
+        if implementation == "auto" and not fits_vmem(b_pad, lp_lanes):
+            return ctc_nll_xla(
+                log_probs, targets, input_lengths, target_lengths, blank, 0
+            )
         return ctc_nll_pallas(log_probs, targets, input_lengths, target_lengths, blank)
     return ctc_nll_xla(
         log_probs, targets, input_lengths, target_lengths, blank, checkpoint_every

@@ -199,11 +199,24 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, tc_len, body, 0)
 
 
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom below the 16MB VMEM
+
+
+def fits_vmem(b_pad, lp_lanes):
+    """Can the kernels run at this (padded batch, padded lanes) at all?"""
+    row = b_pad * lp_lanes * 4
+    # ~8 resident rows (masks + scratch) + at least one double-buffered
+    # chunk row per stream (3 streams x 2 buffers in the backward kernel).
+    return 8 * row + 6 * row <= _VMEM_BUDGET
+
+
 def _pick_tc(t_pad, b, lp_lanes):
-    """Chunk length: keep the double-buffered lp+alpha+gamma blocks ~<=6MB."""
-    row_bytes = b * lp_lanes * 4
-    tc = max(8, min(256, (2 * 1024 * 1024) // max(row_bytes, 1)))
-    tc = min(tc, t_pad)
+    """Chunk length under the VMEM budget: the backward kernel streams three
+    (tc, B, Lp) blocks (lp, alpha in; gamma out), each double-buffered, on
+    top of ~8 resident (B, Lp) rows (masks + scratch)."""
+    row = b * lp_lanes * 4
+    tc = (_VMEM_BUDGET - 8 * row) // (6 * row)
+    tc = max(1, min(256, tc, t_pad))
     while t_pad % tc:
         tc -= 1
     return tc

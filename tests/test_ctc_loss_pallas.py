@@ -117,3 +117,29 @@ def test_pallas_multichunk_grid(rng, monkeypatch):
     x_loss, x_grad = map(np.asarray, fx(jnp.asarray(lp)))
     np.testing.assert_allclose(p_loss, x_loss, rtol=1e-6, atol=1e-5)
     np.testing.assert_allclose(p_grad, x_grad, rtol=1e-5, atol=1e-6)
+
+
+def test_large_batch_vmem_budget(rng):
+    """Regression: huge (B, L) must pick a small chunk (or auto-fall back to
+    xla) instead of blowing the 16MB VMEM budget."""
+    import end2end_tpu.ops.ctc_loss_pallas as P
+
+    assert P._pick_tc(1000, 512, 256) >= 1
+    row = 512 * 256 * 4
+    tc = P._pick_tc(1000, 512, 256)
+    assert 8 * row + 6 * tc * row <= P._VMEM_BUDGET
+    assert not P.fits_vmem(2048, 1024)  # absurd shapes -> xla fallback
+    # and a modest multi-chunk config still matches the XLA path
+    B, T, S, V = 48, 40, 70, 9  # Lp = 256, b_pad = 48
+    lp, tgt, il, tl = random_ctc_problem(rng, B, T, S, V)
+    p_loss, p_grad = pallas_loss_grad(lp, tgt, il, tl)
+
+    @jax.jit
+    def fx(x):
+        nll = ctc_nll_xla(x, tgt, il, tl, 0)
+        grad = jax.grad(lambda y: jnp.sum(ctc_nll_xla(y, tgt, il, tl, 0)))(x)
+        return nll, grad
+
+    x_loss, x_grad = map(np.asarray, fx(jnp.asarray(lp)))
+    np.testing.assert_allclose(p_loss, x_loss, rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(p_grad, x_grad, rtol=1e-5, atol=1e-6)
