@@ -39,6 +39,23 @@ _SEED2 = np.uint32(7)
 _DEAD = np.uint32(0xDEAD0000)
 
 
+def _top_w_iterative(scores, w):
+    """Exact top-w of a 1-D score vector by repeated argmax (first-index tie
+    break, same as lax.top_k).  Inside the decode scan this compiles to a few
+    VPU fusions instead of a per-step SORT — the sort was ~36% of the beam
+    loop on v5e (see scripts/profile_beam.py).  w is small and static."""
+    n = scores.shape[-1]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    s = scores
+    vals, idxs = [], []
+    for _ in range(w):
+        i = jnp.argmax(s).astype(jnp.int32)
+        vals.append(s[i])
+        idxs.append(i)
+        s = jnp.where(iota == i, -jnp.inf, s)
+    return jnp.stack(vals), jnp.stack(idxs)
+
+
 def _masked_logsumexp(x, mask, axis):
     """logsumexp over `axis` counting only `mask`; empty -> LOG0.  Finite-safe."""
     xm = jnp.where(mask, x, LOG0)
@@ -120,7 +137,7 @@ def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
         cand_pnb = jnp.concatenate([pnb_stay, pnb_ext.reshape(-1)])
         cand_lm = jnp.concatenate([lm_score, lm_score_ext.reshape(-1)])
         cand_score = logaddexp2(cand_pb, cand_pnb) + cand_lm
-        _, sel = jax.lax.top_k(cand_score, W)
+        _, sel = _top_w_iterative(cand_score, W)
         is_stay = sel < W
         parent = jnp.where(is_stay, sel, (sel - W) // K).astype(jnp.int32)
         kk = jnp.where(is_stay, 0, (sel - W) % K).astype(jnp.int32)
