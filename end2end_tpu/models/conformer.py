@@ -29,17 +29,32 @@ def _length_mask(lengths, t_max):
 
 
 class ConvSubsampling(nn.Module):
-    """Two stride-2 convs: (N, T, F) -> (N, T//4, d_model); lengths //4."""
+    """Two stride-2 convs: (N, T, F) -> (N, T//4, d_model); lengths //4.
+
+    Activations are re-masked after every conv: 'SAME' convs write bias-
+    derived values into padding frames, and without re-masking the amount of
+    padding (the bucket size) would leak into boundary frames — results must
+    depend on lengths only (bucket invariance)."""
 
     d_model: int = 256
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, lengths):
+        # Explicit symmetric padding, NOT 'SAME': XLA's SAME padding is
+        # asymmetric depending on input-length parity, which would shift the
+        # stride-2 window alignment with the bucket size and break bucket
+        # invariance.  out length = ceil(in/2) either way.
+        ceil2 = lambda v: -(-v // 2)
+        pad = ((1, 1), (1, 1))
         x = x[..., None]  # (N, T, F, 1)
-        x = nn.Conv(self.d_model, (3, 3), strides=(2, 2))(x)
+        x = nn.Conv(self.d_model, (3, 3), strides=(2, 2), padding=pad)(x)
         x = nn.swish(x)
-        x = nn.Conv(self.d_model, (3, 3), strides=(2, 2))(x)
+        l1 = ceil2(jnp.asarray(lengths))
+        x = x * _length_mask(l1, x.shape[1])[:, :, None, None]
+        x = nn.Conv(self.d_model, (3, 3), strides=(2, 2), padding=pad)(x)
         x = nn.swish(x)
+        l2 = ceil2(l1)
+        x = x * _length_mask(l2, x.shape[1])[:, :, None, None]
         n, t, f, c = x.shape
         return nn.Dense(self.d_model)(x.reshape(n, t, f * c))
 
@@ -150,7 +165,7 @@ class ConformerEncoder(nn.Module):
         # lengths, not on what the padding happens to contain).
         feats = feats * _length_mask(jnp.asarray(lengths), feats.shape[1])[..., None]
         if self.subsample:
-            x = ConvSubsampling(self.d_model)(feats)
+            x = ConvSubsampling(self.d_model)(feats, lengths)
             out_len = ConvSubsampling.out_length(lengths)
         else:
             x = nn.Dense(self.d_model)(feats)

@@ -25,16 +25,25 @@ class CRNNFeatures(nn.Module):
     d_model: int = 128
 
     @nn.compact
-    def __call__(self, images):
+    def __call__(self, images, widths):
+        # re-mask the width axis after every mixing stage so the bucketed
+        # padding amount can't leak into valid columns (bucket invariance)
+        # max_pool is VALID (floor(w/2)); stride-1 SAME convs are alignment-
+        # independent, so only the mask widths need the floor arithmetic.
         x = images
         x = nn.Conv(32, (3, 3))(x)
         x = nn.relu(x)
+        x = x * _length_mask(jnp.asarray(widths), x.shape[2])[:, None, :, None]
         x = nn.max_pool(x, (2, 2), strides=(2, 2))  # H/2, W/2
+        w1 = jnp.asarray(widths) // 2
         x = nn.Conv(64, (3, 3))(x)
         x = nn.relu(x)
+        x = x * _length_mask(w1, x.shape[2])[:, None, :, None]
         x = nn.max_pool(x, (2, 2), strides=(2, 2))  # H/4, W/4
+        w2 = w1 // 2
         x = nn.Conv(self.d_model, (3, 3))(x)
         x = nn.relu(x)
+        x = x * _length_mask(w2, x.shape[2])[:, None, :, None]
         # collapse the remaining height into features
         n, h, w, c = x.shape
         x = jnp.mean(x, axis=1)  # (N, W/4, d_model) — height pooled
@@ -42,8 +51,7 @@ class CRNNFeatures(nn.Module):
 
     @staticmethod
     def out_width(widths):
-        ceil2 = lambda v: -(-v // 2)
-        return ceil2(ceil2(jnp.asarray(widths)))
+        return jnp.asarray(widths) // 4  # two VALID (2,2) max-pools
 
 
 class OCRRecognizer(nn.Module):
@@ -63,7 +71,7 @@ class OCRRecognizer(nn.Module):
         w_in = images.shape[2]
         col_mask = _length_mask(jnp.asarray(widths), w_in)  # (N, W)
         images = images * col_mask[:, None, :, None]
-        x = CRNNFeatures(self.d_model)(images)
+        x = CRNNFeatures(self.d_model)(images, widths)
         out_w = CRNNFeatures.out_width(widths)
         t_max = x.shape[1]
         x = x + jnp.asarray(sinusoidal_positions(t_max, self.d_model))

@@ -1,0 +1,94 @@
+"""Long-form audio inference by chunked encoding + stitched CTC decode
+(BASELINE.json config 5: "fused CTC beam decode, B=8 long-form audio").
+
+Arbitrarily long audio cannot ride one static shape; the TPU-native recipe:
+  1. split the waveform into fixed-size overlapping chunks (one static
+     encoder shape, reused for every chunk — no recompiles),
+  2. encode all chunks as ONE batch (chunk axis = batch axis: the encoder is
+     already batch-parallel),
+  3. trim half the overlap from each side in encoder-frame units and
+     concatenate the logits along time,
+  4. run the (greedy or beam) decoder ONCE over the stitched lattice.
+
+CTC's per-frame independence makes the stitch principled: only frames near
+chunk edges lose context, and those are the trimmed ones.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.beam_search import beam_search_decode
+from ..ops.greedy import greedy_decode
+from .conformer import ConvSubsampling
+from .frontend import num_frames
+
+
+def chunk_waveform(waveform, chunk_samples: int, overlap_samples: int):
+    """(num_samples,) -> (n_chunks, chunk_samples) with the given overlap;
+    the tail chunk is zero-padded.  Returns (chunks, n_valid_samples)."""
+    waveform = np.asarray(waveform, np.float32).reshape(-1)
+    hop = chunk_samples - overlap_samples
+    if hop <= 0:
+        raise ValueError("overlap must be smaller than the chunk")
+    n = max(1, int(np.ceil(max(len(waveform) - overlap_samples, 1) / hop)))
+    chunks = np.zeros((n, chunk_samples), np.float32)
+    valid = np.zeros(n, np.int32)
+    for i in range(n):
+        lo = i * hop
+        piece = waveform[lo : lo + chunk_samples]
+        chunks[i, : len(piece)] = piece
+        valid[i] = len(piece)
+    return chunks, valid
+
+
+def transcribe_long_form(
+    pipe,
+    params,
+    waveform,
+    chunk_seconds: float = 10.0,
+    overlap_seconds: float = 1.0,
+    beam_width: int = 0,
+    blank: int = 0,
+    **beam_kwargs,
+):
+    """Transcribe one long waveform with a ConformerCTCPipeline.
+
+    Returns (tokens, length, score) for the stitched utterance (beam: best
+    hypothesis).  Encoder runs once over the chunk batch; a single decode
+    runs over the stitched lattice.
+    """
+    c = pipe.config
+    chunk_samples = int(chunk_seconds * c.sample_rate)
+    overlap_samples = int(overlap_seconds * c.sample_rate)
+    chunks, valid = chunk_waveform(waveform, chunk_samples, overlap_samples)
+    n = chunks.shape[0]
+
+    logits, out_len = pipe.encode(params, chunks, valid)  # (n, T', V)
+    logits = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    out_len = np.asarray(out_len)
+
+    # overlap in encoder frames (frontend hop then conv subsampling)
+    ov_frames = int(
+        np.asarray(ConvSubsampling.out_length(num_frames(overlap_samples, c.n_fft, c.hop_length)))
+    )
+    lo_trim = ov_frames // 2
+    hi_trim = ov_frames - lo_trim
+
+    pieces = []
+    for i in range(n):
+        lo = lo_trim if i > 0 else 0
+        hi = out_len[i] - (hi_trim if i < n - 1 else 0)
+        pieces.append(logits[i, lo:max(hi, lo)])
+    lattice = np.concatenate(pieces, axis=0)[:, None, :]  # (T_total, 1, V)
+    t_total = np.array([lattice.shape[0]], np.int32)
+
+    if beam_width == 0:
+        toks, lens, scores = greedy_decode(lattice, t_total, blank=blank)
+        return toks[0], int(lens[0]), float(scores[0])
+    toks, lens, scores = beam_search_decode(
+        lattice, t_total, beam_width=beam_width, blank=blank, **beam_kwargs
+    )
+    return toks[0, 0], int(lens[0, 0]), float(scores[0, 0])

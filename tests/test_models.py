@@ -185,3 +185,57 @@ def test_alphabets():
     o = ocr_alphabet()
     assert len(o) == 96
     assert o.decode(o.encode("Hello, World! 42")) == "Hello, World! 42"
+
+
+def test_long_form_streaming(rng):
+    """Chunked long-form transcription (config 5): chunking arithmetic and
+    consistency with direct decoding for audio fitting in one chunk."""
+    from end2end_tpu.models.streaming import chunk_waveform, transcribe_long_form
+
+    # chunking arithmetic
+    wav = rng.standard_normal(10000).astype(np.float32)
+    chunks, valid = chunk_waveform(wav, 4000, 800)
+    assert chunks.shape == (3, 4000)
+    np.testing.assert_array_equal(valid, [4000, 4000, 3600])
+    np.testing.assert_allclose(chunks[1, :800], wav[3200:4000])  # overlap
+
+    pipe = ConformerCTCPipeline(CFG)
+    short = rng.standard_normal(3200).astype(np.float32)
+    params = pipe.init(jax.random.key(0), short[None], np.array([3200]))
+
+    # single-chunk long-form == direct pipeline decode
+    toks, length, score = transcribe_long_form(
+        pipe, params, short, chunk_seconds=0.5, overlap_seconds=0.05
+    )
+    dtoks, dlens, dscores = pipe.decode(params, short[None], np.array([3200]))
+    np.testing.assert_array_equal(
+        np.asarray(toks)[:length], np.asarray(dtoks)[0, : int(dlens[0])]
+    )
+
+    # genuinely multi-chunk long audio decodes without error, beam + greedy
+    long = rng.standard_normal(40000).astype(np.float32)
+    gt, gl, gs = transcribe_long_form(pipe, params, long, 0.5, 0.05)
+    bt, bl, bs = transcribe_long_form(pipe, params, long, 0.5, 0.05, beam_width=4)
+    assert gl >= 0 and bl >= 0 and np.isfinite(gs) and np.isfinite(bs)
+
+
+def test_encoder_bucket_shape_invariance(rng):
+    """Same sample padded to DIFFERENT bucket sizes must give identical valid
+    logits — padding amount, not just padding content, must be inert."""
+    # T=18 is deliberately NOT a multiple of 4: XLA 'SAME' padding would
+    # shift the stride-2 alignment with input parity (regression: the
+    # subsampler uses explicit symmetric padding instead).
+    enc = ConformerEncoder(vocab_size=8, d_model=32, num_layers=1, num_heads=2)
+    feats = rng.standard_normal((1, 18, 16)).astype(np.float32)
+    lens = np.array([18], np.int32)
+    params = enc.init(jax.random.key(0), jnp.asarray(feats), jnp.asarray(lens))
+    lg1, ol1 = enc.apply(params, jnp.asarray(feats), jnp.asarray(lens))
+    for pad_to in (30, 48):
+        feats_pad = np.concatenate(
+            [feats, np.zeros((1, pad_to - 18, 16), np.float32)], axis=1
+        )
+        lg2, ol2 = enc.apply(params, jnp.asarray(feats_pad), jnp.asarray(lens))
+        assert int(ol1[0]) == int(ol2[0]) == 5
+        np.testing.assert_allclose(
+            np.asarray(lg1)[0, :5], np.asarray(lg2)[0, :5], rtol=2e-4, atol=1e-5
+        )
