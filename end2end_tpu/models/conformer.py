@@ -16,10 +16,7 @@ __graft_entry__.py.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 

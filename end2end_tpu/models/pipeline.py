@@ -9,8 +9,7 @@ data, so one compiled program serves a bucket of audio lengths.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Optional
 
 import jax

@@ -17,7 +17,6 @@ chunk edges lose context, and those are the trimmed ones.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..ops.beam_search import beam_search_decode

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.ctc_loss import ctc_loss
 from ..ops.ctc_loss_xla import ctc_nll_xla
 from ..ops.greedy import greedy_decode
 
