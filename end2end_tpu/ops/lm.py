@@ -89,3 +89,154 @@ def bigram_from_counts(counts, smoothing: float = 1.0):
     counts = np.asarray(counts, np.float64) + smoothing
     probs = counts / counts.sum(axis=1, keepdims=True)
     return np.log(probs).astype(np.float32)
+
+
+class WordNGramLM:
+    """Word-level shallow fusion — the reference's KenLM behavior: hypotheses
+    are scored with a WORD bigram each time a word completes (at the space
+    token and at end of utterance), not per character (SURVEY.md §3.1 N6,
+    §4.4 "[KenLM: on word boundary, add alpha*lm_logp + beta]").
+
+    TPU-native mechanics: per-beam state is (previous word id, rolling hash
+    of the word being typed, its length); completed words resolve to word
+    ids through a device-side open-addressing hash table (one gather + 4
+    linear probes, fully vectorized); the word-bigram table is dense
+    (vocab_words^2 — fine for the few-thousand-word LMs used with char CTC;
+    larger LMs would bucket the bigrams by hash the same way).
+
+    Build from an ARPA word LM with `from_arpa`, or pass tables directly.
+    Unknown words (hash misses) score `unk_logp` and condition as <unk>.
+    """
+
+    _MULT = np.uint32(31)
+    _SEED = np.uint32(5381)
+    _PROBES = 4
+
+    def __init__(self, word_spellings, bigram_logp, start_logp, space_id,
+                 unigram_logp=None, eos_logp=None, unk_logp=-13.8):
+        """word_spellings: list of tuples of CHAR ids (the label alphabet's
+        ids) for each word; bigram_logp (Wv, Wv); start_logp (Wv,);
+        eos_logp (Wv,) optional; space_id: the word-separator label id."""
+        wv = len(word_spellings)
+        self._wv = wv
+        self._space = int(space_id)
+        self._unk = wv + 1  # context row for unknown words; wv = <s>
+        bigram_logp = np.asarray(bigram_logp, np.float32)
+        start_logp = np.asarray(start_logp, np.float32)
+        if unigram_logp is None:
+            unigram_logp = np.full((wv,), unk_logp, np.float32)
+        unigram_logp = np.asarray(unigram_logp, np.float32)
+        # Extended table: rows = context (words, <s>, <unk>);
+        # cols = next word (words, then col wv = <unk> next-word).
+        ext = np.full((wv + 2, wv + 1), unk_logp, np.float32)
+        ext[:wv, :wv] = bigram_logp
+        ext[wv, :wv] = start_logp
+        ext[wv + 1, :wv] = unigram_logp  # unk context backs off to unigrams
+        self._table = jnp.asarray(ext)
+        self._eos = jnp.asarray(
+            np.concatenate([
+                np.asarray(eos_logp, np.float32) if eos_logp is not None
+                else np.zeros((wv,), np.float32),
+                np.zeros((2,), np.float32),
+            ])
+        )
+
+        # open-addressing hash table: word spell-hash -> word id
+        m = 1
+        while m < 4 * max(wv, 1):
+            m *= 2
+        keys = np.zeros((m,), np.uint32)
+        vals = np.full((m,), self._unk, np.int32)
+        for wid, spell in enumerate(word_spellings):
+            h = self._SEED
+            for c in spell:
+                h = h * self._MULT + np.uint32(int(c) + 1)
+            if h == 0:
+                raise ValueError("degenerate word hash")
+            idx = int(h) & (m - 1)
+            for p in range(self._PROBES):
+                j = (idx + p) & (m - 1)
+                if keys[j] == 0:
+                    keys[j] = h
+                    vals[j] = wid
+                    break
+                if keys[j] == h:
+                    raise ValueError(f"word hash collision for word {wid}")
+            else:
+                raise ValueError("hash table overfull; increase size")
+        self._m = m
+        self._keys = jnp.asarray(keys)
+        self._vals = jnp.asarray(vals)
+        self._unk_logp = float(unk_logp)
+
+    @classmethod
+    def from_arpa(cls, path, words, alphabet, space_symbol=" ", **kw):
+        """words: list of word strings; alphabet: utils.text.Alphabet."""
+        from ..utils.arpa import load_arpa
+
+        uni, bigram, start, eos = load_arpa(path, list(words))
+        spellings = [tuple(alphabet.encode(w)) for w in words]
+        space_id = alphabet.encode(space_symbol)[0]
+        return cls(spellings, bigram, start, space_id,
+                   unigram_logp=uni, eos_logp=eos, **kw)
+
+    # -- hash lookup --------------------------------------------------------
+    def _lookup(self, h):
+        """(W,) uint32 spell-hashes -> (W,) word ids (unk on miss)."""
+        idx0 = (h & jnp.uint32(self._m - 1)).astype(jnp.int32)
+        wid = jnp.full(h.shape, self._unk, jnp.int32)
+        found = jnp.zeros(h.shape, bool)
+        for p in range(self._PROBES):
+            j = (idx0 + p) % self._m
+            hit = (self._keys[j] == h) & ~found
+            wid = jnp.where(hit, self._vals[j], wid)
+            found = found | hit
+        return wid
+
+    # -- ShallowFusionLM protocol --------------------------------------------
+    def init_state(self, w):
+        return (
+            jnp.full((w,), self._wv, jnp.int32),      # prev word = <s>
+            jnp.full((w,), self._SEED, jnp.uint32),   # rolling word hash
+            jnp.zeros((w,), jnp.int32),               # chars in current word
+        )
+
+    def score(self, state, ck):
+        prev, curh, curlen = state
+        w = prev.shape[0]
+        k = ck.shape[0]
+        is_space = (ck == self._space)[None, :]  # (1, K)
+        wid = self._lookup(curh)  # (W,) word completed by a space now
+        # completed-word score; empty words (double space) score 0
+        complete_lp = self._table[prev, jnp.minimum(wid, self._wv)]
+        complete_lp = jnp.where(wid == self._unk, self._unk_logp, complete_lp)
+        complete_lp = jnp.where(curlen > 0, complete_lp, 0.0)  # (W,)
+        lm_lp = jnp.where(is_space, complete_lp[:, None], 0.0)  # (W, K)
+
+        new_prev = jnp.where(
+            is_space, jnp.where(curlen > 0, wid, prev)[:, None],
+            prev[:, None],
+        ).astype(jnp.int32)
+        cku = ck.astype(jnp.uint32) + 1
+        new_hash = jnp.where(
+            is_space, jnp.uint32(self._SEED),
+            curh[:, None] * self._MULT + cku[None, :],
+        )
+        new_len = jnp.where(is_space, 0, curlen[:, None] + 1).astype(jnp.int32)
+        return lm_lp, (new_prev, new_hash, new_len)
+
+    def select(self, state, state_ext, parent, kk, is_stay):
+        out = []
+        for s, se in zip(state, state_ext):
+            out.append(jnp.where(is_stay, s[parent], se[parent, kk]))
+        return tuple(out)
+
+    def final(self, state):
+        """Complete the trailing word (utterances rarely end in a space)."""
+        prev, curh, curlen = state
+        wid = self._lookup(curh)
+        lp = self._table[prev, jnp.minimum(wid, self._wv)]
+        lp = jnp.where(wid == self._unk, self._unk_logp, lp)
+        trailing = jnp.where(curlen > 0, lp, 0.0)
+        ended = jnp.where(curlen > 0, wid, prev)
+        return trailing + self._eos[jnp.minimum(ended, self._wv + 1)]
