@@ -74,9 +74,15 @@ def ctc_nll(log_probs, targets, input_lengths, target_lengths, blank=0,
         s_max = jnp.shape(targets)[-1]
         lp_lanes = -(-(2 * s_max + 1) // 128) * 128
         b_pad = -(-jnp.shape(log_probs)[1] // 8) * 8
-        if implementation == "auto" and not fits_vmem(b_pad, lp_lanes):
-            return ctc_nll_xla(
-                log_probs, targets, input_lengths, target_lengths, blank, 0
+        if not fits_vmem(b_pad, lp_lanes):
+            if implementation == "auto":
+                return ctc_nll_xla(
+                    log_probs, targets, input_lengths, target_lengths, blank, 0
+                )
+            raise ValueError(
+                f"pallas CTC kernels cannot host batch={b_pad} x lattice="
+                f"{lp_lanes} in VMEM; use implementation='xla' (or 'auto') "
+                "or shard the batch"
             )
         return ctc_nll_pallas(log_probs, targets, input_lengths, target_lengths, blank)
     return ctc_nll_xla(

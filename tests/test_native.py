@@ -162,3 +162,19 @@ def test_arpa_lm_without_explicit_eos_keeps_beams_finite(rng):
     )
     assert np.isfinite(np.asarray(scores)[0, 0])
     os.unlink(f.name)
+
+
+def test_jax_beam_vs_native_stress(rng):
+    """Broader randomized cross-check: JAX scan vs native C++ beam on larger
+    lattices than the exhaustive tests can reach."""
+    from end2end_tpu import beam_search_decode
+
+    B, T, V, W = 4, 50, 20, 8
+    lp = log_softmax_np(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = rng.integers(T // 2, T + 1, B).astype(np.int32)
+    nt, nl, ns = native.beam_search_cpu(lp, il, beam_width=W)
+    jt, jl, js = beam_search_decode(lp, il, beam_width=W)
+    for b in range(B):
+        # top-1 identical; full sets may differ in the tail only via f32 ties
+        assert nt[b, 0, : nl[b, 0]].tolist() == np.asarray(jt)[b, 0, : int(jl[b, 0])].tolist()
+        np.testing.assert_allclose(float(ns[b, 0]), float(np.asarray(js)[b, 0]), rtol=2e-4)
