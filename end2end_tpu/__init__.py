@@ -13,7 +13,7 @@ plus module-style wrappers CTCLoss / GreedyCTCDecoder / BeamSearchCTCDecoder.
 
 from .ops.alignment import ForcedAlignment, ctc_forced_alignment
 from .ops.ctc_loss import CTCLoss, ctc_loss, ctc_loss_jit, ctc_nll
-from .ops.greedy import GreedyCTCDecoder, greedy_decode
+from .ops.greedy import GreedyCTCDecoder, greedy_decode, greedy_decode_with_timestamps
 from .ops.beam_search import BeamSearchCTCDecoder, beam_search_decode
 
 __version__ = "0.1.0"
@@ -24,6 +24,7 @@ __all__ = [
     "ctc_nll",
     "CTCLoss",
     "greedy_decode",
+    "greedy_decode_with_timestamps",
     "GreedyCTCDecoder",
     "beam_search_decode",
     "BeamSearchCTCDecoder",

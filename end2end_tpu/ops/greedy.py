@@ -27,6 +27,8 @@ def greedy_decode(log_probs, input_lengths=None, blank: int = 0, pad_id: int = -
       tokens: (N, T) int32, decoded label ids left-aligned, pad_id elsewhere.
       lengths: (N,) int32 decoded lengths.
       scores: (N,) float, sum over valid frames of the best-path log-prob.
+
+    For per-token emission frames use `greedy_decode_with_timestamps`.
     """
     log_probs = jnp.asarray(log_probs)
     t_max, n, _ = log_probs.shape
@@ -52,6 +54,40 @@ def greedy_decode(log_probs, input_lengths=None, blank: int = 0, pad_id: int = -
     lengths = jnp.sum(keep, axis=1).astype(jnp.int32)
     scores = jnp.sum(jnp.where(t_mask, best.T, 0.0), axis=1)
     return tokens, lengths, scores
+
+
+def greedy_decode_with_timestamps(log_probs, input_lengths=None, blank: int = 0,
+                                  pad_id: int = -1):
+    """greedy_decode + the FRAME INDEX at which each emitted token first
+    fires (the start of its repeat run) — the cheap streaming-friendly
+    alternative to full forced alignment (ops/alignment.py).
+
+    Returns (tokens (N, T), lengths (N,), scores (N,), times (N, T) int32
+    frame indices aligned with `tokens`, pad_id where tokens is padded)."""
+    log_probs = jnp.asarray(log_probs)
+    t_max, n, _ = log_probs.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((n,), t_max, dtype=jnp.int32)
+    il = jnp.asarray(input_lengths, dtype=jnp.int32)
+
+    best = jnp.max(log_probs, axis=-1)
+    ids_nt = jnp.argmax(log_probs, axis=-1).astype(jnp.int32).T
+    t_mask = jnp.arange(t_max, dtype=jnp.int32)[None, :] < il[:, None]
+    prev = jnp.concatenate([jnp.full((n, 1), -1, jnp.int32), ids_nt[:, :-1]], axis=1)
+    keep = (ids_nt != blank) & (ids_nt != prev) & t_mask
+    pos = jnp.cumsum(keep, axis=1) - 1
+    scatter_idx = jnp.where(keep, pos, t_max)
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    frame_ids = jnp.broadcast_to(jnp.arange(t_max, dtype=jnp.int32)[None, :], (n, t_max))
+    tokens = jnp.full((n, t_max), pad_id, jnp.int32).at[rows, scatter_idx].set(
+        ids_nt, mode="drop"
+    )
+    times = jnp.full((n, t_max), pad_id, jnp.int32).at[rows, scatter_idx].set(
+        frame_ids, mode="drop"
+    )
+    lengths = jnp.sum(keep, axis=1).astype(jnp.int32)
+    scores = jnp.sum(jnp.where(t_mask, best.T, 0.0), axis=1)
+    return tokens, lengths, scores, times
 
 
 class GreedyCTCDecoder:

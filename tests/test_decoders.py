@@ -151,3 +151,31 @@ def test_beam_max_symbols_cap(rng):
     )
     assert np.asarray(lengths).max() <= 5
     assert np.asarray(tokens).shape[-1] == 5
+
+
+def test_greedy_timestamps(rng):
+    from end2end_tpu.ops.greedy import greedy_decode_with_timestamps
+
+    # path: _ a a _ b b c: 'a' fires at frame 1, 'b' at 4, 'c' at 6
+    path = [0, 1, 1, 0, 2, 2, 3]
+    lp = np.full((7, 1, 4), -9.0, np.float32)
+    for t, c in enumerate(path):
+        lp[t, 0, c] = -0.01
+    toks, lens, scores, times = greedy_decode_with_timestamps(lp, np.array([7]))
+    assert np.asarray(toks)[0, :3].tolist() == [1, 2, 3]
+    assert np.asarray(times)[0, :3].tolist() == [1, 4, 6]
+    assert int(lens[0]) == 3
+    # consistency with plain greedy on random input
+    B, T, V = 4, 30, 9
+    lp = np.asarray(
+        rng.standard_normal((T, B, V)).astype(np.float32)
+    )
+    il = rng.integers(10, T + 1, B).astype(np.int32)
+    t1, l1, s1 = greedy_decode(lp, il)
+    t2, l2, s2, tt = greedy_decode_with_timestamps(lp, il)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    # timestamps strictly increasing over emitted tokens
+    for b in range(B):
+        ts = np.asarray(tt)[b, : int(l2[b])]
+        assert np.all(np.diff(ts) > 0) and np.all(ts >= 0) and np.all(ts < il[b])
