@@ -143,3 +143,28 @@ def test_large_batch_vmem_budget(rng):
     x_loss, x_grad = map(np.asarray, fx(jnp.asarray(lp)))
     np.testing.assert_allclose(p_loss, x_loss, rtol=1e-6, atol=1e-5)
     np.testing.assert_allclose(p_grad, x_grad, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_multichunk_edge_cases(rng, monkeypatch):
+    """Multi-chunk grid x variable lengths x zero target length x impossible
+    alignment, in one batch."""
+    import end2end_tpu.ops.ctc_loss_pallas as P
+
+    monkeypatch.setattr(P, "_pick_tc", lambda t_pad, b, lanes: 4)
+    T, B, V = 24, 4, 6
+    lp, _, _, _ = random_ctc_problem(rng, B, T, 4, V)
+    tgt = np.array(
+        [[1, 2, 3, 4], [2, 2, 2, 2], [5, 0, 0, 0], [1, 1, 1, 1]], np.int32
+    )
+    il = np.array([24, 5, 17, 3], np.int32)   # sample 3: T=3 < needed 7
+    tl = np.array([4, 4, 1, 4], np.int32)
+    tl2 = tl.copy(); tl2[2] = 0               # and a zero-target sample
+    for tlv in (tl, tl2):
+        p_loss, p_grad = pallas_loss_grad(lp, tgt, il, tlv)
+        t_loss, t_grad = torch_loss_grad(lp, tgt, il, tlv)
+        fin = np.isfinite(t_loss)
+        np.testing.assert_allclose(p_loss[fin], t_loss[fin], rtol=1e-5, atol=1e-4)
+        assert np.isinf(p_loss[~fin]).all() if (~fin).any() else True
+        np.testing.assert_allclose(
+            p_grad[:, fin], t_grad[:, fin], rtol=1e-4, atol=1e-4
+        )

@@ -249,3 +249,27 @@ def test_bf16_inputs_accepted(rng):
         )
     )(jnp.asarray(lp, jnp.bfloat16))
     assert g.dtype == jnp.bfloat16
+
+
+def test_fuzz_random_shapes_vs_torch(rng):
+    """Randomized sweep: shapes, blanks, lengths, repeats — loss + grad must
+    track torch across the board (broad shallow net under the targeted tests)."""
+    for trial in range(8):
+        B = int(rng.integers(1, 6))
+        T = int(rng.integers(4, 40))
+        S = int(rng.integers(1, max(2, T // 3)))
+        V = int(rng.integers(3, 40))
+        blank = int(rng.integers(0, V))
+        lp, tgt, il, tl = random_ctc_problem(rng, B, T, S, V)
+        # labels must avoid the blank id
+        tgt = np.where(tgt == blank, (blank + 1) % V, tgt).astype(np.int32)
+        j_loss, j_grad = jax_loss_grad(lp, tgt, il, tl, blank)
+        t_loss, t_grad = torch_loss_grad(lp, tgt, il, tl, blank=blank)
+        np.testing.assert_allclose(
+            j_loss, t_loss, rtol=1e-4, atol=1e-4,
+            err_msg=f"trial {trial}: B={B},T={T},S={S},V={V},blank={blank}",
+        )
+        np.testing.assert_allclose(
+            j_grad, t_grad, rtol=1e-3, atol=3e-4,
+            err_msg=f"trial {trial}: B={B},T={T},S={S},V={V},blank={blank}",
+        )
