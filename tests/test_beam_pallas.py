@@ -1,0 +1,74 @@
+"""Experimental Pallas beam-search kernel vs the XLA scan decoder.
+
+Interpret mode on CPU; the kernel compiles and runs on the real chip
+(scripts/bench_beam_pallas.py / diag_beam_kernel.py).  At prune_k >= V the
+kernel is EXACT w.r.t. the reference algorithm; with pruning it adds the
+documented repeat-prune assumption.
+"""
+
+import numpy as np
+import pytest
+
+from end2end_tpu import beam_search_decode
+from end2end_tpu.ops.beam_search_pallas import beam_search_pallas
+
+
+def lsm(x):
+    return x - np.log(np.sum(np.exp(x), -1, keepdims=True))
+
+
+def _beam_sets(tokens, lens, scores, W):
+    out = []
+    for b in range(tokens.shape[0]):
+        out.append({
+            tuple(np.asarray(tokens)[b, w, : int(lens[b, w])].tolist()):
+                float(np.asarray(scores)[b, w])
+            for w in range(W)
+            if np.isfinite(np.asarray(scores)[b, w])
+        })
+    return out
+
+
+@pytest.mark.parametrize("B,T,V,W", [(3, 12, 6, 4), (2, 15, 8, 8)])
+def test_pallas_beam_exact_full_vocab(rng, B, T, V, W):
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = rng.integers(T // 2, T + 1, B).astype(np.int32)
+    p = _beam_sets(*beam_search_pallas(lp, il, beam_width=W), W)
+    x = _beam_sets(*beam_search_decode(lp, il, beam_width=W), W)
+    for b in range(B):
+        assert set(p[b]) == set(x[b]), (b, set(p[b]) ^ set(x[b]))
+        for pref in p[b]:
+            np.testing.assert_allclose(p[b][pref], x[b][pref], atol=5e-4, rtol=2e-4)
+
+
+def test_pallas_beam_repeats_and_cap(rng):
+    path = [1, 1, 0, 1, 1, 2, 2, 0, 2]
+    lp = np.full((9, 1, 4), -12.0, np.float32)
+    for t, c in enumerate(path):
+        lp[t, 0, c] = -0.01
+    lp = lsm(lp.astype(np.float64)).astype(np.float32)
+    pt, pl_, ps = beam_search_pallas(lp, beam_width=4)
+    xt, xl, xs = beam_search_decode(lp, beam_width=4)
+    assert pt[0, 0, : pl_[0, 0]].tolist() == np.asarray(xt)[0, 0, : int(xl[0, 0])].tolist()
+    pt, pl_, ps = beam_search_pallas(lp, beam_width=4, max_symbols=2)
+    assert pl_.max() <= 2
+
+
+def test_pallas_beam_pruned_top1_on_peaked(rng):
+    B, T, V, W, K = 4, 30, 20, 8, 8
+    lp = np.full((T, B, V), np.log(0.003 / (V - 1)), np.float32)
+    ids = np.where(rng.random((T, B)) < 0.5, 0, rng.integers(1, V, (T, B)))
+    for t in range(T):
+        lp[t, np.arange(B), ids[t]] = np.log(0.997)
+    lp = lsm(lp.astype(np.float64)).astype(np.float32)
+    il = np.array([30, 25, 20, 30], np.int32)
+    pt, pl_, ps = beam_search_pallas(lp, il, beam_width=W, prune_k=K)
+    xt, xl, xs = beam_search_decode(lp, il, beam_width=W, prune_k=K)
+    for b in range(B):
+        assert pt[b, 0, : pl_[b, 0]].tolist() == np.asarray(xt)[b, 0, : int(xl[b, 0])].tolist()
+
+
+def test_pallas_beam_constraint_errors(rng):
+    lp = lsm(rng.standard_normal((5, 1, 4))).astype(np.float32)
+    with pytest.raises(ValueError, match="beam_width"):
+        beam_search_pallas(lp, beam_width=32)
