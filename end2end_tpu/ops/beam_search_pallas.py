@@ -323,8 +323,12 @@ def beam_search_pallas(log_probs, input_lengths=None, beam_width: int = 8,
     W = int(beam_width)
     K = min(int(prune_k or v), v)
     s_cap = int(max_symbols or min(t_max, 512))
-    if W > 16 or W * K > 384:
-        raise ValueError("pallas beam supports beam_width<=16, W*prune_k<=384")
+    if W > 16 or W * K > 384 or K > 256:
+        # K <= 256 keeps the candidate index inside bits 0..7 of the
+        # backpointer code (bit 8 is the stay flag; see f_bp below).
+        raise ValueError(
+            "pallas beam supports beam_width<=16, W*prune_k<=384, prune_k<=256"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 

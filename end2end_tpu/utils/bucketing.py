@@ -36,7 +36,12 @@ DEFAULT_S_EDGES = geometric_edges(8, 1024)
 
 
 def bucket_size(n: int, edges: Sequence[int]) -> int:
-    """Smallest edge >= n (the last edge if n exceeds the ladder)."""
+    """Smallest edge >= n; past the ladder, n rounded up to a multiple of 8.
+
+    The 8-aligned passthrough (rather than clamping to the last edge) keeps
+    oversized inputs correct at the cost of one fresh compile per distinct
+    oversize; extend the ladder if that happens often.
+    """
     for e in edges:
         if n <= e:
             return e

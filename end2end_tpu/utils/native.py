@@ -35,6 +35,14 @@ def _build() -> str | None:
            "-pthread", src, "-o", out]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except subprocess.CalledProcessError as e:
+        # Surface the compiler error: silently losing the native path would
+        # also silently lose its independent-oracle role in the tests.
+        import warnings
+
+        stderr = (e.stderr or b"").decode(errors="replace").strip()
+        warnings.warn(f"native build failed; using Python fallback:\n{stderr}")
+        return None
     except (subprocess.SubprocessError, FileNotFoundError):
         return None
     return out
