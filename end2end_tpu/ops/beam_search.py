@@ -137,7 +137,13 @@ def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
         cand_pnb = jnp.concatenate([pnb_stay, pnb_ext.reshape(-1)])
         cand_lm = jnp.concatenate([lm_score, lm_score_ext.reshape(-1)])
         cand_score = logaddexp2(cand_pb, cand_pnb) + cand_lm
-        _, sel = _top_w_iterative(cand_score, W)
+        vals, sel = _top_w_iterative(cand_score, W)
+        # When fewer finite candidates than W exist, the repeated argmax
+        # re-picks index 0 (its RANKING score was killed, but its pb/pnb are
+        # still finite) — without this mask such picks would be zombie
+        # duplicates of a live beam carrying full probability mass, which
+        # later re-merge and multiply-count that mass.
+        alive = vals > LOG0_THRESHOLD
         is_stay = sel < W
         parent = jnp.where(is_stay, sel, (sel - W) // K).astype(jnp.int32)
         kk = jnp.where(is_stay, 0, (sel - W) % K).astype(jnp.int32)
@@ -152,12 +158,16 @@ def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
         new_lens = jnp.minimum(
             jnp.where(is_stay, parent_len, parent_len + 1), s_cap
         )
-        new_last = jnp.where(is_stay, last[parent], c_sel)
+        new_lens = jnp.where(alive, new_lens, 0)
+        new_last = jnp.where(alive & ~is_stay, c_sel,
+                             jnp.where(alive, last[parent], -1))
         new_h1 = jnp.where(is_stay, h1[parent], h1e[parent, kk])
+        new_h1 = jnp.where(alive, new_h1, _DEAD + arange_w)
         new_h2 = jnp.where(is_stay, h2[parent], h2e[parent, kk])
-        new_pb = cand_pb[sel]
-        new_pnb = cand_pnb[sel]
-        new_lm_score = cand_lm[sel]
+        new_h2 = jnp.where(alive, new_h2, _DEAD + arange_w)
+        new_pb = jnp.where(alive, cand_pb[sel], LOG0)
+        new_pnb = jnp.where(alive, cand_pnb[sel], LOG0)
+        new_lm_score = jnp.where(alive, cand_lm[sel], 0.0)
         if lm is not None:
             new_lm_state = lm.select(lm_state, lm_state_ext, parent, kk, is_stay)
         else:
@@ -231,6 +241,7 @@ def beam_search_decode(
     lm_alpha: float = 0.0,
     lm_beta: float = 0.0,
     approx_topk: bool = False,
+    implementation: str = "auto",
 ):
     """Batched CTC prefix beam search.
 
@@ -241,11 +252,16 @@ def beam_search_decode(
       prune_k: per-frame vocabulary pruning (top-K); None = full vocab
         (exact w.r.t. the reference algorithm).
       max_symbols: static cap on decoded length (default min(T, 512)).
+        Unlike the reference's unbounded C++ loop this freezes prefix
+        growth at the cap; a returned length equal to max_symbols means
+        the beam saturated (BeamSearchCTCDecoder warns when that happens).
       lm / lm_alpha / lm_beta: optional shallow-fusion LM (see lm.py) with
         weight alpha and per-token insertion bonus beta — the TPU-native
         replacement for the reference's KenLM hook (SURVEY.md §3.1 N6).
       approx_topk: use the TPU-native approximate top-k for the per-frame
         vocabulary prune (faster on large V; the prune is heuristic anyway).
+      implementation: 'auto' (Pallas kernel on TPU when it applies, else the
+        XLA scan), 'pallas' (force; raises if unsupported), or 'xla'.
 
     Returns:
       tokens: (N, W, max_symbols) int32, -1 padded, best beam first.
@@ -262,6 +278,27 @@ def beam_search_decode(
     prune_k = min(prune_k, v)
     if max_symbols is None:
         max_symbols = min(t_max, 512)
+    if implementation not in ("auto", "pallas", "xla"):
+        raise ValueError(f"invalid implementation {implementation!r}")
+    if implementation != "xla":
+        from .beam_search_pallas import beam_pallas_supported, beam_search_pallas
+
+        ok, reason = beam_pallas_supported(t_max, v, beam_width, prune_k, lm)
+        on_tpu = jax.default_backend() == "tpu"
+        if implementation == "pallas" and not ok:
+            raise ValueError(f"implementation='pallas' unsupported: {reason}")
+        if ok and (on_tpu or implementation == "pallas"):
+            return beam_search_pallas(
+                log_probs, input_lengths, beam_width=beam_width, blank=blank,
+                prune_k=prune_k, max_symbols=max_symbols,
+                approx_topk=approx_topk,
+            )
+        if implementation == "auto" and on_tpu and not ok:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "beam_search_decode: falling back to the XLA scan (%s)", reason
+            )
     return _beam_search_batched(
         log_probs,
         jnp.asarray(input_lengths, jnp.int32),
@@ -291,6 +328,7 @@ class BeamSearchCTCDecoder:
         lm=None,
         lm_alpha: float = 0.0,
         lm_beta: float = 0.0,
+        implementation: str = "auto",
     ):
         self.beam_width = beam_width
         self.blank = blank
@@ -300,6 +338,7 @@ class BeamSearchCTCDecoder:
         self.lm = lm
         self.lm_alpha = lm_alpha
         self.lm_beta = lm_beta
+        self.implementation = implementation
 
     def _to_text(self, ids):
         return "".join(self.labels[c] for c in ids) if self.labels else ids
@@ -320,8 +359,19 @@ class BeamSearchCTCDecoder:
                 lm=self.lm,
                 lm_alpha=self.lm_alpha,
                 lm_beta=self.lm_beta,
+                implementation=self.implementation,
             )
         )
+        s_cap = self.max_symbols or min(t_max, 512)
+        if (lengths >= s_cap).any():
+            import warnings
+
+            warnings.warn(
+                f"beam(s) saturated the max_symbols cap ({s_cap}); prefix "
+                "growth was frozen there — raise max_symbols for very long "
+                "transcripts (semantic divergence from the unbounded "
+                "reference algorithm)"
+            )
         out = []
         for i in range(n):
             beams = []

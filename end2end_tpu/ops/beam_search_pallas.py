@@ -1,34 +1,42 @@
-"""Fused Pallas TPU kernel for CTC prefix beam search.
+"""Fused Pallas TPU kernel for CTC prefix beam search — the default TPU path.
 
-STATUS: EXPERIMENTAL (opt-in; the XLA scan in beam_search.py remains the
-default).  Measured on v5e at B=32, T=1000, V=1024, W=8, K=16: ~20 ms/iter
-device-side vs ~42 ms for the XLA scan (~2x) — the win is capped by the
-masked-reduce scalar extractions (~90 cross-lane reduces/frame) that replace
-dynamic lane gathers, which Mosaic does not support.  Round-2 lever: replace
-the per-beam scalar extracts with a transposed (beam-in-sublane) state
-layout so extraction becomes sublane selects.
+Rebuild of the reference's C++ prefix beam-search decoder (SURVEY.md §3.1 N3)
+as a real TPU kernel.  The XLA-scan decoder (beam_search.py) keeps full
+generality (LM fusion, any width) and remains the fallback; `'auto'` in
+`beam_search_decode` routes here on TPU when this kernel applies.
 
-The XLA-scan decoder spends ~30-40us/frame on kernel-launch and fusion
-overhead inside the `while` loop.  This kernel keeps the WHOLE beam state in
-VMEM across a sequential T-chunk grid (like the loss kernels) and emits only
-per-frame BACKPOINTERS; token matrices are reconstructed on the host
-afterwards, so the hot loop touches no (W, S_cap) state at all.
+Layout (the round-2 "beam-in-sublane" redesign): beam state lives in VMEM as
+(W, B) arrays — beams in SUBLANES, batch in the 128 LANES — and per-frame
+extension candidates as (K, W, B) with the top-K candidate index in the
+leading (vreg-unrolled) dimension.  Consequences:
 
-Mosaic-friendliness: the kernel never lane-slices or lane-concatenates.
-Per-beam scalars are extracted with masked reduces, and per-lane arrays are
-assembled with broadcast-selects over iota masks — every op is a full-width
-(B, lanes) VPU op.
+  * spreading a per-beam scalar to its K candidates is a free broadcast
+    (the round-1 kernel burned ~90 masked cross-lane reduces per frame on
+    exactly this);
+  * reductions over candidates are K elementwise vreg ops (leading dim)
+    plus one cheap sublane reduce — no 128-lane shuffles;
+  * the whole batch tile (128 sequences) advances one frame per iteration.
+
+The kernel emits per-frame BACKPOINTER CODES (in the same candidate order the
+XLA scan ranks, so tie-breaks match): code w in [0, W) = "stay" of beam w;
+code W + w*K + k = "extend beam w with its k-th top-K candidate".  Token
+matrices are reconstructed OUTSIDE the kernel in one fused XLA program: the
+per-frame parent maps compose associatively (lane_after[t] =
+parent_map[t+1][lane_after[t+1]]), so a `jax.lax.associative_scan` over
+function composition replaces the sequential backtrace — no host round-trip,
+no while loop, and the full decode stays jittable end to end.
 
 Semantics: identical algorithm to beam_search.py (stay/extend candidates,
-hash-based prefix merging with logaddexp, top-W by repeated argmax) with ONE
-extra prune: the repeat-last ("stay") term reads the last symbol's frame
-probability from the current top-K candidate set; when prune_k >= V this is
-EXACT, and for pruned decoding it is one more pruning assumption of the same
-character as prune_k itself (a mid-repeat symbol is in the top-K of the
-frames that sustain it on any peaked model).
+hash-based prefix merging with logaddexp — never max, per SURVEY.md §6.3 —
+masked top-W by repeated argmax) with ONE extra prune: the repeat-last
+("stay") term reads the last symbol's frame probability from the current
+top-K candidate set.  When prune_k >= V this is EXACT; with pruning it is
+one more assumption of the same character as prune_k itself.  The top-K prep
+keeps blank in the candidate list (masked in-kernel) so K-slot ordering and
+tie-breaking match the XLA scan bit for bit.
 
-Constraints: beam_width <= 16, beam_width * prune_k <= 384, float32, no LM
-(the XLA path keeps full generality and remains the default).
+Constraints: beam_width <= 16, prune_k <= 128, float32, no LM (auto mode
+falls back to the XLA scan for LM decoding, with a logged reason).
 """
 
 from __future__ import annotations
@@ -49,6 +57,9 @@ _M2 = np.int32(-2048144789)  # 0x85EBCA6B
 _SEED1 = np.int32(1)
 _SEED2 = np.int32(7)
 _DEADBASE = np.int32(0x7EAD0000)
+_BIG = np.int32(1 << 30)
+
+_LANES = 128  # batch tile width
 
 
 def _laddexp2(a, b):
@@ -63,257 +74,335 @@ def _pad_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _col_f(x, lane, w):
-    """Extract lane w of (B, L) float x as a (B, 1) scalar via masked reduce
-    (Mosaic-safe: no lane slicing)."""
-    return jnp.sum(jnp.where(lane == w, x, 0.0), axis=1, keepdims=True)
-
-
-def _col_i(x, lane, w):
-    return jnp.sum(jnp.where(lane == w, x, 0), axis=1, keepdims=True)
-
-
-def _beam_kernel(W, K, s_cap, n_lanes, ext_lanes,
+def _beam_kernel(W, K, s_cap, blank,
                  lpk_ref, ck_ref, lpb_ref, il_ref,
                  bp_ref, score_ref,
                  pb_s, pnb_s, h1_s, h2_s, last_s, len_s):
-    i = pl.program_id(0)
-    tc_len, b, _ = lpk_ref.shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (b, n_lanes), 1)
-    lane_e = jax.lax.broadcasted_iota(jnp.int32, (b, ext_lanes), 1)
-    lane_c = jax.lax.broadcasted_iota(jnp.int32, (b, n_lanes + ext_lanes), 1)
-    parent_e = lane_e // K          # parent beam of each ext lane
-    k_e = lane_e % K                # candidate index of each ext lane
-    live_e = lane_e < W * K
+    i = pl.program_id(1)  # time chunk (sequential; batch tile is dim 0)
+    tc_len, _, b = lpk_ref.shape
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, b), 0)
+    k_iota2 = jax.lax.broadcasted_iota(jnp.int32, (K, b), 0)
+    k_iota3 = jax.lax.broadcasted_iota(jnp.int32, (K, W, b), 0)
+    w_iota3 = jax.lax.broadcasted_iota(jnp.int32, (K, W, b), 1)
+    # Candidate codes in the XLA scan's ranking order (ties break identically):
+    # stay candidates first (code = w), then extends row-major (W + w*K + k).
+    code_ext = W + w_iota3 * K + k_iota3  # (K, W, b)
+    code_stay = w_iota                    # (W, b)
 
     @pl.when(i == 0)
     def _():
-        live0 = lane == 0
+        live0 = w_iota == 0
         pb_s[:] = jnp.where(live0, 0.0, LOG0)
-        pnb_s[:] = jnp.full((b, n_lanes), LOG0, jnp.float32)
-        h1_s[:] = jnp.where(live0, _SEED1, _DEADBASE + lane)
-        h2_s[:] = jnp.where(live0, _SEED2, _DEADBASE + lane)
-        last_s[:] = jnp.full((b, n_lanes), -1, jnp.int32)
-        len_s[:] = jnp.zeros((b, n_lanes), jnp.int32)
+        pnb_s[:] = jnp.full((W, b), LOG0, jnp.float32)
+        h1_s[:] = jnp.where(live0, _SEED1, _DEADBASE + w_iota)
+        h2_s[:] = jnp.where(live0, _SEED2, _DEADBASE + w_iota)
+        last_s[:] = jnp.full((W, b), -1, jnp.int32)
+        len_s[:] = jnp.zeros((W, b), jnp.int32)
 
-    il = il_ref[:]  # (B, 1)
+    il = il_ref[:]  # (1, b)
 
     def body(tc, _):
         t = i * tc_len + tc
-        lpk_at = lpk_ref[tc]  # (B, ext_lanes) f32, pre-tiled l -> l % K
-        ck_at = ck_ref[tc]    # (B, ext_lanes) i32, pre-tiled; blank/pad -2
-        lpb_t = lpb_ref[tc]   # (B, 1)
-        pb = pb_s[:]
-        pnb = pnb_s[:]
-        h1 = h1_s[:]
-        h2 = h2_s[:]
-        last = last_s[:]
-        lens = len_s[:]
-        total = _laddexp2(pb, pnb)
+        lpk = lpk_ref[tc]  # (K, b) f32 top-K log-probs (full vocab)
+        ck = ck_ref[tc]    # (K, b) i32 top-K token ids (pad -2)
+        lpb = lpb_ref[tc]  # (1, b) blank log-prob
+        pb, pnb = pb_s[:], pnb_s[:]
+        h1, h2 = h1_s[:], h2_s[:]
+        last, lens = last_s[:], len_s[:]
+        total = _laddexp2(pb, pnb)  # (W, b)
 
-        # ---- extension candidates over the ext lanes ----------------------
-        # per-parent scalars spread to their K-lane block; the repeat-last
-        # probability falls out of the same pass (max over the parent's
-        # block where the candidate equals the parent's last symbol).
-        pb_at = jnp.full((b, ext_lanes), LOG0, jnp.float32)
-        tot_at = jnp.full((b, ext_lanes), LOG0, jnp.float32)
-        last_at = jnp.full((b, ext_lanes), -3, jnp.int32)
-        h1_at = jnp.zeros((b, ext_lanes), jnp.int32)
-        h2_at = jnp.zeros((b, ext_lanes), jnp.int32)
-        len_at = jnp.zeros((b, ext_lanes), jnp.int32)
-        for w in range(W):
-            sel = parent_e == w
-            pb_at = jnp.where(sel, _col_f(pb, lane, w), pb_at)
-            tot_at = jnp.where(sel, _col_f(total, lane, w), tot_at)
-            last_at = jnp.where(sel, _col_i(last, lane, w), last_at)
-            h1_at = jnp.where(sel, _col_i(h1, lane, w), h1_at)
-            h2_at = jnp.where(sel, _col_i(h2, lane, w), h2_at)
-            len_at = jnp.where(sel, _col_i(lens, lane, w), len_at)
-        same = (ck_at == last_at) & live_e
-        rep = jnp.full((b, n_lanes), LOG0, jnp.float32)
-        for w in range(W):
-            rep_w = jnp.max(
-                jnp.where(same & (parent_e == w), lpk_at, LOG0),
-                axis=1, keepdims=True,
-            )
-            rep = jnp.where(lane == w, rep_w, rep)
-        pb_stay = total + lpb_t
+        lpk3 = lpk[:, None, :]  # (K, 1, b) -> broadcasts over beams
+        ck3 = ck[:, None, :]
+        same = ck3 == last[None]  # (K, W, b)
+
+        # --- stay candidates: same prefix ---------------------------------
+        # repeat-last probability from the top-K set (the documented prune;
+        # exact whenever the last symbol is in this frame's top-K)
+        rep = jnp.max(jnp.where(same, lpk3, LOG0), axis=0)  # (W, b)
+        pb_stay = total + lpb
         pnb_stay = jnp.where(last >= 0, pnb + rep, LOG0)
 
-        ext_pnb = jnp.where(same, pb_at, tot_at) + lpk_at
-        ext_pnb = jnp.where(
-            (ck_at >= 0) & (len_at < s_cap) & live_e, ext_pnb, LOG0
-        )
-        ext_h1 = h1_at * _M1 + (ck_at + 1)
-        ext_h2 = h2_at * _M2 + (ck_at + 1)
-        ext_len = len_at + 1
+        # --- extend candidates: prefix + c ---------------------------------
+        ext_pnb = jnp.where(same, pb[None], total[None]) + lpk3  # (K, W, b)
+        ok = (ck3 >= 0) & (ck3 != blank) & (lens[None] < s_cap)
+        ext_pnb = jnp.where(ok, ext_pnb, LOG0)
+        ext_h1 = h1[None] * _M1 + (ck3 + 1)
+        ext_h2 = h2[None] * _M2 + (ck3 + 1)
 
-        # ---- merge extensions recreating an existing beam's prefix --------
-        merge_add = jnp.full((b, n_lanes), LOG0, jnp.float32)
+        # --- merge extends that recreate an existing beam's prefix --------
+        merge_add = jnp.full((W, b), LOG0, jnp.float32)
         for w in range(W):
-            m = (ext_h1 == _col_i(h1, lane, w)) & (ext_h2 == _col_i(h2, lane, w))
+            h1w = h1[w:w + 1][None]  # (1, 1, b) static sublane slice
+            h2w = h2[w:w + 1][None]
+            m = (ext_h1 == h1w) & (ext_h2 == h2w) & ok
             masked = jnp.where(m, ext_pnb, LOG0)
-            mx = jnp.max(masked, axis=1, keepdims=True)
+            mx = jnp.max(jnp.max(masked, axis=0), axis=0, keepdims=True)
             mx_safe = jnp.maximum(mx, LOG0)
             ssum = jnp.sum(
-                jnp.where(m, exp32(ext_pnb - mx_safe), 0.0),
-                axis=1, keepdims=True,
+                jnp.sum(jnp.where(m, exp32(ext_pnb - mx_safe[None]), 0.0),
+                        axis=0),
+                axis=0, keepdims=True,
             )
             add = jnp.where(
                 mx > LOG0_THRESHOLD,
                 mx_safe + jnp.log(jnp.maximum(ssum, 1e-30)),
                 LOG0,
             )
-            merge_add = jnp.where(lane == w, add, merge_add)
+            merge_add = jnp.where(w_iota == w, add, merge_add)
             ext_pnb = jnp.where(m, LOG0, ext_pnb)
         pnb_stay = _laddexp2(pnb_stay, merge_add)
-
-        # ---- rank all candidates (stay lanes then ext lanes) --------------
         stay_score = _laddexp2(pb_stay, pnb_stay)
-        is_stay_c = lane_c < n_lanes
 
-        def cat(stay_arr, ext_arr, fill):
-            # place stay values at lanes [0, n_lanes) and ext values after,
-            # without lane concatenation: both arrays are re-spread by mask
-            out = jnp.full((b, n_lanes + ext_lanes), fill, stay_arr.dtype)
-            out = jnp.where(
-                is_stay_c,
-                jnp.pad(stay_arr, ((0, 0), (0, ext_lanes)), constant_values=fill),
-                out,
-            )
-            out = jnp.where(
-                ~is_stay_c,
-                jnp.pad(ext_arr, ((0, 0), (n_lanes, 0)), constant_values=fill),
-                out,
-            )
-            return out
-
-        cand = cat(stay_score, ext_pnb, LOG0)
-        f_pb = cat(pb_stay, jnp.full((b, ext_lanes), LOG0, jnp.float32), LOG0)
-        f_pnb = cat(pnb_stay, ext_pnb, LOG0)
-        f_h1 = cat(h1, ext_h1, 0)
-        f_h2 = cat(h2, ext_h2, 0)
-        f_last = cat(last, ck_at, -1)
-        f_len = cat(lens, ext_len, 0)
-        # backpointers: stay lane w -> (w << 9) | 256; ext -> (parent << 9) | k
-        f_bp = cat((lane << 9) | 256, (parent_e << 9) | k_e, 0)
-
-        new_pb = jnp.full((b, n_lanes), LOG0, jnp.float32)
-        new_pnb = jnp.full((b, n_lanes), LOG0, jnp.float32)
-        new_h1 = _DEADBASE + lane
-        new_h2 = _DEADBASE + lane
-        new_last = jnp.full((b, n_lanes), -1, jnp.int32)
-        new_len = jnp.zeros((b, n_lanes), jnp.int32)
-        bp_row = (lane << 9) | 256
-        big = jnp.int32(1 << 30)
+        # --- top-W by repeated argmax (first-index tie break, XLA order) ---
+        cand_ext = ext_pnb
+        cand_stay = stay_score
+        new_pb = jnp.full((W, b), LOG0, jnp.float32)
+        new_pnb = jnp.full((W, b), LOG0, jnp.float32)
+        new_h1 = _DEADBASE + w_iota
+        new_h2 = _DEADBASE + w_iota
+        new_last = jnp.full((W, b), -1, jnp.int32)
+        new_len = jnp.zeros((W, b), jnp.int32)
+        bp_row = code_stay
         for w_out in range(W):
-            mx = jnp.max(cand, axis=1, keepdims=True)
-            is_max = cand >= mx
-            lane_i = jnp.min(
-                jnp.where(is_max, lane_c, big), axis=1, keepdims=True
+            mx_e = jnp.max(jnp.max(cand_ext, axis=0), axis=0, keepdims=True)
+            mx_s = jnp.max(cand_stay, axis=0, keepdims=True)
+            mx = jnp.maximum(mx_e, mx_s)  # (1, b)
+            sel_e = jnp.min(
+                jnp.min(jnp.where(cand_ext >= mx[None], code_ext, _BIG),
+                        axis=0),
+                axis=0, keepdims=True,
             )
-            onehot = lane_c == lane_i
+            sel_s = jnp.min(
+                jnp.where(cand_stay >= mx, code_stay, _BIG),
+                axis=0, keepdims=True,
+            )
+            code = jnp.minimum(sel_e, sel_s)  # (1, b)
+            is_stay = code < W
+            # decode (parent, k) from the selected candidate's onehot —
+            # avoids integer div/rem inside the kernel
+            oh_e = code_ext == code[None]  # (K, W, b); exact onehot when ext
+            parent_e = jnp.sum(
+                jnp.sum(jnp.where(oh_e, w_iota3, 0), axis=0),
+                axis=0, keepdims=True,
+            )
+            parent = jnp.where(is_stay, code, parent_e)  # (1, b)
+            kk = jnp.sum(
+                jnp.sum(jnp.where(oh_e, k_iota3, 0), axis=0),
+                axis=0, keepdims=True,
+            )
+            # kill the selected candidate
+            cand_ext = jnp.where(oh_e, LOG0, cand_ext)
+            cand_stay = jnp.where(
+                is_stay & (code_stay == code), LOG0, cand_stay
+            )
+            # gather parent fields (one true sublane per column)
+            psel = w_iota == parent
             pick_f = lambda f: jnp.sum(
-                jnp.where(onehot, f, 0.0), axis=1, keepdims=True
+                jnp.where(psel, f, 0.0), axis=0, keepdims=True
             )
             pick_i = lambda f: jnp.sum(
-                jnp.where(onehot, f, 0), axis=1, keepdims=True
+                jnp.where(psel, f, 0), axis=0, keepdims=True
             )
-            dst = lane == w_out
-            new_pb = jnp.where(dst, pick_f(f_pb), new_pb)
-            new_pnb = jnp.where(dst, pick_f(f_pnb), new_pnb)
-            new_h1 = jnp.where(dst, pick_i(f_h1), new_h1)
-            new_h2 = jnp.where(dst, pick_i(f_h2), new_h2)
-            new_last = jnp.where(dst, pick_i(f_last), new_last)
-            new_len = jnp.where(dst, pick_i(f_len), new_len)
-            bp_row = jnp.where(dst, pick_i(f_bp), bp_row)
-            cand = jnp.where(onehot, LOG0, cand)
+            h1p, h2p = pick_i(h1), pick_i(h2)
+            lastp, lenp = pick_i(last), pick_i(lens)
+            pb_sp, pnb_sp = pick_f(pb_stay), pick_f(pnb_stay)
+            ck_k = jnp.sum(
+                jnp.where(k_iota2 == kk, ck, 0), axis=0, keepdims=True
+            )
+            n_pb = jnp.where(is_stay, pb_sp, LOG0)
+            n_pnb = jnp.where(is_stay, pnb_sp, mx)
+            n_last = jnp.where(is_stay, lastp, ck_k)
+            n_len = jnp.where(is_stay, lenp, lenp + 1)
+            n_h1 = jnp.where(is_stay, h1p, h1p * _M1 + (ck_k + 1))
+            n_h2 = jnp.where(is_stay, h2p, h2p * _M2 + (ck_k + 1))
+            # Dead picks (score at log-zero) must carry NO state: when fewer
+            # finite candidates than W exist, the argmax re-picks candidate
+            # 0, whose pb/pnb are still finite — copying them would create a
+            # zombie duplicate of a live beam that multiply-counts its mass.
+            # Zero the mass and give slot-unique hashes so dead slots can
+            # never merge with anything.
+            dead = mx <= LOG0_THRESHOLD
+            n_pb = jnp.where(dead, LOG0, n_pb)
+            n_pnb = jnp.where(dead, LOG0, n_pnb)
+            n_last = jnp.where(dead, -1, n_last)
+            n_len = jnp.where(dead, 0, n_len)
+            n_h1 = jnp.where(dead, _DEADBASE + w_out, n_h1)
+            n_h2 = jnp.where(dead, _DEADBASE + w_out, n_h2)
+            dst = w_iota == w_out
+            new_pb = jnp.where(dst, n_pb, new_pb)
+            new_pnb = jnp.where(dst, n_pnb, new_pnb)
+            new_h1 = jnp.where(dst, n_h1, new_h1)
+            new_h2 = jnp.where(dst, n_h2, new_h2)
+            new_last = jnp.where(dst, n_last, new_last)
+            new_len = jnp.where(dst, n_len, new_len)
+            bp_row = jnp.where(dst, code, bp_row)
 
-        upd = t < il  # (B, 1)
+        upd = t < il  # (1, b) — freeze state past each sample's length
         pb_s[:] = jnp.where(upd, new_pb, pb)
         pnb_s[:] = jnp.where(upd, new_pnb, pnb)
         h1_s[:] = jnp.where(upd, new_h1, h1)
         h2_s[:] = jnp.where(upd, new_h2, h2)
         last_s[:] = jnp.where(upd, new_last, last)
         len_s[:] = jnp.where(upd, new_len, lens)
-        bp_ref[tc] = jnp.where(upd, bp_row, (lane << 9) | 256)
+        bp_ref[tc] = jnp.where(upd, bp_row, code_stay)
         return 0
 
     jax.lax.fori_loop(0, tc_len, body, 0)
 
-    @pl.when(i == pl.num_programs(0) - 1)
+    @pl.when(i == pl.num_programs(1) - 1)
     def _():
         score_ref[:] = _laddexp2(pb_s[:], pnb_s[:])
 
 
+def _compose(a, b):
+    """Lane-map composition for the reverse associative scan.
+
+    `associative_scan(fn, x, reverse=True)` folds with the LAST element
+    leftmost (r_t = fn(...fn(x_{T-1}, x_{T-2})..., x_t), verified
+    empirically), so fn must apply its left argument FIRST for the suffix
+    product to come out as g_t ∘ g_{t+1} ∘ ... ∘ g_{T-1}:
+    fn(a, b)[w] = b[a[w]].
+    """
+    return jnp.take_along_axis(b, a, axis=-1)
+
+
+def _backtrace(bp, ck, scores, W, K, s_cap, t_max, n):
+    """Reconstruct token matrices from backpointer codes — one fused XLA
+    program (associative lane-map composition instead of a sequential loop).
+
+    bp: (t_pad, W, b_pad) codes; ck: (T, N, K) top-K ids; scores: (W, b_pad).
+    """
+    code = jnp.moveaxis(bp[:t_max, :, :n], 1, 2)  # (T, N, W)
+    # parent lane chosen at frame t for each (post-t) beam lane
+    g = jnp.where(code < W, code, (code - W) // K)  # (T, N, W)
+    # suffix compositions: S[t] = g_t ∘ g_{t+1} ∘ ... ∘ g_{T-1};
+    # the lane occupied AFTER frame t by final beam w is S[t+1][w]
+    # (identity at t = T-1).
+    s_comp = jax.lax.associative_scan(_compose, g, reverse=True, axis=0)
+    ident = jnp.broadcast_to(
+        jnp.arange(W, dtype=code.dtype), (1, n, W)
+    )
+    lane_after = jnp.concatenate([s_comp[1:], ident], axis=0)  # (T, N, W)
+
+    code_sel = jnp.take_along_axis(code, lane_after, axis=2)  # (T, N, W)
+    emit = code_sel >= W
+    k_sel = jnp.where(emit, (code_sel - W) % K, 0)
+    ch = jnp.take_along_axis(ck, k_sel, axis=2)  # (T, N, W)
+    pos = jnp.cumsum(emit.astype(jnp.int32), axis=0) - 1
+    lens = jnp.minimum(pos[-1] + 1, s_cap)  # (N, W); kernel caps emits
+    idx = jnp.where(emit, jnp.minimum(pos, s_cap - 1), s_cap)
+    n_idx = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
+    w_idx = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 2)
+    tokens = jnp.full((n, W, s_cap + 1), -1, jnp.int32)
+    tokens = tokens.at[n_idx, w_idx, idx].set(jnp.where(emit, ch, -1))
+    tokens = tokens[:, :, :s_cap]
+
+    sc = scores[:, :n].T  # (N, W)
+    sc = jnp.where(sc > LOG0_THRESHOLD, sc, -jnp.inf)
+    sc, order = jax.lax.top_k(sc, W)
+    tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
+    lens = jnp.take_along_axis(lens, order, axis=1)
+    return tokens, lens, sc
+
+
 @partial(
     jax.jit,
-    static_argnames=("W", "K", "s_cap", "blank", "interpret", "t_max", "n", "v"),
+    static_argnames=(
+        "W", "K", "s_cap", "blank", "interpret", "approx_topk",
+        "t_max", "n", "v",
+    ),
 )
-def _device_part(log_probs, il, W, K, s_cap, blank, interpret, t_max, n, v):
-    """One compiled program: top-K prep + the pallas kernel."""
-    lp_noblank = log_probs.at[:, :, blank].set(LOG0)
-    lpk, ck = jax.lax.top_k(lp_noblank, K)  # (T, N, K)
+def _beam_pallas_jit(log_probs, il, W, K, s_cap, blank, interpret,
+                     approx_topk, t_max, n, v):
+    """Full decode: top-K prep -> pallas scan kernel -> XLA backtrace."""
+    # Full-vocab top-K (blank included, masked in-kernel): candidate K-slot
+    # ordering — and therefore tie-breaking — matches the XLA scan exactly.
+    # On TPU the dedicated pallas kernel replaces lax.top_k (11.6 ms -> ~2 ms
+    # at the metric config; see topk_pallas.py); interpret mode (CPU tests)
+    # keeps lax.top_k, which has identical semantics.
+    if approx_topk and K < v:
+        lpk, ck = jax.lax.approx_max_k(log_probs, K)
+    elif interpret:
+        lpk, ck = jax.lax.top_k(log_probs, K)  # (T, N, K)
+    else:
+        from .topk_pallas import topk_pallas
+
+        lpk, ck = topk_pallas(log_probs, K)
+    ck = ck.astype(jnp.int32)
     lpb = log_probs[:, :, blank]  # (T, N)
 
-    n_lanes = 128
-    ext_lanes = _pad_up(W * K, 128)
-    b_pad = _pad_up(n, 8)
-    tc = max(1, min(128, t_max))
+    b_pad = _pad_up(max(n, 1), _LANES)
+    # time-chunk length bounded by a ~4 MB VMEM budget for the two
+    # (tc, K, LANES) input blocks (x2 for double buffering)
+    tc = max(8, min(128, (4 << 20) // (K * _LANES * 8)))
     t_pad = _pad_up(t_max, tc)
 
-    # pre-tile candidates to the ext-lane layout l -> l % K (cheap in XLA;
-    # saves the in-kernel spread loops)
-    reps = -(-ext_lanes // K)
-    lpk_t = jnp.tile(lpk, (1, 1, reps))[:, :, :ext_lanes]
-    ck_t = jnp.tile(ck.astype(jnp.int32), (1, 1, reps))[:, :, :ext_lanes]
-    lpk_full = jnp.full((t_pad, b_pad, ext_lanes), LOG0, jnp.float32)
-    lpk_full = lpk_full.at[:t_max, :n].set(lpk_t)
-    ck_full = jnp.full((t_pad, b_pad, ext_lanes), -2, jnp.int32)
-    ck_full = ck_full.at[:t_max, :n].set(ck_t)
-    lpb_full = jnp.full((t_pad, b_pad, 1), LOG0, jnp.float32)
-    lpb_full = lpb_full.at[:t_max, :n, 0].set(lpb)
-    il_full = jnp.zeros((b_pad, 1), jnp.int32).at[:n, 0].set(il)
+    lpk_full = jnp.full((t_pad, K, b_pad), LOG0, jnp.float32)
+    lpk_full = lpk_full.at[:t_max, :, :n].set(jnp.moveaxis(lpk, 2, 1))
+    ck_full = jnp.full((t_pad, K, b_pad), -2, jnp.int32)
+    ck_full = ck_full.at[:t_max, :, :n].set(jnp.moveaxis(ck, 2, 1))
+    lpb_full = jnp.full((t_pad, 1, b_pad), LOG0, jnp.float32)
+    lpb_full = lpb_full.at[:t_max, 0, :n].set(lpb)
+    il_full = jnp.zeros((1, b_pad), jnp.int32).at[0, :n].set(il)
 
+    n_btiles = b_pad // _LANES
     n_chunks = t_pad // tc
-    kern = partial(_beam_kernel, W, K, s_cap, n_lanes, ext_lanes)
-    vspec = lambda shape, imap: pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+    kern = partial(_beam_kernel, W, K, s_cap, blank)
+    vspec = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                             memory_space=pltpu.VMEM)
     bp, scores = pl.pallas_call(
         kern,
-        grid=(n_chunks,),
+        grid=(n_btiles, n_chunks),
         in_specs=[
-            vspec((tc, b_pad, ext_lanes), lambda i: (i, 0, 0)),
-            vspec((tc, b_pad, ext_lanes), lambda i: (i, 0, 0)),
-            vspec((tc, b_pad, 1), lambda i: (i, 0, 0)),
-            vspec((b_pad, 1), lambda i: (0, 0)),
+            vspec((tc, K, _LANES), lambda bt, i: (i, 0, bt)),
+            vspec((tc, K, _LANES), lambda bt, i: (i, 0, bt)),
+            vspec((tc, 1, _LANES), lambda bt, i: (i, 0, bt)),
+            vspec((1, _LANES), lambda bt, i: (0, bt)),
         ],
         out_specs=[
-            vspec((tc, b_pad, n_lanes), lambda i: (i, 0, 0)),
-            vspec((b_pad, n_lanes), lambda i: (0, 0)),
+            vspec((tc, W, _LANES), lambda bt, i: (i, 0, bt)),
+            vspec((W, _LANES), lambda bt, i: (0, bt)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, b_pad, n_lanes), jnp.int32),
-            jax.ShapeDtypeStruct((b_pad, n_lanes), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, W, b_pad), jnp.int32),
+            jax.ShapeDtypeStruct((W, b_pad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((b_pad, n_lanes), jnp.float32),
-            pltpu.VMEM((b_pad, n_lanes), jnp.float32),
-            pltpu.VMEM((b_pad, n_lanes), jnp.int32),
-            pltpu.VMEM((b_pad, n_lanes), jnp.int32),
-            pltpu.VMEM((b_pad, n_lanes), jnp.int32),
-            pltpu.VMEM((b_pad, n_lanes), jnp.int32),
+            pltpu.VMEM((W, _LANES), jnp.float32),
+            pltpu.VMEM((W, _LANES), jnp.float32),
+            pltpu.VMEM((W, _LANES), jnp.int32),
+            pltpu.VMEM((W, _LANES), jnp.int32),
+            pltpu.VMEM((W, _LANES), jnp.int32),
+            pltpu.VMEM((W, _LANES), jnp.int32),
         ],
         interpret=interpret,
     )(lpk_full, ck_full, lpb_full, il_full)
-    return bp, scores, ck
+    return _backtrace(bp, ck, scores, W, K, s_cap, t_max, n)
+
+
+def beam_pallas_supported(t_max, v, beam_width, prune_k, lm,
+                          dtype=jnp.float32):
+    """(ok, reason) — whether the pallas kernel covers this decode config."""
+    if lm is not None:
+        return False, "LM shallow fusion requires the XLA scan decoder"
+    if beam_width > 16:
+        return False, "pallas beam supports beam_width <= 16"
+    k = min(prune_k if prune_k else v, v)
+    if k > 128:
+        return False, "pallas beam supports prune_k <= 128"
+    if dtype != jnp.float32:
+        return False, "pallas beam is float32-only"
+    return True, ""
 
 
 def beam_search_pallas(log_probs, input_lengths=None, beam_width: int = 8,
                        blank: int = 0, prune_k: int | None = None,
-                       max_symbols: int | None = None, interpret=None):
+                       max_symbols: int | None = None,
+                       approx_topk: bool = False, interpret=None):
     """Pallas-kernel beam search; same returns as beam_search_decode.
 
-    float32 only; beam_width <= 16; beam_width * prune_k <= 384; no LM.
+    Jittable end to end (device arrays out).  float32 only;
+    beam_width <= 16; prune_k <= 128; no LM.
     """
     log_probs = jnp.asarray(log_probs, jnp.float32)
     t_max, n, v = log_probs.shape
@@ -323,55 +412,12 @@ def beam_search_pallas(log_probs, input_lengths=None, beam_width: int = 8,
     W = int(beam_width)
     K = min(int(prune_k or v), v)
     s_cap = int(max_symbols or min(t_max, 512))
-    if W > 16 or W * K > 384 or K > 256:
-        # K <= 256 keeps the candidate index inside bits 0..7 of the
-        # backpointer code (bit 8 is the stay flag; see f_bp below).
-        raise ValueError(
-            "pallas beam supports beam_width<=16, W*prune_k<=384, prune_k<=256"
-        )
+    ok, reason = beam_pallas_supported(t_max, v, W, K, lm=None)
+    if not ok:
+        raise ValueError(reason)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-
-    bp, scores, ck = _device_part(
+    return _beam_pallas_jit(
         log_probs, il, W, K, s_cap, int(blank), bool(interpret),
-        t_max, n, v,
+        bool(approx_topk), t_max, n, v,
     )
-
-    # host backtrace (vectorized over batch x beams)
-    bp_np = np.asarray(bp)[:t_max, :n, :W]          # (T, N, W)
-    ck_np = np.asarray(ck)[:, :, :K]                # (T, N, K)
-    n_lanes = 128
-    scores_np = np.asarray(scores)[:n, :W]
-    il_np = np.asarray(il)
-
-    order = np.argsort(-scores_np, axis=1, kind="stable")
-    scores_sorted = np.take_along_axis(scores_np, order, axis=1)
-    tokens = np.full((n, W, s_cap), -1, np.int32)
-    cur = order.copy()                               # (N, W) current lane
-    pos = np.zeros((n, W), np.int32)                 # tokens emitted so far
-    rows = np.arange(n)[:, None]
-    cols = np.arange(W)[None, :]
-    buf = np.full((n, W, s_cap), -1, np.int32)       # reversed tokens
-    for t in range(t_max - 1, -1, -1):
-        active = t < il_np[:, None]
-        code = bp_np[t][rows, cur]                   # (N, W)
-        parent = code >> 9
-        k_idx = code & 0xFF
-        is_stay = (code & 256) != 0
-        emit = active & ~is_stay
-        ch = ck_np[t][rows, np.minimum(k_idx, K - 1)]
-        sel = np.where(emit, np.minimum(pos, s_cap - 1), s_cap - 1)
-        old = buf[rows, cols, sel]
-        buf[rows, cols, sel] = np.where(emit, ch, old)
-        pos = pos + emit.astype(np.int32)
-        cur = np.where(active, parent, cur)
-    lens_out = np.minimum(pos, s_cap)
-    for b_i in range(n):
-        for w in range(W):
-            L = int(lens_out[b_i, w])
-            if L:
-                tokens[b_i, w, :L] = buf[b_i, w, :L][::-1]
-    scores_sorted = np.where(
-        scores_sorted > LOG0_THRESHOLD, scores_sorted, -np.inf
-    )
-    return tokens, lens_out, scores_sorted.astype(np.float32)

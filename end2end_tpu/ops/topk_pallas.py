@@ -1,0 +1,102 @@
+"""Exact top-K over the vocabulary as a Pallas TPU kernel.
+
+XLA's `lax.top_k` lowers to a full bitonic sort of the V-wide lane dim —
+measured 11.6 ms for (T=1000, B=32, V=1024, K=16) on v5e, which made it 61%
+of the beam-decode budget (`approx_max_k` is 8.9 ms at recall 1.0 and still
+tie-unstable).  A CTC decoder only needs the K largest entries, so this
+kernel does K iterative max-extractions over a VMEM-resident block instead:
+HBM traffic is one read of the lattice, and the compute is K cheap
+elementwise/reduce passes rather than O(log^2 V) sort stages.
+
+Layout: natural (T, B, V) input — frames in sublanes, vocab in lanes, no
+transpose.  Each grid step loads a (tc, B, V) block and extracts K
+(value, index) pairs per (t, b) cell.
+
+Tie-breaking matches `lax.top_k` exactly for finite values: equal values
+yield the smaller index first (the per-pass argmin-of-iota).  The one
+divergence: among multiple EXACTLY -inf entries the same (smallest) index
+is reported repeatedly instead of distinct ones — such candidates carry no
+probability mass, so downstream beam scores are unaffected.
+
+Used by the beam decoder (beam_search_pallas.py) on TPU; the reference's
+decoder (SURVEY.md §3.1 N3) does per-frame candidate pruning inside its C++
+loop — this is that pruning as a standalone TPU kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = np.int32(1 << 30)
+_NEG_INF = np.float32(-np.inf)
+
+
+def _pad_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _topk_kernel(K, x_ref, val_ref, idx_ref):
+    x = x_ref[...]  # (tc, B, V)
+    tc, b, v = x.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tc, b, v), 2)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, b, K), 2)
+    vals = jnp.full((tc, b, K), _NEG_INF, jnp.float32)
+    idxs = jnp.zeros((tc, b, K), jnp.int32)
+    for k in range(K):
+        m = jnp.max(x, axis=-1, keepdims=True)  # (tc, b, 1)
+        sel = jnp.min(jnp.where(x >= m, iota, _BIG), axis=-1, keepdims=True)
+        vals = jnp.where(k_iota == k, m, vals)
+        idxs = jnp.where(k_iota == k, sel, idxs)
+        x = jnp.where(iota == sel, _NEG_INF, x)
+    val_ref[...] = vals
+    idx_ref[...] = idxs
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def topk_pallas(x, k: int, interpret: bool = False):
+    """Exact (values, indices) top-k over the last dim of (T, B, V) f32.
+
+    Same contract as `jax.lax.top_k`: values sorted descending, ties by
+    ascending index (see module docstring for the -inf-tie caveat).
+    """
+    t_max, b, v = x.shape
+    if k > v:
+        raise ValueError(f"k={k} > V={v}")
+    x = x.astype(jnp.float32)
+
+    b_pad = _pad_up(b, 8)
+    v_pad = _pad_up(v, 128)
+    # block budget ~2 MB => tc rows of the (B, V) plane per grid step
+    tc = max(1, min(t_max, (2 << 20) // (b_pad * v_pad * 4)))
+    t_pad = _pad_up(t_max, tc)
+    if (t_pad, b_pad, v_pad) != (t_max, b, v):
+        x = jnp.pad(
+            x,
+            ((0, t_pad - t_max), (0, b_pad - b), (0, v_pad - v)),
+            constant_values=_NEG_INF,
+        )
+
+    kern = partial(_topk_kernel, k)
+    vspec = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                             memory_space=pltpu.VMEM)
+    vals, idxs = pl.pallas_call(
+        kern,
+        grid=(t_pad // tc,),
+        in_specs=[vspec((tc, b_pad, v_pad), lambda i: (i, 0, 0))],
+        out_specs=[
+            vspec((tc, b_pad, k), lambda i: (i, 0, 0)),
+            vspec((tc, b_pad, k), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, b_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, b_pad, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x)
+    return vals[:t_max, :b], idxs[:t_max, :b]

@@ -72,3 +72,88 @@ def test_pallas_beam_constraint_errors(rng):
     lp = lsm(rng.standard_normal((5, 1, 4))).astype(np.float32)
     with pytest.raises(ValueError, match="beam_width"):
         beam_search_pallas(lp, beam_width=32)
+
+
+def test_pallas_beam_multi_batch_tile(rng):
+    # n > 128 exercises the second grid dimension (two batch tiles)
+    B, T, V, W = 130, 6, 5, 4
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = rng.integers(2, T + 1, B).astype(np.int32)
+    p = _beam_sets(*beam_search_pallas(lp, il, beam_width=W), W)
+    x = _beam_sets(*beam_search_decode(lp, il, beam_width=W), W)
+    for b in range(B):
+        assert set(p[b]) == set(x[b]), b
+        for pref in p[b]:
+            np.testing.assert_allclose(p[b][pref], x[b][pref], atol=5e-4, rtol=2e-4)
+
+
+def test_pallas_beam_width16(rng):
+    # W=16 exercises the two-vreg sublane dimension AND W > finite
+    # candidates in the early frames (the zombie-mass regression).
+    B, T, V, W = 2, 10, 6, 16
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    p = _beam_sets(*beam_search_pallas(lp, beam_width=W), W)
+    x = _beam_sets(*beam_search_decode(lp, beam_width=W), W)
+    for b in range(B):
+        assert set(p[b]) == set(x[b]), b
+        for pref in p[b]:
+            np.testing.assert_allclose(p[b][pref], x[b][pref], atol=5e-4,
+                                       rtol=2e-4)
+
+
+def test_beam_no_zombie_mass_vs_numpy_oracle(rng):
+    # Regression: when fewer finite candidates than W exist (tiny V, early
+    # frames), the repeated-argmax selection used to duplicate a live beam's
+    # mass into the dead slots ("zombies"), which later re-merged and
+    # multiply-counted probability.  Both implementations must match the
+    # dict-based float64 NumPy oracle, which cannot have zombies.
+    from end2end_tpu.utils.reference_impl import beam_search_decode_ref
+
+    B, T, V, W = 3, 7, 3, 8
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = np.array([7, 5, 6], np.int32)
+    ref = beam_search_decode_ref(np.asarray(lp, np.float64), il, beam_width=W)
+    for impl in ("pallas", "xla"):
+        got = _beam_sets(
+            *beam_search_decode(lp, il, beam_width=W, implementation=impl), W
+        )
+        for b in range(B):
+            want = dict(ref[b])
+            assert set(got[b]) == set(want), (impl, b)
+            for pref, sc in got[b].items():
+                np.testing.assert_allclose(sc, want[pref], atol=5e-4,
+                                           rtol=2e-4, err_msg=f"{impl} {b}")
+
+
+def test_beam_decode_routes_to_pallas(rng):
+    # implementation='pallas' forces the kernel (interpret mode on CPU) and
+    # must agree with the XLA scan through the SAME public entry point
+    B, T, V, W = 2, 12, 6, 4
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    p = _beam_sets(*beam_search_decode(lp, beam_width=W, implementation="pallas"), W)
+    x = _beam_sets(*beam_search_decode(lp, beam_width=W, implementation="xla"), W)
+    for b in range(B):
+        assert set(p[b]) == set(x[b]), b
+
+
+def test_beam_decode_pallas_rejects_lm(rng):
+    from end2end_tpu.ops.lm import NGramLM
+
+    lp = lsm(rng.standard_normal((5, 1, 4))).astype(np.float32)
+    lm = NGramLM(np.zeros((3, 3), np.float32))
+    with pytest.raises(ValueError, match="LM"):
+        beam_search_decode(lp, beam_width=4, lm=lm, implementation="pallas")
+
+
+def test_beam_saturation_warns(rng):
+    from end2end_tpu import BeamSearchCTCDecoder
+
+    # alternating tokens force one emission per frame -> cap saturates
+    path = [1, 2, 1, 2, 1, 2]
+    lp = np.full((6, 1, 4), -12.0, np.float32)
+    for t, c in enumerate(path):
+        lp[t, 0, c] = -0.01
+    lp = lsm(lp.astype(np.float64)).astype(np.float32)
+    dec = BeamSearchCTCDecoder(beam_width=2, max_symbols=3)
+    with pytest.warns(UserWarning, match="saturated"):
+        dec.decode(lp)
