@@ -265,4 +265,128 @@ long e2e_parse_arpa(const char* path, const char* vocab, int n_words,
   return count;
 }
 
+// Generic-order ARPA parser (KenLM parity): flat n-gram dumps per order.
+//
+// Word ids are vocab indices; <s> = n_words, </s> = n_words + 1; grams
+// containing <unk> or OOV words are skipped (the <unk> unigram log-prob is
+// reported via *unk_logp, natural log; left untouched if absent).
+//
+// Two-call protocol:
+//   e2e_arpa_scan(path, vocab, n_words, counts[9], unk_logp) -> max order
+//     counts[k] = number of RETAINED k-grams (k = 1..8).
+//   e2e_arpa_dump(path, vocab, n_words, k, ids (cap, k), lp (cap,),
+//                 bo (cap,), cap) -> number written (-1 on I/O error).
+static bool arpa_tokenize(char* line, int& section, char** words, int max_w,
+                          int& n_tok, float& lp, float& bo) {
+  // returns true when the line is an n-gram entry of the current section
+  char* p = line;
+  while (*p == ' ' || *p == '\t') ++p;
+  if (*p == '\\') {
+    int k = 0;
+    if (std::sscanf(p, "\\%d-grams:", &k) == 1) section = k;
+    else if (std::strncmp(p, "\\end\\", 5) == 0) section = -1;
+    return false;
+  }
+  if (section < 1) return false;
+  char* end;
+  lp = std::strtof(p, &end);
+  if (end == p) return false;
+  p = end;
+  n_tok = 0;
+  for (int i = 0; i < section && n_tok < max_w; ++i) {
+    while (*p == ' ' || *p == '\t') ++p;
+    if (*p == '\0' || *p == '\n' || *p == '\r') return false;
+    words[n_tok++] = p;
+    while (*p && *p != ' ' && *p != '\t' && *p != '\n' && *p != '\r') ++p;
+    if (*p) *p++ = '\0';
+  }
+  if (n_tok != section) return false;
+  while (*p == ' ' || *p == '\t') ++p;
+  bo = 0.0f;
+  if (*p && *p != '\n' && *p != '\r') bo = std::strtof(p, nullptr);
+  return true;
+}
+
+static void arpa_vocab_map(const char* vocab, int n_words,
+                           std::unordered_map<std::string, int>& word_id) {
+  const char* p = vocab;
+  for (int i = 0; i < n_words; ++i) {
+    word_id.emplace(p, i);
+    p += std::strlen(p) + 1;
+  }
+  word_id.emplace("<s>", n_words);
+  word_id.emplace("</s>", n_words + 1);
+}
+
+int e2e_arpa_scan(const char* path, const char* vocab, int n_words,
+                  long* counts, float* unk_logp) {
+  FILE* f = std::fopen(path, "r");
+  if (!f) return -1;
+  std::unordered_map<std::string, int> word_id;
+  arpa_vocab_map(vocab, n_words, word_id);
+  const float ln10 = 2.302585092994046f;
+  for (int k = 0; k < 9; ++k) counts[k] = 0;
+  char line[8192];
+  char* words[8];
+  int section = 0, max_order = 0;
+  while (std::fgets(line, sizeof line, f)) {
+    int n_tok;
+    float lp, bo;
+    if (!arpa_tokenize(line, section, words, 8, n_tok, lp, bo)) {
+      if (section == -1) break;
+      continue;
+    }
+    if (section > max_order) max_order = section;
+    if (section == 1 && (std::strcmp(words[0], "<unk>") == 0 ||
+                         std::strcmp(words[0], "<UNK>") == 0)) {
+      *unk_logp = lp * ln10;
+      continue;
+    }
+    bool ok = true;
+    for (int i = 0; i < n_tok; ++i)
+      if (word_id.find(words[i]) == word_id.end()) { ok = false; break; }
+    if (ok && section >= 1 && section <= 8) ++counts[section];
+  }
+  std::fclose(f);
+  return max_order;
+}
+
+long e2e_arpa_dump(const char* path, const char* vocab, int n_words, int k,
+                   int32_t* ids, float* lp_out, float* bo_out, long cap) {
+  FILE* f = std::fopen(path, "r");
+  if (!f) return -1;
+  std::unordered_map<std::string, int> word_id;
+  arpa_vocab_map(vocab, n_words, word_id);
+  const float ln10 = 2.302585092994046f;
+  char line[8192];
+  char* words[8];
+  int section = 0;
+  long n_out = 0;
+  while (std::fgets(line, sizeof line, f) && n_out < cap) {
+    int n_tok;
+    float lp, bo;
+    if (!arpa_tokenize(line, section, words, 8, n_tok, lp, bo)) {
+      if (section == -1) break;
+      continue;
+    }
+    if (section != k) continue;
+    if (k == 1 && (std::strcmp(words[0], "<unk>") == 0 ||
+                   std::strcmp(words[0], "<UNK>") == 0)) continue;
+    bool ok = true;
+    int tmp[8];
+    for (int i = 0; i < n_tok; ++i) {
+      auto it = word_id.find(words[i]);
+      if (it == word_id.end()) { ok = false; break; }
+      tmp[i] = it->second;
+    }
+    if (!ok) continue;
+    for (int i = 0; i < k; ++i) ids[n_out * k + i] = tmp[i];
+    lp_out[n_out] = lp * ln10;
+    bo_out[n_out] = bo * ln10;
+    ++n_out;
+  }
+  std::fclose(f);
+  return n_out;
+}
+
 }  // extern "C"

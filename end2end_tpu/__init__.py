@@ -15,8 +15,9 @@ from .ops.alignment import ForcedAlignment, ctc_forced_alignment
 from .ops.ctc_loss import CTCLoss, ctc_loss, ctc_loss_jit, ctc_nll
 from .ops.greedy import GreedyCTCDecoder, greedy_decode, greedy_decode_with_timestamps
 from .ops.beam_search import BeamSearchCTCDecoder, beam_search_decode
+from .ops.lm import HashedNGramLM, HashedWordNGramLM, NGramLM, WordNGramLM
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "ctc_loss",
@@ -30,5 +31,9 @@ __all__ = [
     "BeamSearchCTCDecoder",
     "ctc_forced_alignment",
     "ForcedAlignment",
+    "NGramLM",
+    "WordNGramLM",
+    "HashedNGramLM",
+    "HashedWordNGramLM",
     "__version__",
 ]

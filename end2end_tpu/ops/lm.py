@@ -91,6 +91,56 @@ def bigram_from_counts(counts, smoothing: float = 1.0):
     return np.log(probs).astype(np.float32)
 
 
+class _WordHash:
+    """Open-addressing spell-hash -> word-id table (device gathers + linear
+    probes); shared by the word-level LMs."""
+
+    _MULT = np.uint32(31)
+    _SEED = np.uint32(5381)
+    _PROBES = 4
+
+    def __init__(self, word_spellings, miss_value):
+        self.miss = int(miss_value)
+        m = 1
+        while m < 4 * max(len(word_spellings), 1):
+            m *= 2
+        keys = np.zeros((m,), np.uint32)
+        vals = np.full((m,), self.miss, np.int32)
+        with np.errstate(over="ignore"):
+            for wid, spell in enumerate(word_spellings):
+                h = self._SEED
+                for c in spell:
+                    h = h * self._MULT + np.uint32(int(c) + 1)
+                if h == 0:
+                    raise ValueError("degenerate word hash")
+                idx = int(h) & (m - 1)
+                for p in range(self._PROBES):
+                    j = (idx + p) & (m - 1)
+                    if keys[j] == 0:
+                        keys[j] = h
+                        vals[j] = wid
+                        break
+                    if keys[j] == h:
+                        raise ValueError(f"word hash collision for word {wid}")
+                else:
+                    raise ValueError("hash table overfull; increase size")
+        self._m = m
+        self._keys = jnp.asarray(keys)
+        self._vals = jnp.asarray(vals)
+
+    def lookup(self, h):
+        """uint32 spell-hashes (any shape) -> word ids (miss_value on miss)."""
+        idx0 = (h & jnp.uint32(self._m - 1)).astype(jnp.int32)
+        wid = jnp.full(h.shape, self.miss, jnp.int32)
+        found = jnp.zeros(h.shape, bool)
+        for p in range(self._PROBES):
+            j = (idx0 + p) % self._m
+            hit = (self._keys[j] == h) & ~found
+            wid = jnp.where(hit, self._vals[j], wid)
+            found = found | hit
+        return wid
+
+
 class WordNGramLM:
     """Word-level shallow fusion — the reference's KenLM behavior: hypotheses
     are scored with a WORD bigram each time a word completes (at the space
@@ -141,32 +191,7 @@ class WordNGramLM:
             ])
         )
 
-        # open-addressing hash table: word spell-hash -> word id
-        m = 1
-        while m < 4 * max(wv, 1):
-            m *= 2
-        keys = np.zeros((m,), np.uint32)
-        vals = np.full((m,), self._unk, np.int32)
-        for wid, spell in enumerate(word_spellings):
-            h = self._SEED
-            for c in spell:
-                h = h * self._MULT + np.uint32(int(c) + 1)
-            if h == 0:
-                raise ValueError("degenerate word hash")
-            idx = int(h) & (m - 1)
-            for p in range(self._PROBES):
-                j = (idx + p) & (m - 1)
-                if keys[j] == 0:
-                    keys[j] = h
-                    vals[j] = wid
-                    break
-                if keys[j] == h:
-                    raise ValueError(f"word hash collision for word {wid}")
-            else:
-                raise ValueError("hash table overfull; increase size")
-        self._m = m
-        self._keys = jnp.asarray(keys)
-        self._vals = jnp.asarray(vals)
+        self._wh = _WordHash(word_spellings, self._unk)
         self._unk_logp = float(unk_logp)
 
     @classmethod
@@ -180,18 +205,8 @@ class WordNGramLM:
         return cls(spellings, bigram, start, space_id,
                    unigram_logp=uni, eos_logp=eos, **kw)
 
-    # -- hash lookup --------------------------------------------------------
     def _lookup(self, h):
-        """(W,) uint32 spell-hashes -> (W,) word ids (unk on miss)."""
-        idx0 = (h & jnp.uint32(self._m - 1)).astype(jnp.int32)
-        wid = jnp.full(h.shape, self._unk, jnp.int32)
-        found = jnp.zeros(h.shape, bool)
-        for p in range(self._PROBES):
-            j = (idx0 + p) % self._m
-            hit = (self._keys[j] == h) & ~found
-            wid = jnp.where(hit, self._vals[j], wid)
-            found = found | hit
-        return wid
+        return self._wh.lookup(h)
 
     # -- ShallowFusionLM protocol --------------------------------------------
     def init_state(self, w):
@@ -240,3 +255,317 @@ class WordNGramLM:
         trailing = jnp.where(curlen > 0, lp, 0.0)
         ended = jnp.where(curlen > 0, wid, prev)
         return trailing + self._eos[jnp.minimum(ended, self._wv + 1)]
+
+
+class _HashedNGramTables:
+    """Arbitrary-order n-gram score/backoff tables behind dual-hash
+    open-addressing — the KenLM-parity core (SURVEY.md §3.1 N6).
+
+    One table per order k: slot index from hash-1, slot key = hash-2 with
+    an explicit occupancy bitmap (hash values must not be mangled to mark
+    empties: grams differing only in the last token hash 1 apart), payload
+    (logp, backoff).  Lookups are pure gathers +
+    linear probes, fully vectorized over (beam, candidate) — queryable from
+    inside a compiled scan.  The same fold recipe hashes a k-gram and serves
+    as the context prefix of a (k+1)-gram, so context hashes double as
+    context-gram lookups for the backoff chain.
+    """
+
+    _M1 = np.uint32(2654435761)
+    _M2 = np.uint32(0x85EBCA6B)
+    _SEED1 = np.uint32(0x9E3779B9)
+    _SEED2 = np.uint32(0x85EBCA77)
+    _PROBES = 8
+
+    def __init__(self, order, ngrams, unk_logp=None):
+        """ngrams: {k: [(ids_tuple, logp, backoff)], 'unk': logp|None} —
+        the output of utils.arpa.parse_arpa_order."""
+        self.order = int(order)
+        self.unk_logp = float(
+            unk_logp if unk_logp is not None
+            else (ngrams.get("unk") if ngrams.get("unk") is not None else -23.0)
+        )
+        self._keys, self._occ, self._lps, self._bos, self._ms = [], [], [], [], []
+        for k in range(1, self.order + 1):
+            entries = ngrams.get(k, [])
+            m = 8
+            while m < 4 * max(len(entries), 1):
+                m *= 2
+            while True:
+                keys = np.zeros((m,), np.uint32)
+                occ = np.zeros((m,), bool)
+                lps = np.zeros((m,), np.float32)
+                bos = np.zeros((m,), np.float32)
+                ok = True
+                for ids, lp, bo in entries:
+                    h1, h2 = self._fold_np(ids)
+                    idx = int(h1) & (m - 1)
+                    for p in range(self._PROBES):
+                        j = (idx + p) & (m - 1)
+                        if not occ[j]:
+                            occ[j] = True
+                            keys[j] = h2
+                            lps[j] = lp
+                            bos[j] = bo
+                            break
+                        if keys[j] == h2:
+                            # exact (h1-window, h2) duplicate: overwrite
+                            lps[j] = lp
+                            bos[j] = bo
+                            break
+                    else:
+                        ok = False
+                        break
+                if ok:
+                    break
+                m *= 2  # overfull probe window: grow and rebuild
+            self._ms.append(m)
+            self._keys.append(jnp.asarray(keys))
+            self._occ.append(jnp.asarray(occ))
+            self._lps.append(jnp.asarray(lps))
+            self._bos.append(jnp.asarray(bos))
+
+    @classmethod
+    def _fold_np(cls, ids):
+        with np.errstate(over="ignore"):
+            h1, h2 = cls._SEED1, cls._SEED2
+            for t in ids:
+                h1 = h1 * cls._M1 + np.uint32(int(t) + 2)
+                h2 = h2 * cls._M2 + np.uint32(int(t) + 2)
+        return h1, h2
+
+    @classmethod
+    def _fold1(cls, h1, h2, tok):
+        t = tok.astype(jnp.uint32) + jnp.uint32(2)
+        return h1 * cls._M1 + t, h2 * cls._M2 + t
+
+    def _lookup(self, k, h1, h2):
+        """k-gram lookup (1-based order).  h1/h2: raw uint32 fold hashes
+        (any shape).  Returns (logp, backoff, hit)."""
+        m = self._ms[k - 1]
+        keys, occ = self._keys[k - 1], self._occ[k - 1]
+        lps, bos = self._lps[k - 1], self._bos[k - 1]
+        idx0 = (h1 & jnp.uint32(m - 1)).astype(jnp.int32)
+        lp = jnp.zeros(h1.shape, jnp.float32)
+        bo = jnp.zeros(h1.shape, jnp.float32)
+        hit = jnp.zeros(h1.shape, bool)
+        for p in range(self._PROBES):
+            j = (idx0 + p) % m
+            h = occ[j] & (keys[j] == h2) & ~hit
+            lp = jnp.where(h, lps[j], lp)
+            bo = jnp.where(h, bos[j], bo)
+            hit = hit | h
+        return lp, bo, hit
+
+    def ctx_hashes(self, window):
+        """window: (..., order-1) int32, oldest first, -1 = empty slot.
+        Returns [(h1, h2)] raw fold hashes for context suffix lengths
+        0..order-1; the same fold is both a gram lookup key and the prefix
+        for one more _fold1 step."""
+        out = [(
+            jnp.full(window.shape[:-1], self._SEED1, jnp.uint32),
+            jnp.full(window.shape[:-1], self._SEED2, jnp.uint32),
+        )]
+        n_ctx = window.shape[-1]
+        for j in range(1, n_ctx + 1):
+            h1 = jnp.full(window.shape[:-1], self._SEED1, jnp.uint32)
+            h2 = jnp.full(window.shape[:-1], self._SEED2, jnp.uint32)
+            for i in range(n_ctx - j, n_ctx):
+                h1, h2 = self._fold1(h1, h2, window[..., i])
+            out.append((h1, h2))
+        return out
+
+    def score(self, window, w):
+        """log p(w | window) with full KenLM backoff semantics.
+
+        window: (..., order-1) int32 (oldest first, -1 empty); w: broadcast-
+        compatible int32 tokens.  A context slot holding -1 never matches any
+        stored gram, so short histories back off naturally.
+        """
+        ctx = self.ctx_hashes(window)  # index = context length
+        acc = jnp.zeros(jnp.broadcast_shapes(window.shape[:-1], w.shape),
+                        jnp.float32)
+        res = jnp.zeros_like(acc)
+        found = jnp.zeros(acc.shape, bool)
+        for k in range(self.order, 0, -1):
+            ch1, ch2 = ctx[k - 1]
+            g1, g2 = self._fold1(ch1, ch2, w)
+            lp, _, hit = self._lookup(k, g1, g2)
+            res = jnp.where(~found & hit, lp + acc, res)
+            found = found | hit
+            if k > 1:
+                # backoff weight of the (k-1)-length context gram (0 if the
+                # context itself is unseen — standard ARPA semantics)
+                _, cbo, chit = self._lookup(k - 1, *ctx[k - 1])
+                acc = acc + jnp.where(chit, cbo, 0.0)
+        return jnp.where(found, res, self.unk_logp + acc)
+
+
+class HashedNGramLM:
+    """Token-level n-gram LM of ANY order with KenLM backoff semantics,
+    implementing the ShallowFusionLM protocol.  Per-beam state is the last
+    (order-1) token ids; scoring is O(order) hashed lookups per candidate.
+
+    Build from an ARPA file with `from_arpa` (any order), or pass the parsed
+    ngrams dict directly.  <s> conditions the first tokens; `final()` adds
+    the </s> score.
+    """
+
+    def __init__(self, order, ngrams, vocab_size, unk_logp=None,
+                 use_eos=True):
+        self._t = _HashedNGramTables(order, ngrams, unk_logp)
+        self.order = self._t.order
+        self._v = int(vocab_size)
+        self._bos = self._v       # parse_arpa_order's <s> id
+        self._eos = self._v + 1
+        self._use_eos = bool(use_eos)
+
+    @classmethod
+    def from_arpa(cls, path, vocab, **kw):
+        from ..utils.arpa import parse_arpa_order
+
+        order, ngrams = parse_arpa_order(path, list(vocab))
+        return cls(order, ngrams, len(vocab), **kw)
+
+    # -- ShallowFusionLM protocol -------------------------------------------
+    def init_state(self, w):
+        n_ctx = max(self.order - 1, 1)
+        win = jnp.full((w, n_ctx), -1, jnp.int32)
+        return win.at[:, -1].set(self._bos)
+
+    def score(self, state, ck):
+        # state: (W, n_ctx); ck: (K,) -> lm_lp (W, K), state_ext (W, K, n_ctx)
+        lm_lp = self._t.score(state[:, None, :], ck[None, :].astype(jnp.int32))
+        new_win = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    state[:, None, 1:], (state.shape[0], ck.shape[0],
+                                         state.shape[1] - 1)
+                ),
+                jnp.broadcast_to(
+                    ck[None, :, None].astype(jnp.int32),
+                    (state.shape[0], ck.shape[0], 1),
+                ),
+            ],
+            axis=-1,
+        ) if state.shape[1] > 1 else jnp.broadcast_to(
+            ck[None, :, None].astype(jnp.int32),
+            (state.shape[0], ck.shape[0], 1),
+        )
+        return lm_lp, new_win
+
+    def select(self, state, state_ext, parent, kk, is_stay):
+        return jnp.where(
+            is_stay[:, None], state[parent], state_ext[parent, kk]
+        )
+
+    def final(self, state):
+        if not self._use_eos:
+            return jnp.zeros((state.shape[0],), jnp.float32)
+        w = jnp.full((state.shape[0],), self._eos, jnp.int32)
+        return self._t.score(state, w)
+
+
+class HashedWordNGramLM:
+    """Word-level shallow fusion at ANY n-gram order — full KenLM parity for
+    the reference's word-LM behavior (SURVEY.md §3.1 N6): hypotheses are
+    scored each time a word completes (at the space token and at end of
+    utterance), with arbitrary-order backoff over the word history.
+
+    Per-beam state: (word-history window (order-1), rolling spell-hash of
+    the word being typed, its length).  Completed words resolve to word ids
+    through the open-addressing spell table (_WordHash); scores come from
+    the hashed n-gram tables (_HashedNGramTables) over word ids.  Unknown
+    words score the <unk> log-prob (plus the context's backoff chain) and
+    enter the history as an id that matches no stored gram — the natural
+    KenLM behavior of conditioning through <unk>.
+
+    Build from an ARPA word LM of any order with `from_arpa`.
+    """
+
+    _MULT = np.uint32(31)
+    _SEED = np.uint32(5381)
+
+    def __init__(self, word_spellings, order, ngrams, space_id,
+                 unk_logp=None):
+        wv = len(word_spellings)
+        self._wv = wv
+        self._space = int(space_id)
+        self._bos = wv       # parse_arpa_order's <s> id
+        self._eos = wv + 1
+        self._unk_word = -2  # history sentinel: matches no stored gram
+        self._t = _HashedNGramTables(order, ngrams, unk_logp)
+        self.order = self._t.order
+        self._wh = _WordHash(word_spellings, self._unk_word)
+
+    @classmethod
+    def from_arpa(cls, path, words, alphabet, space_symbol=" ", **kw):
+        """words: list of word strings; alphabet: utils.text.Alphabet."""
+        from ..utils.arpa import parse_arpa_order
+
+        order, ngrams = parse_arpa_order(path, list(words))
+        spellings = [tuple(alphabet.encode(w)) for w in words]
+        space_id = alphabet.encode(space_symbol)[0]
+        return cls(spellings, order, ngrams, space_id, **kw)
+
+    # -- ShallowFusionLM protocol -------------------------------------------
+    def init_state(self, w):
+        n_ctx = max(self.order - 1, 1)
+        win = jnp.full((w, n_ctx), -1, jnp.int32).at[:, -1].set(self._bos)
+        return (
+            win,                                     # word history window
+            jnp.full((w,), self._SEED, jnp.uint32),  # rolling word hash
+            jnp.zeros((w,), jnp.int32),              # chars in current word
+        )
+
+    def _shift(self, win, new_word):
+        if win.shape[-1] == 1:
+            return new_word[..., None].astype(jnp.int32)
+        return jnp.concatenate(
+            [win[..., 1:], new_word[..., None].astype(jnp.int32)], axis=-1
+        )
+
+    def score(self, state, ck):
+        win, curh, curlen = state
+        is_space = (ck == self._space)[None, :]  # (1, K)
+        wid = self._wh.lookup(curh)  # (W,) word completed by a space now
+        complete_lp = self._t.score(win, wid)  # unk wid -> unk + backoffs
+        complete_lp = jnp.where(curlen > 0, complete_lp, 0.0)  # (W,)
+        lm_lp = jnp.where(is_space, complete_lp[:, None], 0.0)  # (W, K)
+
+        k = ck.shape[0]
+        w = win.shape[0]
+        win_b = jnp.broadcast_to(win[:, None, :], (w, k, win.shape[-1]))
+        advanced = self._shift(win_b, jnp.broadcast_to(wid[:, None], (w, k)))
+        new_win = jnp.where(
+            (is_space & (curlen > 0)[:, None])[..., None], advanced, win_b
+        )
+        cku = ck.astype(jnp.uint32) + 1
+        new_hash = jnp.where(
+            is_space, jnp.uint32(self._SEED),
+            curh[:, None] * self._MULT + cku[None, :],
+        )
+        new_len = jnp.where(is_space, 0, curlen[:, None] + 1).astype(jnp.int32)
+        return lm_lp, (new_win, new_hash, new_len)
+
+    def select(self, state, state_ext, parent, kk, is_stay):
+        win, curh, curlen = state
+        ewin, ehash, elen = state_ext
+        return (
+            jnp.where(is_stay[:, None], win[parent], ewin[parent, kk]),
+            jnp.where(is_stay, curh[parent], ehash[parent, kk]),
+            jnp.where(is_stay, curlen[parent], elen[parent, kk]),
+        )
+
+    def final(self, state):
+        """Complete the trailing word, then add the </s> score."""
+        win, curh, curlen = state
+        wid = self._wh.lookup(curh)
+        trailing = jnp.where(curlen > 0, self._t.score(win, wid), 0.0)
+        ended = jnp.where(
+            (curlen > 0)[:, None],
+            self._shift(win, wid),
+            win,
+        )
+        eos = jnp.full((win.shape[0],), self._eos, jnp.int32)
+        return trailing + self._t.score(ended, eos)

@@ -74,6 +74,16 @@ def _load():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
             c_f32p, c_f32p, c_f32p, c_f32p,
         ]
+        lib.e2e_arpa_scan.restype = ctypes.c_int
+        lib.e2e_arpa_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_long), c_f32p,
+        ]
+        lib.e2e_arpa_dump.restype = ctypes.c_long
+        lib.e2e_arpa_dump.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            c_i32p, c_f32p, c_f32p, ctypes.c_long,
+        ]
         _LIB = lib
         return _LIB
 
@@ -150,3 +160,31 @@ def parse_arpa_native(path: str, vocab: list[str]):
     if n < 0:
         raise FileNotFoundError(path)
     return unigram, bigram, start, eos
+
+
+def parse_arpa_order_native(path: str, vocab: list[str]):
+    """Generic-order ARPA parse via the native parser; same contract as
+    utils.arpa.parse_arpa_order.  Returns None if the library is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    v = len(vocab)
+    blob = b"\0".join(w.encode() for w in vocab) + b"\0"
+    counts = (ctypes.c_long * 9)()
+    unk = np.array([np.nan], np.float32)
+    order = lib.e2e_arpa_scan(path.encode(), blob, v, counts, _f32p(unk))
+    if order < 0:
+        raise FileNotFoundError(path)
+    ngrams: dict = {"unk": None if np.isnan(unk[0]) else float(unk[0])}
+    for k in range(1, order + 1):
+        cap = max(int(counts[k]), 1)
+        ids = np.empty((cap, k), np.int32)
+        lp = np.empty((cap,), np.float32)
+        bo = np.empty((cap,), np.float32)
+        n = lib.e2e_arpa_dump(path.encode(), blob, v, k, _i32p(ids),
+                              _f32p(lp), _f32p(bo), cap)
+        ngrams[k] = [
+            (tuple(int(x) for x in ids[i]), float(lp[i]), float(bo[i]))
+            for i in range(n)
+        ]
+    return order, ngrams

@@ -142,6 +142,9 @@ def beam_search_decode_ref(
     beam_width: int = 8,
     blank: int = 0,
     prune_k: int | None = None,
+    lm=None,
+    lm_alpha: float = 0.0,
+    lm_beta: float = 0.0,
 ):
     """Prefix beam search (Hannun et al. 2014) with exact prefix merging.
 
@@ -154,6 +157,20 @@ def beam_search_decode_ref(
     """
     log_probs = np.asarray(log_probs, dtype=np.float64)
     T, N, C = log_probs.shape
+    lm_memo: dict = {(): 0.0}
+
+    def lm_total(prefix):
+        """alpha * sum log p_LM(t_i | bos, t_<i) + beta * len — the shallow
+        fusion term accumulated by the scan decoder (beam_search.py)."""
+        if lm is None:
+            return 0.0
+        if prefix in lm_memo:
+            return lm_memo[prefix]
+        ctx = (lm.bos,) + prefix[:-1]
+        val = lm_total(prefix[:-1]) + lm_alpha * lm.score(ctx, prefix[-1]) + lm_beta
+        lm_memo[prefix] = val
+        return val
+
     results = []
     for n in range(N):
         tn = int(input_lengths[n])
@@ -190,12 +207,16 @@ def beam_search_decode_ref(
                         add(prefix + (c,), -np.inf, total + lp[c])
             scored = sorted(
                 new_beams.items(),
-                key=lambda kv: -np.logaddexp(kv[1][0], kv[1][1]),
+                key=lambda kv: -(np.logaddexp(kv[1][0], kv[1][1]) + lm_total(kv[0])),
             )
             beams = dict(scored[:beam_width])
+        def fin(p, v):
+            s = float(np.logaddexp(v[0], v[1])) + lm_total(p)
+            if lm is not None:
+                s += lm_alpha * lm.score((lm.bos,) + p, lm.eos)
+            return s
         final = sorted(
-            ((p, float(np.logaddexp(v[0], v[1]))) for p, v in beams.items()),
-            key=lambda kv: -kv[1],
+            ((p, fin(p, v)) for p, v in beams.items()), key=lambda kv: -kv[1]
         )
         results.append(final)
     return results

@@ -162,3 +162,242 @@ def test_word_lm_from_arpa(tmp_path):
     _, _, s_cd = beam_search_decode(lp_cd, beam_width=2, lm=lm, lm_alpha=1.0)
     _, _, s_dd = beam_search_decode(lp_dd, beam_width=2, lm=lm, lm_alpha=1.0)
     assert float(s_cd[0, 0]) > float(s_dd[0, 0])
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-order hashed n-gram LM (KenLM parity, SURVEY.md §3.1 N6)
+# ---------------------------------------------------------------------------
+
+_LN10 = np.log(10.0)
+
+_TRIGRAM_ARPA = """\
+\\data\\
+ngram 1=6
+ngram 2=6
+ngram 3=4
+
+\\1-grams:
+-0.8 a -0.3
+-0.9 b -0.2
+-1.2 c
+-0.5 <s> -0.4
+-1.0 </s>
+-2.0 <unk>
+
+\\2-grams:
+-0.4 <s> a -0.1
+-0.7 a b -0.2
+-0.6 b c
+-0.9 a a
+-1.1 c </s>
+-0.8 b a -0.15
+
+\\3-grams:
+-0.2 <s> a b
+-0.5 a b c
+-0.9 b a a
+-0.3 a b </s>
+
+\\end\\
+"""
+
+_VOCAB = ["_", "a", "b", "c"]  # index = label id; 0 is blank (never scored)
+_A, _B, _C = 1, 2, 3
+
+
+def _write_arpa(tmp_path, text=_TRIGRAM_ARPA, name="lm.arpa"):
+    f = tmp_path / name
+    f.write_text(text)
+    return str(f)
+
+
+def test_arpa_scorer_hand_values(tmp_path):
+    from end2end_tpu.utils.arpa import ArpaScorer
+
+    sc = ArpaScorer.from_file(_write_arpa(tmp_path), _VOCAB)
+    bos, eos = sc.bos, sc.eos
+    # direct hits
+    np.testing.assert_allclose(sc.score((bos,), _A), -0.4 * _LN10, rtol=1e-12)
+    np.testing.assert_allclose(sc.score((bos, _A), _B), -0.2 * _LN10, rtol=1e-12)
+    np.testing.assert_allclose(sc.score((_A, _B), _C), -0.5 * _LN10, rtol=1e-12)
+    # backoff chains (hand-computed)
+    # (b c) a: no trigram, bo(b c)=0; (c) a: no bigram, bo(c)=0; uni(a)
+    np.testing.assert_allclose(sc.score((_B, _C), _A), -0.8 * _LN10, rtol=1e-12)
+    # (a) c: no bigram -> bo(a) + uni(c) = -0.3 + -1.2
+    np.testing.assert_allclose(sc.score((_A,), _C), -1.5 * _LN10, rtol=1e-12)
+    # (b c) </s>: no trigram, bo(b c)=0 -> bigram c </s> = -1.1
+    np.testing.assert_allclose(sc.score((_B, _C), eos), -1.1 * _LN10, rtol=1e-12)
+    # context longer than order-1 truncates
+    np.testing.assert_allclose(
+        sc.score((bos, _C, _A, _B), _C), sc.score((_A, _B), _C), rtol=1e-12
+    )
+
+
+def test_hashed_tables_match_scorer_exhaustive(tmp_path):
+    """Device hashed tables == dict oracle on EVERY (context, token) pair
+    reachable with histories up to length 3 (incl. bos and empty slots)."""
+    import itertools
+
+    from end2end_tpu.ops.lm import HashedNGramLM
+    from end2end_tpu.utils.arpa import ArpaScorer
+
+    path = _write_arpa(tmp_path)
+    lm = HashedNGramLM.from_arpa(path, _VOCAB)
+    sc = ArpaScorer.from_file(path, _VOCAB)
+    assert lm.order == 3
+    toks = [_A, _B, _C]
+    ctxs = [()]
+    for n in (1, 2, 3):
+        ctxs += [c for c in itertools.product(toks, repeat=n)]
+    for ctx in ctxs:
+        full = (sc.bos,) + ctx
+        win = np.full((1, lm.order - 1), -1, np.int32)
+        tail = full[-(lm.order - 1):]
+        win[0, lm.order - 1 - len(tail):] = tail
+        for w in toks + [sc.eos]:
+            got = float(lm._t.score(jnp.asarray(win), jnp.asarray([w]))[0])
+            want = sc.score(full, w)
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6,
+                                       err_msg=f"ctx={ctx} w={w}")
+
+
+def test_trigram_beam_fusion_matches_numpy_oracle(tmp_path, rng):
+    """Done-criterion (VERDICT #5): beam fusion with a 3-gram ARPA matches an
+    independent oracle — the float64 dict-based scorer + dict-based beam."""
+    from end2end_tpu.ops.lm import HashedNGramLM
+    from end2end_tpu.utils.arpa import ArpaScorer
+    from end2end_tpu.utils.reference_impl import beam_search_decode_ref
+
+    path = _write_arpa(tmp_path)
+    lm = HashedNGramLM.from_arpa(path, _VOCAB)
+    sc = ArpaScorer.from_file(path, _VOCAB)
+    B, T, V, W = 3, 10, 4, 4
+    lp = log_softmax_np(rng.standard_normal((T, B, V)) * 1.6).astype(np.float32)
+    il = np.array([10, 7, 9], np.int32)
+    alpha, beta = 0.7, 0.25
+
+    toks, lens, scores = beam_search_decode(
+        lp, il, beam_width=W, lm=lm, lm_alpha=alpha, lm_beta=beta
+    )
+    ref = beam_search_decode_ref(
+        np.asarray(lp, np.float64), il, beam_width=W,
+        lm=sc, lm_alpha=alpha, lm_beta=beta,
+    )
+    toks, lens, scores = map(np.asarray, (toks, lens, scores))
+    for b in range(B):
+        want = dict(ref[b])
+        got = {
+            tuple(toks[b, w, : lens[b, w]].tolist()): float(scores[b, w])
+            for w in range(W) if np.isfinite(scores[b, w])
+        }
+        assert set(got) == set(want), (b, set(got) ^ set(want))
+        for pref, s in got.items():
+            np.testing.assert_allclose(s, want[pref], rtol=1e-4, atol=5e-4)
+
+
+def test_fourgram_tables(tmp_path):
+    """Order-4 path: parser + hashed tables + backoff through 3 levels."""
+    from end2end_tpu.ops.lm import HashedNGramLM
+    from end2end_tpu.utils.arpa import ArpaScorer
+
+    arpa = _TRIGRAM_ARPA.replace("\\end\\", """\\4-grams:
+-0.15 <s> a b c
+-0.45 a b c a
+
+\\end\\""").replace("ngram 3=4", "ngram 3=4\nngram 4=2")
+    path = _write_arpa(tmp_path, arpa, "lm4.arpa")
+    lm = HashedNGramLM.from_arpa(path, _VOCAB)
+    sc = ArpaScorer.from_file(path, _VOCAB)
+    assert lm.order == 4 and sc.order == 4
+    import itertools
+
+    for ctx in itertools.product([_A, _B, _C], repeat=3):
+        for w in (_A, _B, _C, sc.eos):
+            win = np.asarray([ctx], np.int32)
+            got = float(lm._t.score(jnp.asarray(win), jnp.asarray([w]))[0])
+            np.testing.assert_allclose(
+                got, sc.score((sc.bos,) + ctx, w), rtol=1e-6, atol=1e-6
+            )
+    # the 4-gram hit itself
+    np.testing.assert_allclose(
+        sc.score((sc.bos, _A, _B), _C), -0.15 * _LN10, rtol=1e-12
+    )
+
+
+def test_hashed_word_lm_trigram(tmp_path, rng):
+    """Word-level trigram fusion: the word choice depends on TWO previous
+    words — impossible for the dense bigram WordNGramLM, the whole point of
+    the hashed-order upgrade."""
+    from end2end_tpu.ops.lm import HashedWordNGramLM
+    from end2end_tpu.utils.text import Alphabet
+
+    # trigram: after "a b" the word "c" is near-certain; after "b b" it's "a"
+    arpa = (
+        "\\data\\\nngram 1=6\nngram 2=4\nngram 3=2\n\n\\1-grams:\n"
+        "-1.9 <unk>\n-0.3 <s> -0.2\n-0.9 </s>\n"
+        "-0.5 a -0.2\n-0.5 b -0.2\n-0.9 c -0.2\n\n"
+        "\\2-grams:\n-0.4 <s> a -0.1\n-0.4 a b -0.1\n-0.5 b b -0.1\n-0.9 b c\n\n"
+        "\\3-grams:\n-0.05 a b c\n-0.1 b b a\n\n\\end\\\n"
+    )
+    f = tmp_path / "tri_words.arpa"
+    f.write_text(arpa)
+    alphabet = Alphabet(["_", "a", "b", "c", " "])
+    lm = HashedWordNGramLM.from_arpa(str(f), ["a", "b", "c"], alphabet)
+    assert lm.order == 3
+
+    def seq(text):
+        return [alphabet.encode(ch)[0] for ch in text]
+
+    # ambiguous third word between 'a' and 'c' on equal acoustics
+    def lp_for(third):
+        return _peaked(seq(f"a b {third}"), len(alphabet))
+
+    _, _, s_c = beam_search_decode(lp_for("c"), beam_width=4, lm=lm, lm_alpha=1.0)
+    _, _, s_a = beam_search_decode(lp_for("a"), beam_width=4, lm=lm, lm_alpha=1.0)
+    # trigram "a b c" (-0.05) crushes backoff path for "a b a"
+    assert float(s_c[0, 0]) > float(s_a[0, 0]) + 1.0
+
+    # and the context actually matters: after "b b", 'a' wins over 'c'
+    def lp2(third):
+        return _peaked(seq(f"b b {third}"), len(alphabet))
+
+    _, _, s2a = beam_search_decode(lp2("a"), beam_width=4, lm=lm, lm_alpha=1.0)
+    _, _, s2c = beam_search_decode(lp2("c"), beam_width=4, lm=lm, lm_alpha=1.0)
+    assert float(s2a[0, 0]) > float(s2c[0, 0])
+
+
+def test_hashed_word_lm_matches_scorer(tmp_path):
+    """Word-level hashed scores == the dict oracle over word ids, including
+    trailing-word completion and </s> in final()."""
+    from end2end_tpu.ops.lm import HashedWordNGramLM
+    from end2end_tpu.utils.arpa import ArpaScorer, parse_arpa_order
+    from end2end_tpu.utils.text import Alphabet
+
+    arpa = (
+        "\\data\\\nngram 1=6\nngram 2=4\nngram 3=2\n\n\\1-grams:\n"
+        "-1.9 <unk>\n-0.3 <s> -0.2\n-0.9 </s>\n"
+        "-0.5 a -0.2\n-0.5 b -0.2\n-0.9 c -0.2\n\n"
+        "\\2-grams:\n-0.4 <s> a -0.1\n-0.4 a b -0.1\n-0.5 b b -0.1\n-0.9 b c\n\n"
+        "\\3-grams:\n-0.05 a b c\n-0.1 b b a\n\n\\end\\\n"
+    )
+    f = tmp_path / "tri_words2.arpa"
+    f.write_text(arpa)
+    words = ["a", "b", "c"]
+    alphabet = Alphabet(["_", "a", "b", "c", " "])
+    lm = HashedWordNGramLM.from_arpa(str(f), words, alphabet)
+    sc = ArpaScorer.from_file(str(f), words)
+
+    # decode "a b" with a trailing (no-space) "c": fused total must equal
+    # alpha * [p(a|<s>) + p(b|<s> a) + p(c|a b) + p(</s>|b c)] exactly.
+    def seq(text):
+        return [alphabet.encode(ch)[0] for ch in text]
+
+    lp = _peaked(seq("a b c"), len(alphabet))
+    _, _, s_lm = beam_search_decode(lp, beam_width=2, lm=lm, lm_alpha=1.0)
+    _, _, s_0 = beam_search_decode(lp, beam_width=2)
+    got = float(s_lm[0, 0]) - float(s_0[0, 0])
+    want = (
+        sc.score((sc.bos,), 0) + sc.score((sc.bos, 0), 1)
+        + sc.score((0, 1), 2) + sc.score((1, 2), sc.eos)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

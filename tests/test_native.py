@@ -178,3 +178,40 @@ def test_jax_beam_vs_native_stress(rng):
         # top-1 identical; full sets may differ in the tail only via f32 ties
         assert nt[b, 0, : nl[b, 0]].tolist() == np.asarray(jt)[b, 0, : int(jl[b, 0])].tolist()
         np.testing.assert_allclose(float(ns[b, 0]), float(np.asarray(js)[b, 0]), rtol=2e-4)
+
+
+def test_native_arpa_order_parser_matches_python(tmp_path):
+    """Generic-order native ARPA parser == pure-Python parser, gram for gram."""
+    from end2end_tpu.utils import native
+    from end2end_tpu.utils.arpa import parse_arpa_order
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    arpa = (
+        "\\data\\\nngram 1=6\nngram 2=4\nngram 3=3\nngram 4=1\n\n\\1-grams:\n"
+        "-1.9 <unk>\n-0.3 <s> -0.2\n-0.9 </s>\n"
+        "-0.5 a -0.25\n-0.5 b -0.2\n-0.9 c\n\n"
+        "\\2-grams:\n-0.4 <s> a -0.1\n-0.4 a b -0.1\n-0.5 b b\n-0.9 b c -0.05\n\n"
+        "\\3-grams:\n-0.05 a b c -0.01\n-0.1 b b a\n-0.2 a b </s>\n\n"
+        "\\4-grams:\n-0.15 <s> a b c\n\n\\end\\\n"
+    )
+    f = tmp_path / "order.arpa"
+    f.write_text(arpa)
+    vocab = ["a", "b", "c"]
+    o_py, ng_py = parse_arpa_order(str(f), vocab, prefer_native=False)
+    out = native.parse_arpa_order_native(str(f), vocab)
+    assert out is not None
+    o_nat, ng_nat = out
+    assert o_nat == o_py == 4
+    import numpy as np
+
+    np.testing.assert_allclose(ng_nat["unk"], ng_py["unk"], rtol=1e-6)
+    for k in range(1, 5):
+        a = sorted(ng_py[k])
+        b = sorted(ng_nat[k])
+        assert [x[0] for x in a] == [x[0] for x in b], k
+        for (ia, la, ba), (ib, lb, bb) in zip(a, b):
+            np.testing.assert_allclose(la, lb, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(ba, bb, rtol=1e-5, atol=1e-6)
