@@ -129,3 +129,65 @@ def test_time_parallel_repeated_labels_and_variable_lengths(rng):
     )(jnp.asarray(lp))
     want = ctc_nll_xla(jnp.asarray(lp), tgt, il, tl, 0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+@needs_devices
+def test_time_parallel_grad_matches_sequential(rng):
+    """SURVEY.md §3.3 SP/CP row, round-2: the time-sharded loss is
+    TRAINABLE — its fused gradient (per-chunk boundary states from the
+    composed operators + local alpha/beta scans) must match the sequential
+    custom-VJP gradient on the 8-device mesh."""
+    from end2end_tpu.parallel.time_parallel import ctc_nll_time_parallel
+    from end2end_tpu.ops.ctc_loss_xla import ctc_nll_xla
+
+    B, T, S, V = 3, 64, 5, 8
+    lp, tgt, il, tl = random_ctc_problem(rng, B, T, S, V)
+    il = np.array([64, 43, 29], np.int32)  # lengths across chunk boundaries
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("time",))
+
+    def tp_loss(x):
+        return jnp.sum(ctc_nll_time_parallel(x, tgt, il, tl, mesh=mesh) * 1.0)
+
+    def seq_loss(x):
+        return jnp.sum(ctc_nll_xla(x, tgt, il, tl, 0))
+
+    g_tp = jax.jit(jax.grad(tp_loss))(jnp.asarray(lp))
+    g_seq = jax.jit(jax.grad(seq_loss))(jnp.asarray(lp))
+    np.testing.assert_allclose(
+        np.asarray(g_tp), np.asarray(g_seq), rtol=1e-4, atol=2e-4
+    )
+
+    # weighted upstream gradient scales per sample
+    w = jnp.asarray([0.5, 2.0, -1.0], jnp.float32)
+    g_tp_w = jax.jit(
+        jax.grad(lambda x: jnp.sum(
+            ctc_nll_time_parallel(x, tgt, il, tl, mesh=mesh) * w))
+    )(jnp.asarray(lp))
+    g_seq_w = jax.jit(
+        jax.grad(lambda x: jnp.sum(ctc_nll_xla(x, tgt, il, tl, 0) * w))
+    )(jnp.asarray(lp))
+    np.testing.assert_allclose(
+        np.asarray(g_tp_w), np.asarray(g_seq_w), rtol=1e-4, atol=2e-4
+    )
+
+
+@needs_devices
+def test_time_parallel_grad_impossible_sample_is_zero(rng):
+    from end2end_tpu.parallel.time_parallel import ctc_nll_time_parallel
+
+    B, T, V = 2, 16, 5
+    lp, _, _, _ = random_ctc_problem(rng, B, T, 3, V)
+    tgt = np.array([[1, 2, 1], [2, 2, 2]], np.int32)
+    tl = np.array([3, 3], np.int32)
+    il = np.array([16, 4], np.int32)  # sample 1: T=4 < needed 7 -> inf loss
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("time",))
+    nll = ctc_nll_time_parallel(jnp.asarray(lp), tgt, il, tl, mesh=mesh)
+    assert np.isinf(np.asarray(nll)[1])
+    g = jax.jit(
+        jax.grad(lambda x: jnp.sum(jnp.where(
+            jnp.isfinite(ctc_nll_time_parallel(x, tgt, il, tl, mesh=mesh)),
+            ctc_nll_time_parallel(x, tgt, il, tl, mesh=mesh), 0.0)))
+    )(jnp.asarray(lp))
+    g = np.asarray(g)
+    assert np.all(g[:, 1, :] == 0.0)  # impossible sample: zero gradient
+    assert np.isfinite(g).all()
