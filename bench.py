@@ -100,7 +100,7 @@ def bench_greedy(B, T, V, r_long=17):
     return dt, B / dt
 
 
-def bench_beam(B, T, V, W, K, r_long=5, collapse=False, seed=0):
+def bench_beam(B, T, V, W, K, r_long=9, collapse=False, seed=0):
     if collapse:
         from end2end_tpu.ops.decode_utils import collapse_and_bucket
 
@@ -137,6 +137,20 @@ def bench_beam(B, T, V, W, K, r_long=5, collapse=False, seed=0):
     return dt, B / dt, keep_ratio
 
 
+BASELINE_GREEDY_SEQ_PER_S = 399.0  # torch-CPU argmax + py collapse, BASELINE.md
+BASELINE_BEAM_SEQ_PER_S = 1.1      # pure-Python prefix beam, BASELINE.md
+
+
+def emit(metric, value, unit, baseline):
+    """One JSON metric line on stdout (the driver parses the LAST line)."""
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 2),
+        "unit": unit,
+        "vs_baseline": round(float(value) / baseline, 2),
+    }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="full config table")
@@ -144,35 +158,34 @@ def main():
     args = ap.parse_args()
 
     if args.all:
-        for name, (B, T, S, V) in {
-            "synthetic-char": (4, 50, 20, 29),
-            "librispeech-char": (32, 1000, 200, 29),
-            "ocr": (64, 256, 64, 96),
-            "bpe-asr": (16, 1500, 150, 1024),
-            "metric": (32, 1000, 100, 1024),
+        for name, (B, T, S, V, r) in {
+            "synthetic-char": (4, 50, 20, 29, 129),
+            "librispeech-char": (32, 1000, 200, 29, 9),
+            "ocr": (64, 256, 64, 96, 17),
+            "bpe-asr": (16, 1500, 150, 1024, 9),
         }.items():
-            dt, cps = bench_loss_grad(B, T, S, V, args.impl)
+            dt, cps = bench_loss_grad(B, T, S, V, args.impl, r_long=r)
             print(f"loss+grad {name} B={B},T={T},S={S},V={V} "
                   f"{dt*1e3:8.2f} ms/iter {cps/1e6:10.1f} M cells/s",
                   file=sys.stderr)
-        dt, sps = bench_greedy(32, 1000, 1024)
-        print(f"greedy B=32,T=1000,V=1024 {dt*1e3:8.2f} ms/iter {sps:9.0f} seq/s",
-              file=sys.stderr)
-        for W, K in ((8, 16), (16, 32)):
-            dt, sps, _ = bench_beam(32, 1000, 1024, W, K)
-            print(f"beam-{W} (prune {K}) B=32,T=1000,V=1024 {dt*1e3:8.2f} ms/iter "
-                  f"{sps:9.1f} seq/s", file=sys.stderr)
+        dt, sps, _ = bench_beam(32, 1000, 1024, 16, 32)
+        print(f"beam-16 (prune 32) B=32,T=1000,V=1024 {dt*1e3:8.2f} ms/iter "
+              f"{sps:9.1f} seq/s", file=sys.stderr)
         dt, sps, ratio = bench_beam(32, 1000, 1024, 8, 16, collapse=True)
         print(f"beam-8 + blank-collapse (peaked, keep={ratio:.0%}) "
               f"{dt*1e3:8.2f} ms/iter {sps:9.1f} seq/s", file=sys.stderr)
 
+    # Default (driver-captured) emission: decoder metrics first, then the
+    # loss headline as the FINAL line (the driver parses the last line).
+    dt, sps = bench_greedy(32, 1000, 1024)
+    emit("greedy_decode seq/s (B=32,T=1000,V=1024)", sps, "seq/s",
+         BASELINE_GREEDY_SEQ_PER_S)
+    dt, sps, _ = bench_beam(32, 1000, 1024, 8, 16)
+    emit("beam8_decode seq/s (B=32,T=1000,V=1024,prune=16)", sps, "seq/s",
+         BASELINE_BEAM_SEQ_PER_S)
     dt, cps = bench_loss_grad(32, 1000, 100, 1024, args.impl)
-    print(json.dumps({
-        "metric": "ctc_loss+grad lattice cells/sec/chip (B=32,T=1000,S=100,V=1024)",
-        "value": round(cps / 1e6, 2),
-        "unit": "M cells/s",
-        "vs_baseline": round(cps / BASELINE_CELLS_PER_S, 2),
-    }))
+    emit("ctc_loss+grad lattice cells/sec/chip (B=32,T=1000,S=100,V=1024)",
+         cps / 1e6, "M cells/s", BASELINE_CELLS_PER_S / 1e6)
 
 
 if __name__ == "__main__":

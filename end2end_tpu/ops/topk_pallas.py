@@ -72,8 +72,14 @@ def topk_pallas(x, k: int, interpret: bool = False):
 
     b_pad = _pad_up(b, 8)
     v_pad = _pad_up(v, 128)
-    # block budget ~2 MB => tc rows of the (B, V) plane per grid step
-    tc = max(1, min(t_max, (2 << 20) // (b_pad * v_pad * 4)))
+    # Block budget: the k unrolled extraction passes keep ~k/3 live copies
+    # of the block in scoped VMEM (measured: k=32 with a 2 MB block hit
+    # 21.6 MB scoped allocation against the 16 MB limit), so scale the
+    # budget down with k — and stay WELL below the limit: at K=16 a 1 MB
+    # block measures 3x faster than a 2 MB one (1.08 vs 3.27 ms at
+    # T=1000,B=32,V=1024; scoped-VMEM pressure stalls the pipeline).
+    budget = max(256 << 10, min(1 << 20, (18 << 20) // max(k, 1)))
+    tc = max(1, min(t_max, budget // (b_pad * v_pad * 4)))
     t_pad = _pad_up(t_max, tc)
     if (t_pad, b_pad, v_pad) != (t_max, b, v):
         x = jnp.pad(
