@@ -1,0 +1,217 @@
+"""Tensor-parallel (vocab-sharded) CTC loss over a device mesh.
+
+SURVEY.md §3.3 notes the reference never needed TP because its configs keep
+V <= 1024.  Production BPE vocabularies reach 10^5+, where the (T, N, V)
+log-prob / gradient tensors dominate memory — the natural TPU-native
+sharding is the VOCAB dim over the mesh ('model' axis), matching how a
+tensor-parallel decoder layer already lays out its output projection.
+
+Mechanics (one collective each way):
+
+  forward: each device one-hot-gathers the extended-label emissions it OWNS
+  (labels falling in its vocab slice; everything else contributes log-zero),
+  a single psum over ICI assembles the replicated (T, N, L) lattice — tiny
+  next to V — and the alpha scan runs replicated (compute is O(T*N*L),
+  independent of V).
+
+  backward: the beta scan + posteriors run replicated; each device emits its
+  OWN grad slice  `(exp(lp_local) - scatter_local(gamma)) * mask * g`  with
+  no further communication (the posterior scatter targets only labels the
+  device owns).
+
+Assembly is EXACT: every valid lattice state has exactly one owner, so the
+psum of `(where(own, lp, 0), own)` pairs reconstructs each cell as
+`lp + 0 + ... + 0` bit-exactly, with the owner-count selecting log-zero for
+unowned (invalid) states.
+
+Numerics are IDENTICAL to the sequential XLA path (same scans, same
+fastmath): tested loss and grad equality on the virtual 8-device mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.ctc_common import build_ctc_tables
+from ..ops.ctc_loss_xla import ctc_backward_scan, ctc_forward_scan
+from ..ops.fastmath import exp32
+from ..ops.semiring import LOG0, LOG0_THRESHOLD
+
+
+def _local_lp_ext(lp_local, tables, v_start, v_local):
+    """One-hot gather of the emissions this device owns.  Returns
+    (values (T, N, L) with lp where owned else 0, owner mask (N, L))."""
+    lab = jnp.where(tables.valid, tables.ext_labels, -1)  # (N, L) global ids
+    local = lab - v_start
+    own = (local >= 0) & (local < v_local)
+    idx = jnp.clip(local, 0, v_local - 1)
+    g = jnp.take_along_axis(
+        jnp.moveaxis(lp_local, 0, 2),  # (N, V_local, T)
+        idx[:, :, None],
+        axis=1,
+    )  # (N, L, T)
+    g = jnp.moveaxis(g, 2, 0)  # (T, N, L)
+    return jnp.where(own[None, :, :], g, 0.0), own
+
+
+def _assemble_lp_ext(lp_local, tabs, v_start, v_local, vocab_axis, valid):
+    """psum-assemble the replicated (T, N, L) lattice from per-device
+    slices; exact because each valid state has exactly one owner."""
+    part, own = _local_lp_ext(lp_local, tabs, v_start, v_local)
+    summed, cnt = jax.lax.psum(
+        (part, own.astype(jnp.float32)), vocab_axis
+    )
+    lp_ext = jnp.where((cnt > 0)[None], summed, LOG0)
+    return jnp.where(valid[None], lp_ext, LOG0)
+
+
+def ctc_nll_vocab_parallel(
+    log_probs, targets, input_lengths, target_lengths, mesh: Mesh,
+    blank: int = 0, vocab_axis: str = "model",
+):
+    """Per-sample CTC NLL with the VOCAB axis sharded over the mesh.
+
+    log_probs: (T, N, V) with V divisible by the mesh's `vocab_axis` size.
+    Returns (N,) nll, differentiable wrt log_probs with the gradient sharded
+    the same way (each device writes only its vocab slice).
+    """
+    return _ctc_nll_vp(
+        log_probs, targets, input_lengths, target_lengths, mesh, blank,
+        vocab_axis,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _ctc_nll_vp(log_probs, targets, input_lengths, target_lengths, mesh,
+                blank, vocab_axis):
+    nll, _ = _vp_fwd_impl(
+        log_probs, targets, input_lengths, target_lengths, mesh, blank,
+        vocab_axis,
+    )
+    return nll
+
+
+def _vp_common(log_probs, targets, target_lengths, mesh, blank, vocab_axis):
+    t_max, n, v = log_probs.shape
+    d = mesh.shape[vocab_axis]
+    if v % d:
+        raise ValueError(f"V={v} must divide over {d} '{vocab_axis}' devices")
+    tables = build_ctc_tables(
+        jnp.asarray(targets, jnp.int32),
+        jnp.asarray(target_lengths, jnp.int32), blank, v,
+    )
+    lp = jax.device_put(
+        log_probs, NamedSharding(mesh, P(None, None, vocab_axis))
+    )
+    return lp, tables, v // d
+
+
+def _vp_fwd_impl(log_probs, targets, input_lengths, target_lengths, mesh,
+                 blank, vocab_axis):
+    lp, tables, v_local = _vp_common(
+        log_probs, targets, target_lengths, mesh, blank, vocab_axis
+    )
+    il = jnp.asarray(input_lengths, jnp.int32)
+    tl = jnp.asarray(target_lengths, jnp.int32)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, vocab_axis), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,  # psum-assembled lattice -> replicated by math
+    )
+    def run(lp_local, ext_labels, valid, skip2, args):
+        il_, tl_ = args
+        tabs = type(tables)(ext_labels, skip2, valid)
+        lp_ext = _assemble_lp_ext(
+            lp_local, tabs, jax.lax.axis_index(vocab_axis) * v_local,
+            v_local, vocab_axis, valid,
+        )  # (T, N, L) replicated
+        nll, _, _, _, _ = ctc_forward_scan(lp_ext, skip2, il_, tl_)
+        return nll
+
+    return run(lp, tables.ext_labels, tables.valid, tables.skip2, (il, tl)), None
+
+
+def _vp_fwd(log_probs, targets, input_lengths, target_lengths, mesh, blank,
+            vocab_axis):
+    nll, _ = _vp_fwd_impl(
+        log_probs, targets, input_lengths, target_lengths, mesh, blank,
+        vocab_axis,
+    )
+    return nll, (log_probs, targets, input_lengths, target_lengths)
+
+
+def _vp_bwd(mesh, blank, vocab_axis, saved, g):
+    log_probs, targets, input_lengths, target_lengths = saved
+    lp, tables, v_local = _vp_common(
+        log_probs, targets, target_lengths, mesh, blank, vocab_axis
+    )
+    t_max = log_probs.shape[0]
+    il = jnp.asarray(input_lengths, jnp.int32)
+    tl = jnp.asarray(target_lengths, jnp.int32)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, vocab_axis), P(), P(), P(), P(), P()),
+        out_specs=P(None, None, vocab_axis),
+        check_vma=False,
+    )
+    def run(lp_local, ext_labels, valid, skip2, args, g_):
+        il_, tl_ = args
+        tabs = type(tables)(ext_labels, skip2, valid)
+        v_start = jax.lax.axis_index(vocab_axis) * v_local
+        lp_ext = _assemble_lp_ext(
+            lp_local, tabs, v_start, v_local, vocab_axis, valid
+        )
+        nll, log_z, z_hat, alpha_hat, anorm2 = ctc_forward_scan(
+            lp_ext, skip2, il_, tl_
+        )
+        finite = z_hat > LOG0_THRESHOLD
+        z_hat_safe = jnp.where(finite, z_hat, 0.0)
+        log_post = ctc_backward_scan(
+            lp_ext, alpha_hat, anorm2, z_hat_safe, skip2, il_, tl_
+        )  # (T, N, L)
+        # exp32, exactly like the sequential bwd — the vocab-parallel grad
+        # is bit-identical to the sequential one
+        gamma = exp32(jnp.minimum(log_post, 0.0))
+        t_mask = (
+            (jnp.arange(t_max, dtype=jnp.int32)[:, None] < il_[None, :])
+            & finite[None, :]
+        )
+        gamma = jnp.where(
+            t_mask[:, :, None] & valid[None], gamma, 0.0
+        )
+        # local posterior scatter: only the labels this device owns
+        lab = jnp.where(valid, ext_labels, -1) - v_start  # (N, L) local ids
+        own = (lab >= 0) & (lab < v_local)
+        idx = jnp.where(own, lab, v_local)  # dump non-owned to a drop slot
+        n_ = gamma.shape[1]
+        gamma_nlt = jnp.moveaxis(gamma, 0, 2)  # (N, L, T)
+        acc = jnp.zeros((n_, v_local + 1, t_max), gamma.dtype)
+        acc = acc.at[
+            jnp.arange(n_, dtype=jnp.int32)[:, None], idx, :
+        ].add(gamma_nlt, mode="drop")
+        post_local = jnp.moveaxis(acc[:, :v_local], 2, 0)  # (T, N, V_local)
+        grad = (jnp.exp(lp_local) - post_local) * t_mask[:, :, None]
+        return grad * g_[None, :, None]
+
+    grad = run(lp, tables.ext_labels, tables.valid, tables.skip2, (il, tl),
+               jnp.asarray(g))
+    f0 = lambda x: np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+    return (
+        grad.astype(log_probs.dtype),
+        f0(targets),
+        f0(input_lengths),
+        f0(target_lengths),
+    )
+
+
+_ctc_nll_vp.defvjp(_vp_fwd, _vp_bwd)

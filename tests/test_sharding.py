@@ -191,3 +191,58 @@ def test_time_parallel_grad_impossible_sample_is_zero(rng):
     g = np.asarray(g)
     assert np.all(g[:, 1, :] == 0.0)  # impossible sample: zero gradient
     assert np.isfinite(g).all()
+
+
+@needs_devices
+def test_vocab_parallel_loss_and_grad_match_sequential(rng):
+    """Tensor parallelism done the CTC way: the VOCAB dim sharded over the
+    mesh (SURVEY.md §3.3 TP row).  Loss assembles the (T, N, L) lattice with
+    one psum; the gradient is emitted shard-local.  Both must equal the
+    sequential path bit-for-bit (the assembly is exact)."""
+    from end2end_tpu.parallel.vocab_parallel import ctc_nll_vocab_parallel
+    from end2end_tpu.ops.ctc_loss_xla import ctc_nll_xla
+
+    B, T, S, V = 3, 40, 6, 64  # V/8 = 8 per device
+    lp, tgt, il, tl = random_ctc_problem(rng, B, T, S, V)
+    il = np.array([40, 25, 33], np.int32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("model",))
+
+    nll_vp = jax.jit(
+        lambda x: ctc_nll_vocab_parallel(x, tgt, il, tl, mesh=mesh)
+    )(jnp.asarray(lp))
+    nll_seq = ctc_nll_xla(jnp.asarray(lp), tgt, il, tl, 0)
+    np.testing.assert_array_equal(np.asarray(nll_vp), np.asarray(nll_seq))
+
+    w = jnp.asarray([1.0, 0.5, 2.0], jnp.float32)
+    g_vp = jax.jit(jax.grad(
+        lambda x: jnp.sum(ctc_nll_vocab_parallel(x, tgt, il, tl, mesh=mesh) * w)
+    ))(jnp.asarray(lp))
+    g_seq = jax.jit(jax.grad(
+        lambda x: jnp.sum(ctc_nll_xla(x, tgt, il, tl, 0) * w)
+    ))(jnp.asarray(lp))
+    np.testing.assert_array_equal(np.asarray(g_vp), np.asarray(g_seq))
+
+
+@needs_devices
+def test_vocab_parallel_impossible_and_blank_ownership(rng):
+    """Blank lives on one shard; impossible samples produce inf loss and
+    zero grad; V not divisible raises."""
+    from end2end_tpu.parallel.vocab_parallel import ctc_nll_vocab_parallel
+
+    B, T, V = 2, 12, 32
+    lp, _, _, _ = random_ctc_problem(rng, B, T, 3, V)
+    tgt = np.array([[5, 5, 5], [9, 9, 2]], np.int32)
+    tl = np.array([3, 3], np.int32)
+    il = np.array([12, 3], np.int32)  # sample 1: adjacent repeat needs >= 4
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("model",))
+    nll = ctc_nll_vocab_parallel(jnp.asarray(lp), tgt, il, tl, mesh=mesh)
+    assert np.isfinite(np.asarray(nll)[0]) and np.isinf(np.asarray(nll)[1])
+    g = jax.jit(jax.grad(lambda x: jnp.sum(jnp.where(
+        jnp.isfinite(ctc_nll_vocab_parallel(x, tgt, il, tl, mesh=mesh)),
+        ctc_nll_vocab_parallel(x, tgt, il, tl, mesh=mesh), 0.0))))(jnp.asarray(lp))
+    assert np.all(np.asarray(g)[:, 1, :] == 0.0)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        ctc_nll_vocab_parallel(jnp.asarray(lp)[:, :, :30], tgt, il, tl, mesh=mesh)
