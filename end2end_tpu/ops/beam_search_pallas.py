@@ -57,6 +57,7 @@ _M2 = np.int32(-2048144789)  # 0x85EBCA6B
 _SEED1 = np.int32(1)
 _SEED2 = np.int32(7)
 _DEADBASE = np.int32(0x7EAD0000)
+_NOPARENT = np.int32(0x5EED0000)  # parent-prefix hash that matches nothing
 _BIG = np.int32(1 << 30)
 
 _LANES = 128  # batch tile width
@@ -77,7 +78,7 @@ def _pad_up(x, m):
 def _beam_kernel(W, K, s_cap, blank,
                  lpk_ref, ck_ref, lpb_ref, il_ref,
                  bp_ref, score_ref,
-                 pb_s, pnb_s, h1_s, h2_s, last_s, len_s):
+                 pb_s, pnb_s, h1_s, h2_s, hp1_s, hp2_s, last_s, len_s):
     i = pl.program_id(1)  # time chunk (sequential; batch tile is dim 0)
     tc_len, _, b = lpk_ref.shape
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, b), 0)
@@ -96,6 +97,8 @@ def _beam_kernel(W, K, s_cap, blank,
         pnb_s[:] = jnp.full((W, b), LOG0, jnp.float32)
         h1_s[:] = jnp.where(live0, _SEED1, _DEADBASE + w_iota)
         h2_s[:] = jnp.where(live0, _SEED2, _DEADBASE + w_iota)
+        hp1_s[:] = _NOPARENT + w_iota  # the empty prefix has no parent
+        hp2_s[:] = _NOPARENT + w_iota
         last_s[:] = jnp.full((W, b), -1, jnp.int32)
         len_s[:] = jnp.zeros((W, b), jnp.int32)
 
@@ -108,6 +111,7 @@ def _beam_kernel(W, K, s_cap, blank,
         lpb = lpb_ref[tc]  # (1, b) blank log-prob
         pb, pnb = pb_s[:], pnb_s[:]
         h1, h2 = h1_s[:], h2_s[:]
+        hp1, hp2 = hp1_s[:], hp2_s[:]
         last, lens = last_s[:], len_s[:]
         total = _laddexp2(pb, pnb)  # (W, b)
 
@@ -126,30 +130,35 @@ def _beam_kernel(W, K, s_cap, blank,
         ext_pnb = jnp.where(same, pb[None], total[None]) + lpk3  # (K, W, b)
         ok = (ck3 >= 0) & (ck3 != blank) & (lens[None] < s_cap)
         ext_pnb = jnp.where(ok, ext_pnb, LOG0)
-        ext_h1 = h1[None] * _M1 + (ck3 + 1)
-        ext_h2 = h2[None] * _M2 + (ck3 + 1)
 
         # --- merge extends that recreate an existing beam's prefix --------
+        # A beam w can receive merges ONLY from extensions of its unique
+        # PARENT prefix (prefix(w) minus its last token) with token last[w]:
+        # beams are distinct prefixes and top-K tokens are distinct, so the
+        # merge source is at most ONE candidate.  Tracking each beam's
+        # parent-prefix hash (hp) collapses the old O(W^2 K) masked
+        # logsumexps to O(W) selects: merge_add[w] = base(parent) + rep[w],
+        # bit-identical to the pairwise-hash formulation absent collisions.
         merge_add = jnp.full((W, b), LOG0, jnp.float32)
         for w in range(W):
-            h1w = h1[w:w + 1][None]  # (1, 1, b) static sublane slice
-            h2w = h2[w:w + 1][None]
-            m = (ext_h1 == h1w) & (ext_h2 == h2w) & ok
-            masked = jnp.where(m, ext_pnb, LOG0)
-            mx = jnp.max(jnp.max(masked, axis=0), axis=0, keepdims=True)
-            mx_safe = jnp.maximum(mx, LOG0)
-            ssum = jnp.sum(
-                jnp.sum(jnp.where(m, exp32(ext_pnb - mx_safe[None]), 0.0),
-                        axis=0),
-                axis=0, keepdims=True,
-            )
+            bm = (
+                (h1 == hp1[w:w + 1]) & (h2 == hp2[w:w + 1])
+                & (lens < s_cap)
+            )  # (W, b): which beam is w's parent (at most one)
+            last_w = last[w:w + 1]  # (1, b)
+            base = jnp.where(last == last_w, pb, total)
+            val = jnp.sum(jnp.where(bm, base, 0.0), axis=0, keepdims=True)
+            hit = jnp.max(bm.astype(jnp.int32), axis=0, keepdims=True) > 0
+            rep_w = rep[w:w + 1]
             add = jnp.where(
-                mx > LOG0_THRESHOLD,
-                mx_safe + jnp.log(jnp.maximum(ssum, 1e-30)),
+                hit & (rep_w > LOG0_THRESHOLD) & (val > LOG0_THRESHOLD),
+                val + rep_w,
                 LOG0,
             )
             merge_add = jnp.where(w_iota == w, add, merge_add)
-            ext_pnb = jnp.where(m, LOG0, ext_pnb)
+            # remove the merged candidate from the extend pool
+            rm = bm[None] & (ck3 == last_w[None]) & ok
+            ext_pnb = jnp.where(rm, LOG0, ext_pnb)
         pnb_stay = _laddexp2(pnb_stay, merge_add)
         stay_score = _laddexp2(pb_stay, pnb_stay)
 
@@ -160,6 +169,8 @@ def _beam_kernel(W, K, s_cap, blank,
         new_pnb = jnp.full((W, b), LOG0, jnp.float32)
         new_h1 = _DEADBASE + w_iota
         new_h2 = _DEADBASE + w_iota
+        new_hp1 = _NOPARENT + w_iota
+        new_hp2 = _NOPARENT + w_iota
         new_last = jnp.full((W, b), -1, jnp.int32)
         new_len = jnp.zeros((W, b), jnp.int32)
         bp_row = code_stay
@@ -204,6 +215,7 @@ def _beam_kernel(W, K, s_cap, blank,
                 jnp.where(psel, f, 0), axis=0, keepdims=True
             )
             h1p, h2p = pick_i(h1), pick_i(h2)
+            hp1p, hp2p = pick_i(hp1), pick_i(hp2)
             lastp, lenp = pick_i(last), pick_i(lens)
             pb_sp, pnb_sp = pick_f(pb_stay), pick_f(pnb_stay)
             ck_k = jnp.sum(
@@ -215,6 +227,9 @@ def _beam_kernel(W, K, s_cap, blank,
             n_len = jnp.where(is_stay, lenp, lenp + 1)
             n_h1 = jnp.where(is_stay, h1p, h1p * _M1 + (ck_k + 1))
             n_h2 = jnp.where(is_stay, h2p, h2p * _M2 + (ck_k + 1))
+            # an extension's parent prefix IS the parent beam's full prefix
+            n_hp1 = jnp.where(is_stay, hp1p, h1p)
+            n_hp2 = jnp.where(is_stay, hp2p, h2p)
             # Dead picks (score at log-zero) must carry NO state: when fewer
             # finite candidates than W exist, the argmax re-picks candidate
             # 0, whose pb/pnb are still finite — copying them would create a
@@ -228,11 +243,15 @@ def _beam_kernel(W, K, s_cap, blank,
             n_len = jnp.where(dead, 0, n_len)
             n_h1 = jnp.where(dead, _DEADBASE + w_out, n_h1)
             n_h2 = jnp.where(dead, _DEADBASE + w_out, n_h2)
+            n_hp1 = jnp.where(dead, _NOPARENT + w_out, n_hp1)
+            n_hp2 = jnp.where(dead, _NOPARENT + w_out, n_hp2)
             dst = w_iota == w_out
             new_pb = jnp.where(dst, n_pb, new_pb)
             new_pnb = jnp.where(dst, n_pnb, new_pnb)
             new_h1 = jnp.where(dst, n_h1, new_h1)
             new_h2 = jnp.where(dst, n_h2, new_h2)
+            new_hp1 = jnp.where(dst, n_hp1, new_hp1)
+            new_hp2 = jnp.where(dst, n_hp2, new_hp2)
             new_last = jnp.where(dst, n_last, new_last)
             new_len = jnp.where(dst, n_len, new_len)
             bp_row = jnp.where(dst, code, bp_row)
@@ -242,6 +261,8 @@ def _beam_kernel(W, K, s_cap, blank,
         pnb_s[:] = jnp.where(upd, new_pnb, pnb)
         h1_s[:] = jnp.where(upd, new_h1, h1)
         h2_s[:] = jnp.where(upd, new_h2, h2)
+        hp1_s[:] = jnp.where(upd, new_hp1, hp1)
+        hp2_s[:] = jnp.where(upd, new_hp2, hp2)
         last_s[:] = jnp.where(upd, new_last, last)
         len_s[:] = jnp.where(upd, new_len, lens)
         bp_ref[tc] = jnp.where(upd, bp_row, code_stay)
@@ -370,6 +391,8 @@ def _beam_pallas_jit(log_probs, il, W, K, s_cap, blank, interpret,
         scratch_shapes=[
             pltpu.VMEM((W, _LANES), jnp.float32),
             pltpu.VMEM((W, _LANES), jnp.float32),
+            pltpu.VMEM((W, _LANES), jnp.int32),
+            pltpu.VMEM((W, _LANES), jnp.int32),
             pltpu.VMEM((W, _LANES), jnp.int32),
             pltpu.VMEM((W, _LANES), jnp.int32),
             pltpu.VMEM((W, _LANES), jnp.int32),
