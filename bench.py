@@ -137,6 +137,34 @@ def bench_beam(B, T, V, W, K, r_long=9, collapse=False, seed=0):
     return dt, B / dt, keep_ratio
 
 
+def bench_beam_lm(B, T, V, W, K, r_long=9):
+    """Char-vocab beam decode with the in-kernel dense-bigram LM fusion."""
+    from end2end_tpu.ops.lm import NGramLM, bigram_from_counts
+
+    rng = np.random.default_rng(0)
+    lm = NGramLM(bigram_from_counts(rng.integers(0, 20, (V, V))))
+    lp = make_lattice(B, T, V)
+    il = jnp.asarray(np.full(B, T, np.int32))
+
+    def make_run(r):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                toks, lens, scores = beam_search_decode(
+                    c, il, beam_width=W, prune_k=K, max_symbols=256,
+                    lm=lm, lm_alpha=0.6, lm_beta=0.3,
+                )
+                return c + 1e-6 * scores.sum(), scores[0, 0]
+
+            _, vs = jax.lax.scan(body, x, None, length=r)
+            return vs.sum()
+
+        return lambda: run(lp)
+
+    dt = chained_time(make_run, r_long)
+    return dt, B / dt
+
+
 BASELINE_GREEDY_SEQ_PER_S = 399.0  # torch-CPU argmax + py collapse, BASELINE.md
 BASELINE_BEAM_SEQ_PER_S = 1.1      # pure-Python prefix beam, BASELINE.md
 
@@ -173,6 +201,9 @@ def main():
               f"{sps:9.1f} seq/s", file=sys.stderr)
         dt, sps, ratio = bench_beam(32, 1000, 1024, 8, 16, collapse=True)
         print(f"beam-8 + blank-collapse (peaked, keep={ratio:.0%}) "
+              f"{dt*1e3:8.2f} ms/iter {sps:9.1f} seq/s", file=sys.stderr)
+        dt, sps = bench_beam_lm(128, 1000, 29, 8, 16)
+        print(f"beam-8 + bigram LM fused in-kernel B=128,T=1000,V=29 "
               f"{dt*1e3:8.2f} ms/iter {sps:9.1f} seq/s", file=sys.stderr)
 
     # Default (driver-captured) emission: decoder metrics first, then the

@@ -292,6 +292,7 @@ def beam_search_decode(
                 log_probs, input_lengths, beam_width=beam_width, blank=blank,
                 prune_k=prune_k, max_symbols=max_symbols,
                 approx_topk=approx_topk,
+                lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta,
             )
         if implementation == "auto" and on_tpu and not ok:
             import logging

@@ -35,8 +35,23 @@ one more assumption of the same character as prune_k itself.  The top-K prep
 keeps blank in the candidate list (masked in-kernel) so K-slot ordering and
 tie-breaking match the XLA scan bit for bit.
 
-Constraints: beam_width <= 16, prune_k <= 128, float32, no LM (auto mode
-falls back to the XLA scan for LM decoding, with a logged reason).
+In-kernel LM fusion (dense bigram): for `NGramLM` instances with a small
+context table (vocab + 1 <= 64 rows — the char-CTC + character/word-piece
+LM regime the reference uses KenLM for), the kernel fuses shallow-fusion
+scoring directly into the beam step.  The per-candidate LM increments
+`alpha * log p_LM(ck | last) + beta` are gathered OUTSIDE the kernel into a
+per-frame (context-row, candidate) table (the gather is over the static LM
+table, so XLA does it in one take); in-kernel each beam selects its
+context row with a static select-loop over the <= 64 rows (per-lane dynamic
+gather does not exist on the VPU, but a select ladder over a few dozen rows
+is ~500 vreg-ops/frame).  The accumulated LM bonus rides in a `(W, B)`
+scratch register exactly like the XLA scan's `lm_score` carry; ranking,
+merging and the final </s> bonus reproduce the XLA scan's semantics.
+Higher-order / hashed / word-level LMs still fall back to the XLA scan.
+
+Constraints: beam_width <= 16, prune_k <= 128, float32; LM fusion limited
+to dense `NGramLM` with vocab + 1 <= 64 (auto mode falls back to the XLA
+scan otherwise, with a logged reason).
 """
 
 from __future__ import annotations
@@ -75,10 +90,15 @@ def _pad_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _beam_kernel(W, K, s_cap, blank,
-                 lpk_ref, ck_ref, lpb_ref, il_ref,
-                 bp_ref, score_ref,
-                 pb_s, pnb_s, h1_s, h2_s, hp1_s, hp2_s, last_s, len_s):
+def _beam_kernel(W, K, s_cap, blank, n_ctx, *refs):
+    if n_ctx:  # in-kernel LM fusion: one extra input block of LM increments
+        (lpk_ref, ck_ref, lpb_ref, il_ref, lm_ref,
+         bp_ref, score_ref, last_ref,
+         pb_s, pnb_s, h1_s, h2_s, hp1_s, hp2_s, last_s, len_s, lm_s) = refs
+    else:
+        (lpk_ref, ck_ref, lpb_ref, il_ref,
+         bp_ref, score_ref, last_ref,
+         pb_s, pnb_s, h1_s, h2_s, hp1_s, hp2_s, last_s, len_s, lm_s) = refs
     i = pl.program_id(1)  # time chunk (sequential; batch tile is dim 0)
     tc_len, _, b = lpk_ref.shape
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, b), 0)
@@ -101,6 +121,7 @@ def _beam_kernel(W, K, s_cap, blank,
         hp2_s[:] = _NOPARENT + w_iota
         last_s[:] = jnp.full((W, b), -1, jnp.int32)
         len_s[:] = jnp.zeros((W, b), jnp.int32)
+        lm_s[:] = jnp.zeros((W, b), jnp.float32)
 
     il = il_ref[:]  # (1, b)
 
@@ -113,6 +134,7 @@ def _beam_kernel(W, K, s_cap, blank,
         h1, h2 = h1_s[:], h2_s[:]
         hp1, hp2 = hp1_s[:], hp2_s[:]
         last, lens = last_s[:], len_s[:]
+        lms = lm_s[:]  # (W, b) accumulated alpha*lm + beta bonus
         total = _laddexp2(pb, pnb)  # (W, b)
 
         lpk3 = lpk[:, None, :]  # (K, 1, b) -> broadcasts over beams
@@ -130,6 +152,18 @@ def _beam_kernel(W, K, s_cap, blank,
         ext_pnb = jnp.where(same, pb[None], total[None]) + lpk3  # (K, W, b)
         ok = (ck3 >= 0) & (ck3 != blank) & (lens[None] < s_cap)
         ext_pnb = jnp.where(ok, ext_pnb, LOG0)
+
+        # --- per-candidate LM increment: alpha*lm(ck|last) + beta ----------
+        # lm_ref[tc] rows are context ids (row n_ctx-1 = start-of-sequence);
+        # each beam picks its row with a static select ladder (n_ctx <= 64).
+        if n_ctx:
+            ctx = jnp.where(last >= 0, last, n_ctx - 1)  # (W, b)
+            delta = jnp.zeros((K, W, b), jnp.float32)
+            for c in range(n_ctx):
+                delta = jnp.where(
+                    (ctx == c)[None], lm_ref[tc, c][:, None, :], delta
+                )
+            lm_tot = lms[None] + delta  # (K, W, b) candidate total bonus
 
         # --- merge extends that recreate an existing beam's prefix --------
         # A beam w can receive merges ONLY from extensions of its unique
@@ -163,10 +197,17 @@ def _beam_kernel(W, K, s_cap, blank,
         stay_score = _laddexp2(pb_stay, pnb_stay)
 
         # --- top-W by repeated argmax (first-index tie break, XLA order) ---
-        cand_ext = ext_pnb
-        cand_stay = stay_score
+        # Ranking scores carry the LM bonus (like the XLA scan's cand_lm);
+        # acoustic mass is selected separately from the unranked pools.
+        if n_ctx:
+            cand_ext = ext_pnb + lm_tot
+            cand_stay = stay_score + lms
+        else:
+            cand_ext = ext_pnb
+            cand_stay = stay_score
         new_pb = jnp.full((W, b), LOG0, jnp.float32)
         new_pnb = jnp.full((W, b), LOG0, jnp.float32)
+        new_lm = jnp.zeros((W, b), jnp.float32)
         new_h1 = _DEADBASE + w_iota
         new_h2 = _DEADBASE + w_iota
         new_hp1 = _NOPARENT + w_iota
@@ -221,8 +262,23 @@ def _beam_kernel(W, K, s_cap, blank,
             ck_k = jnp.sum(
                 jnp.where(k_iota2 == kk, ck, 0), axis=0, keepdims=True
             )
+            if n_ctx:
+                # acoustic mass / LM bonus of the selected ext candidate
+                # (oh_e is exact-onehot; mx alone would include the bonus)
+                ac_e = jnp.sum(
+                    jnp.sum(jnp.where(oh_e, ext_pnb, 0.0), axis=0),
+                    axis=0, keepdims=True,
+                )
+                lm_e = jnp.sum(
+                    jnp.sum(jnp.where(oh_e, lm_tot, 0.0), axis=0),
+                    axis=0, keepdims=True,
+                )
+                n_lm = jnp.where(is_stay, pick_f(lms), lm_e)
+            else:
+                ac_e = mx
+                n_lm = jnp.zeros_like(mx)
             n_pb = jnp.where(is_stay, pb_sp, LOG0)
-            n_pnb = jnp.where(is_stay, pnb_sp, mx)
+            n_pnb = jnp.where(is_stay, pnb_sp, ac_e)
             n_last = jnp.where(is_stay, lastp, ck_k)
             n_len = jnp.where(is_stay, lenp, lenp + 1)
             n_h1 = jnp.where(is_stay, h1p, h1p * _M1 + (ck_k + 1))
@@ -239,6 +295,7 @@ def _beam_kernel(W, K, s_cap, blank,
             dead = mx <= LOG0_THRESHOLD
             n_pb = jnp.where(dead, LOG0, n_pb)
             n_pnb = jnp.where(dead, LOG0, n_pnb)
+            n_lm = jnp.where(dead, 0.0, n_lm)
             n_last = jnp.where(dead, -1, n_last)
             n_len = jnp.where(dead, 0, n_len)
             n_h1 = jnp.where(dead, _DEADBASE + w_out, n_h1)
@@ -248,6 +305,7 @@ def _beam_kernel(W, K, s_cap, blank,
             dst = w_iota == w_out
             new_pb = jnp.where(dst, n_pb, new_pb)
             new_pnb = jnp.where(dst, n_pnb, new_pnb)
+            new_lm = jnp.where(dst, n_lm, new_lm)
             new_h1 = jnp.where(dst, n_h1, new_h1)
             new_h2 = jnp.where(dst, n_h2, new_h2)
             new_hp1 = jnp.where(dst, n_hp1, new_hp1)
@@ -265,6 +323,8 @@ def _beam_kernel(W, K, s_cap, blank,
         hp2_s[:] = jnp.where(upd, new_hp2, hp2)
         last_s[:] = jnp.where(upd, new_last, last)
         len_s[:] = jnp.where(upd, new_len, lens)
+        if n_ctx:
+            lm_s[:] = jnp.where(upd, new_lm, lms)
         bp_ref[tc] = jnp.where(upd, bp_row, code_stay)
         return 0
 
@@ -272,7 +332,8 @@ def _beam_kernel(W, K, s_cap, blank,
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
-        score_ref[:] = _laddexp2(pb_s[:], pnb_s[:])
+        score_ref[:] = _laddexp2(pb_s[:], pnb_s[:]) + lm_s[:]
+        last_ref[:] = last_s[:]
 
 
 def _compose(a, b):
@@ -330,11 +391,12 @@ def _backtrace(bp, ck, scores, W, K, s_cap, t_max, n):
     jax.jit,
     static_argnames=(
         "W", "K", "s_cap", "blank", "interpret", "approx_topk",
-        "t_max", "n", "v",
+        "t_max", "n", "v", "lm_alpha", "lm_beta",
     ),
 )
 def _beam_pallas_jit(log_probs, il, W, K, s_cap, blank, interpret,
-                     approx_topk, t_max, n, v):
+                     approx_topk, t_max, n, v, lm_table=None, lm_eos=None,
+                     lm_alpha=0.0, lm_beta=0.0):
     """Full decode: top-K prep -> pallas scan kernel -> XLA backtrace."""
     # Full-vocab top-K (blank included, masked in-kernel): candidate K-slot
     # ordering — and therefore tie-breaking — matches the XLA scan exactly.
@@ -352,10 +414,15 @@ def _beam_pallas_jit(log_probs, il, W, K, s_cap, blank, interpret,
     ck = ck.astype(jnp.int32)
     lpb = log_probs[:, :, blank]  # (T, N)
 
+    use_lm = lm_table is not None
+    n_ctx = v + 1 if use_lm else 0
+    c_pad = _pad_up(n_ctx, 8) if use_lm else 0
+
     b_pad = _pad_up(max(n, 1), _LANES)
-    # time-chunk length bounded by a ~4 MB VMEM budget for the two
-    # (tc, K, LANES) input blocks (x2 for double buffering)
-    tc = max(8, min(128, (4 << 20) // (K * _LANES * 8)))
+    # time-chunk length bounded by a ~4 MB VMEM budget for the (tc, ...)
+    # input blocks (x2 for double buffering)
+    frame_bytes = K * _LANES * 8 + (c_pad * K * _LANES * 4 if use_lm else 0)
+    tc = max(8, min(128, (4 << 20) // frame_bytes))
     t_pad = _pad_up(t_max, tc)
 
     lpk_full = jnp.full((t_pad, K, b_pad), LOG0, jnp.float32)
@@ -366,27 +433,45 @@ def _beam_pallas_jit(log_probs, il, W, K, s_cap, blank, interpret,
     lpb_full = lpb_full.at[:t_max, 0, :n].set(lpb)
     il_full = jnp.zeros((1, b_pad), jnp.int32).at[0, :n].set(il)
 
-    n_btiles = b_pad // _LANES
-    n_chunks = t_pad // tc
-    kern = partial(_beam_kernel, W, K, s_cap, blank)
+    inputs = [lpk_full, ck_full, lpb_full, il_full]
     vspec = lambda shape, imap: pl.BlockSpec(shape, imap,
                                              memory_space=pltpu.VMEM)
-    bp, scores = pl.pallas_call(
+    in_specs = [
+        vspec((tc, K, _LANES), lambda bt, i: (i, 0, bt)),
+        vspec((tc, K, _LANES), lambda bt, i: (i, 0, bt)),
+        vspec((tc, 1, _LANES), lambda bt, i: (i, 0, bt)),
+        vspec((1, _LANES), lambda bt, i: (0, bt)),
+    ]
+    if use_lm:
+        # Per-frame LM increments alpha*lm(ck | context) + beta for every
+        # (context row, candidate): one XLA gather over the static table.
+        col = lm_alpha * jnp.take(lm_table, jnp.clip(ck, 0, v - 1), axis=1)
+        col = col + lm_beta  # (n_ctx, T, N, K)
+        lm_full = jnp.zeros((t_pad, c_pad, K, b_pad), jnp.float32)
+        lm_full = lm_full.at[:t_max, :n_ctx, :, :n].set(
+            jnp.transpose(col, (1, 0, 3, 2))
+        )
+        inputs.append(lm_full)
+        in_specs.append(
+            vspec((tc, c_pad, K, _LANES), lambda bt, i: (i, 0, 0, bt))
+        )
+
+    n_btiles = b_pad // _LANES
+    n_chunks = t_pad // tc
+    kern = partial(_beam_kernel, W, K, s_cap, blank, n_ctx)
+    bp, scores, last_out = pl.pallas_call(
         kern,
         grid=(n_btiles, n_chunks),
-        in_specs=[
-            vspec((tc, K, _LANES), lambda bt, i: (i, 0, bt)),
-            vspec((tc, K, _LANES), lambda bt, i: (i, 0, bt)),
-            vspec((tc, 1, _LANES), lambda bt, i: (i, 0, bt)),
-            vspec((1, _LANES), lambda bt, i: (0, bt)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             vspec((tc, W, _LANES), lambda bt, i: (i, 0, bt)),
+            vspec((W, _LANES), lambda bt, i: (0, bt)),
             vspec((W, _LANES), lambda bt, i: (0, bt)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, W, b_pad), jnp.int32),
             jax.ShapeDtypeStruct((W, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((W, b_pad), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((W, _LANES), jnp.float32),
@@ -397,17 +482,36 @@ def _beam_pallas_jit(log_probs, il, W, K, s_cap, blank, interpret,
             pltpu.VMEM((W, _LANES), jnp.int32),
             pltpu.VMEM((W, _LANES), jnp.int32),
             pltpu.VMEM((W, _LANES), jnp.int32),
+            pltpu.VMEM((W, _LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(lpk_full, ck_full, lpb_full, il_full)
+    )(*inputs)
+    if use_lm:
+        # end-of-sequence bonus, matching the XLA scan's lm.final():
+        # alpha * eos[last] for nonempty prefixes
+        eos = jnp.take(lm_eos, jnp.clip(last_out, 0, v - 1), axis=0)
+        scores = scores + jnp.where(last_out >= 0, lm_alpha * eos, 0.0)
     return _backtrace(bp, ck, scores, W, K, s_cap, t_max, n)
+
+
+_LM_CTX_CAP = 64  # max context rows for in-kernel LM (select-ladder cost)
 
 
 def beam_pallas_supported(t_max, v, beam_width, prune_k, lm,
                           dtype=jnp.float32):
     """(ok, reason) — whether the pallas kernel covers this decode config."""
     if lm is not None:
-        return False, "LM shallow fusion requires the XLA scan decoder"
+        from .lm import NGramLM
+
+        if not isinstance(lm, NGramLM):
+            return False, ("in-kernel LM fusion supports dense bigram "
+                           "NGramLM only; other LMs use the XLA scan")
+        if lm._v != v:
+            return False, (f"LM vocab ({lm._v}) != lattice vocab ({v})")
+        if lm._v + 1 > _LM_CTX_CAP:
+            return False, (f"in-kernel LM fusion supports vocab + 1 <= "
+                           f"{_LM_CTX_CAP} context rows (got {lm._v + 1}); "
+                           "larger LMs use the XLA scan")
     if beam_width > 16:
         return False, "pallas beam supports beam_width <= 16"
     k = min(prune_k if prune_k else v, v)
@@ -421,11 +525,13 @@ def beam_pallas_supported(t_max, v, beam_width, prune_k, lm,
 def beam_search_pallas(log_probs, input_lengths=None, beam_width: int = 8,
                        blank: int = 0, prune_k: int | None = None,
                        max_symbols: int | None = None,
-                       approx_topk: bool = False, interpret=None):
+                       approx_topk: bool = False, interpret=None,
+                       lm=None, lm_alpha: float = 0.0, lm_beta: float = 0.0):
     """Pallas-kernel beam search; same returns as beam_search_decode.
 
     Jittable end to end (device arrays out).  float32 only;
-    beam_width <= 16; prune_k <= 128; no LM.
+    beam_width <= 16; prune_k <= 128; LM fusion for dense `NGramLM` with
+    vocab + 1 <= 64 (see module docstring).
     """
     log_probs = jnp.asarray(log_probs, jnp.float32)
     t_max, n, v = log_probs.shape
@@ -435,12 +541,16 @@ def beam_search_pallas(log_probs, input_lengths=None, beam_width: int = 8,
     W = int(beam_width)
     K = min(int(prune_k or v), v)
     s_cap = int(max_symbols or min(t_max, 512))
-    ok, reason = beam_pallas_supported(t_max, v, W, K, lm=None)
+    ok, reason = beam_pallas_supported(t_max, v, W, K, lm=lm)
     if not ok:
         raise ValueError(reason)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    lm_table = lm._table if lm is not None else None
+    lm_eos = lm._eos if lm is not None else None
     return _beam_pallas_jit(
         log_probs, il, W, K, s_cap, int(blank), bool(interpret),
         bool(approx_topk), t_max, n, v,
+        lm_table=lm_table, lm_eos=lm_eos,
+        lm_alpha=float(lm_alpha), lm_beta=float(lm_beta),
     )

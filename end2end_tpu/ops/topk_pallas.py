@@ -41,19 +41,29 @@ def _pad_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _topk_kernel(K, x_ref, val_ref, idx_ref):
-    x = x_ref[...]  # (tc, B, V)
-    tc, b, v = x.shape
+def _topk_kernel(K, x_ref, val_ref, idx_ref, x_s):
+    # The K extraction passes MUTATE the block in a VMEM scratch: a fully
+    # unrolled pure-value loop keeps ~K live copies of the block in scoped
+    # VMEM (measured 22 MB scoped at K=16 with a 1 MB block, over the 16 MB
+    # limit), while the scratch+fori_loop form is flat in K.
+    x_s[...] = x_ref[...]  # (tc, B, V)
+    tc, b, v = x_s.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (tc, b, v), 2)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, b, K), 2)
-    vals = jnp.full((tc, b, K), _NEG_INF, jnp.float32)
-    idxs = jnp.zeros((tc, b, K), jnp.int32)
-    for k in range(K):
+    vals0 = jnp.full((tc, b, K), _NEG_INF, jnp.float32)
+    idxs0 = jnp.zeros((tc, b, K), jnp.int32)
+
+    def body(k, carry):
+        vals, idxs = carry
+        x = x_s[...]
         m = jnp.max(x, axis=-1, keepdims=True)  # (tc, b, 1)
         sel = jnp.min(jnp.where(x >= m, iota, _BIG), axis=-1, keepdims=True)
         vals = jnp.where(k_iota == k, m, vals)
         idxs = jnp.where(k_iota == k, sel, idxs)
-        x = jnp.where(iota == sel, _NEG_INF, x)
+        x_s[...] = jnp.where(iota == sel, _NEG_INF, x)
+        return vals, idxs
+
+    vals, idxs = jax.lax.fori_loop(0, K, body, (vals0, idxs0))
     val_ref[...] = vals
     idx_ref[...] = idxs
 
@@ -72,13 +82,11 @@ def topk_pallas(x, k: int, interpret: bool = False):
 
     b_pad = _pad_up(b, 8)
     v_pad = _pad_up(v, 128)
-    # Block budget: the k unrolled extraction passes keep ~k/3 live copies
-    # of the block in scoped VMEM (measured: k=32 with a 2 MB block hit
-    # 21.6 MB scoped allocation against the 16 MB limit), so scale the
-    # budget down with k — and stay WELL below the limit: at K=16 a 1 MB
-    # block measures 3x faster than a 2 MB one (1.08 vs 3.27 ms at
-    # T=1000,B=32,V=1024; scoped-VMEM pressure stalls the pipeline).
-    budget = max(256 << 10, min(1 << 20, (18 << 20) // max(k, 1)))
+    # Block budget: the extraction loop runs in a VMEM scratch (scoped VMEM
+    # flat in k — see _topk_kernel), so the block size is set purely by
+    # pipelining: ~1 MB measures fastest at the metric config (1.08 ms at
+    # T=1000,B=32,V=1024,K=16; 2 MB blocks were 3x slower).
+    budget = 1 << 20
     tc = max(1, min(t_max, budget // (b_pad * v_pad * 4)))
     t_pad = _pad_up(t_max, tc)
     if (t_pad, b_pad, v_pad) != (t_max, b, v):
@@ -103,6 +111,7 @@ def topk_pallas(x, k: int, interpret: bool = False):
             jax.ShapeDtypeStruct((t_pad, b_pad, k), jnp.float32),
             jax.ShapeDtypeStruct((t_pad, b_pad, k), jnp.int32),
         ],
+        scratch_shapes=[pltpu.VMEM((tc, b_pad, v_pad), jnp.float32)],
         interpret=interpret,
     )(x)
     return vals[:t_max, :b], idxs[:t_max, :b]

@@ -136,13 +136,123 @@ def test_beam_decode_routes_to_pallas(rng):
         assert set(p[b]) == set(x[b]), b
 
 
-def test_beam_decode_pallas_rejects_lm(rng):
-    from end2end_tpu.ops.lm import NGramLM
+def test_beam_decode_pallas_rejects_unsupported_lm(rng):
+    from end2end_tpu.ops.lm import HashedNGramLM, NGramLM
 
     lp = lsm(rng.standard_normal((5, 1, 4))).astype(np.float32)
-    lm = NGramLM(np.zeros((3, 3), np.float32))
+    # hashed (arbitrary-order) LMs are not in-kernel fusable
+    hlm = HashedNGramLM(2, {1: [((0,), -1.0, 0.0)]}, vocab_size=4)
     with pytest.raises(ValueError, match="LM"):
+        beam_search_decode(lp, beam_width=4, lm=hlm, implementation="pallas")
+    # dense bigram with mismatched vocab
+    lm = NGramLM(np.zeros((3, 3), np.float32))
+    with pytest.raises(ValueError, match="vocab"):
         beam_search_decode(lp, beam_width=4, lm=lm, implementation="pallas")
+    # dense bigram too large for the in-kernel select ladder
+    big = NGramLM(np.zeros((100, 100), np.float32))
+    lp_big = lsm(rng.standard_normal((5, 1, 100))).astype(np.float32)
+    with pytest.raises(ValueError, match="context rows"):
+        beam_search_decode(lp_big, beam_width=4, lm=big,
+                           implementation="pallas")
+
+
+def _rand_bigram_lm(rng, v, eos=True):
+    from end2end_tpu.ops.lm import NGramLM, bigram_from_counts
+
+    bigram = bigram_from_counts(rng.integers(0, 20, (v, v)))
+    start = lsm(rng.standard_normal((1, v)))[0].astype(np.float32)
+    eos_lp = (rng.standard_normal(v).astype(np.float32) * 0.5) if eos else None
+    return NGramLM(bigram, start_logp=start, eos_logp=eos_lp)
+
+
+@pytest.mark.parametrize("B,T,V,W,alpha,beta", [
+    (3, 14, 6, 4, 0.6, 0.4),
+    (2, 18, 10, 8, 1.2, -0.3),
+])
+def test_pallas_beam_lm_fusion_matches_xla(rng, B, T, V, W, alpha, beta):
+    # In-kernel dense-bigram LM fusion must reproduce the XLA scan's shallow
+    # fusion (same candidate ranking, merging, and </s> bonus).
+    lm = _rand_bigram_lm(rng, V)
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = rng.integers(T // 2, T + 1, B).astype(np.int32)
+    p = _beam_sets(*beam_search_decode(
+        lp, il, beam_width=W, lm=lm, lm_alpha=alpha, lm_beta=beta,
+        implementation="pallas"), W)
+    x = _beam_sets(*beam_search_decode(
+        lp, il, beam_width=W, lm=lm, lm_alpha=alpha, lm_beta=beta,
+        implementation="xla"), W)
+    for b in range(B):
+        assert set(p[b]) == set(x[b]), (b, set(p[b]) ^ set(x[b]))
+        for pref in p[b]:
+            np.testing.assert_allclose(p[b][pref], x[b][pref], atol=5e-4,
+                                       rtol=2e-4)
+
+
+def test_pallas_beam_lm_fusion_multitile(rng):
+    # a second batch tile (n > 128) with LM fusion on; full vocab -> exact
+    B, T, V, W = 130, 8, 8, 4
+    lm = _rand_bigram_lm(rng, V, eos=False)
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = rng.integers(3, T + 1, B).astype(np.int32)
+    p = _beam_sets(*beam_search_decode(
+        lp, il, beam_width=W, lm=lm, lm_alpha=0.8, lm_beta=0.2,
+        implementation="pallas"), W)
+    x = _beam_sets(*beam_search_decode(
+        lp, il, beam_width=W, lm=lm, lm_alpha=0.8, lm_beta=0.2,
+        implementation="xla"), W)
+    for b in range(B):
+        assert set(p[b]) == set(x[b]), b
+        for pref in p[b]:
+            np.testing.assert_allclose(p[b][pref], x[b][pref], atol=5e-4,
+                                       rtol=2e-4)
+
+
+def test_pallas_beam_lm_fusion_pruned_top1_on_peaked(rng):
+    # prune_k < V with LM fusion: top-1 agreement on peaked lattices (the
+    # repeat-prune divergence documented in beam_search_pallas.py can move
+    # tail beams on diffuse random lattices, same as the no-LM pruned test)
+    B, T, V, W, K = 4, 24, 16, 8, 8
+    lm = _rand_bigram_lm(rng, V)
+    lp = np.full((T, B, V), np.log(0.003 / (V - 1)), np.float32)
+    ids = np.where(rng.random((T, B)) < 0.5, 0, rng.integers(1, V, (T, B)))
+    for t in range(T):
+        lp[t, np.arange(B), ids[t]] = np.log(0.997)
+    lp = lsm(lp.astype(np.float64)).astype(np.float32)
+    il = np.array([24, 20, 16, 24], np.int32)
+    pt, pl_, _ = beam_search_decode(lp, il, beam_width=W, prune_k=K, lm=lm,
+                                    lm_alpha=0.5, lm_beta=0.1,
+                                    implementation="pallas")
+    xt, xl, _ = beam_search_decode(lp, il, beam_width=W, prune_k=K, lm=lm,
+                                   lm_alpha=0.5, lm_beta=0.1,
+                                   implementation="xla")
+    for b in range(B):
+        assert (np.asarray(pt)[b, 0, : int(pl_[b, 0])].tolist()
+                == np.asarray(xt)[b, 0, : int(xl[b, 0])].tolist())
+
+
+def test_pallas_beam_lm_changes_the_winner(rng):
+    # sanity: the fused LM actually influences decoding — an LM that
+    # strongly prefers token 2 after token 1 flips an acoustically
+    # ambiguous second emission
+    V = 4
+    from end2end_tpu.ops.lm import NGramLM
+
+    bigram = np.full((V, V), -8.0, np.float32)
+    bigram[1, 2] = -0.05  # after "1", LM wants "2"
+    lm = NGramLM(bigram)
+    lp = np.full((4, 1, V), -9.0, np.float32)
+    lp[0, 0, 1] = -0.01   # clear "1"
+    lp[1, 0, 0] = -0.7    # frame 1: blank
+    lp[2, 0, 2] = -0.69   # frame 2: "2" vs "3" nearly tied, "3" slightly
+    lp[2, 0, 3] = -0.68   # ahead acoustically
+    lp[3, 0, 0] = -0.01
+    lp = lsm(lp.astype(np.float64)).astype(np.float32)
+    no_lm, _, _ = beam_search_decode(lp, beam_width=4,
+                                     implementation="pallas")
+    with_lm, wl, _ = beam_search_decode(
+        lp, beam_width=4, lm=lm, lm_alpha=1.0, implementation="pallas")
+    assert no_lm[0, 0, 0] == 1 and no_lm[0, 0, 1] == 3
+    assert with_lm[0, 0, : wl[0, 0]].tolist() == [1, 2]
 
 
 def test_beam_saturation_warns(rng):

@@ -2,10 +2,12 @@
 
 Catches bug classes the torch oracle might share with our mental model.
 TF's ctc_loss computes the gradient wrt LOGITS (through the softmax), whereas
-ours/torch's is wrt log-probs; for comparison we feed log-softmax outputs as
-"logits" — then TF's loss matches, and its logits-gradient equals the
-log-probs-gradient up to the softmax Jacobian, so we compare losses only
-(gradients are cross-checked against torch and the f64 oracle elsewhere).
+ours/torch's is wrt log-probs; feeding log-softmax outputs as "logits" makes
+the losses directly comparable.  For gradients, both frameworks are
+differentiated wrt the SAME raw logits — ours composed as
+`ctc_loss(log_softmax(logits))` (JAX chains the fused custom_vjp through the
+log-softmax Jacobian), TF via GradientTape on `tf.nn.ctc_loss(logits)` —
+so the logits-gradients must agree exactly.
 """
 
 import numpy as np
@@ -33,3 +35,41 @@ def test_loss_matches_tf(rng):
         blank_index=0,
     ).numpy()
     np.testing.assert_allclose(losses, tf_loss, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("implementation", ["xla", "pallas"])
+def test_logits_gradient_matches_tf(rng, implementation):
+    # Differentiate BOTH frameworks wrt the same raw (un-normalized) logits:
+    # the second oracle for the fused backward pass, independent of torch.
+    import jax
+    import jax.numpy as jnp
+
+    from end2end_tpu import ctc_loss
+
+    B, T, S, V = 4, 24, 7, 12
+    rngl = np.random.default_rng(7)
+    logits = rngl.standard_normal((T, B, V)).astype(np.float32) * 2.0
+    tgt = rngl.integers(1, V, (B, S)).astype(np.int32)
+    il = np.full(B, T, np.int32)
+    tl = rngl.integers(3, S + 1, B).astype(np.int32)
+
+    def total_loss(lg):
+        lp = jax.nn.log_softmax(lg, axis=-1)
+        return ctc_loss(lp, jnp.asarray(tgt), jnp.asarray(il),
+                        jnp.asarray(tl), reduction="sum",
+                        implementation=implementation)
+
+    jax_grad = np.asarray(jax.grad(total_loss)(jnp.asarray(logits)))
+
+    lg_tf = tf.Variable(tf.constant(logits, tf.float32))
+    with tf.GradientTape() as tape:
+        tf_loss = tf.reduce_sum(tf.nn.ctc_loss(
+            labels=tf.constant(tgt, tf.int32),
+            logits=lg_tf,
+            label_length=tf.constant(tl, tf.int32),
+            logit_length=tf.constant(il, tf.int32),
+            logits_time_major=True,
+            blank_index=0,
+        ))
+    tf_grad = tape.gradient(tf_loss, lg_tf).numpy()
+    np.testing.assert_allclose(jax_grad, tf_grad, rtol=1e-3, atol=2e-4)
