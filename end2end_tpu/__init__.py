@@ -16,6 +16,7 @@ from .ops.ctc_loss import CTCLoss, ctc_loss, ctc_loss_jit, ctc_nll
 from .ops.greedy import GreedyCTCDecoder, greedy_decode, greedy_decode_with_timestamps
 from .ops.beam_search import BeamSearchCTCDecoder, beam_search_decode
 from .ops.lm import HashedNGramLM, HashedWordNGramLM, NGramLM, WordNGramLM
+from .ops.rescore import rescore_nbest
 
 __version__ = "0.2.0"
 
@@ -35,5 +36,6 @@ __all__ = [
     "WordNGramLM",
     "HashedNGramLM",
     "HashedWordNGramLM",
+    "rescore_nbest",
     "__version__",
 ]

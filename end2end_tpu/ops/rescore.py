@@ -1,0 +1,88 @@
+"""Post-hoc N-best LM rescoring for decoded beam lists.
+
+The production pattern that complements shallow fusion (SURVEY.md §3.1 N6):
+decode FAST without the LM (the Pallas kernel path, beam_search_pallas.py),
+then add the exact shallow-fusion bonus to every surviving hypothesis and
+re-rank.  The bonus an LM-fused decode attaches to a prefix ``y`` is a pure
+function of the prefix,
+
+    alpha * (sum_j log p_LM(y_j | y_<j) + final(y)) + beta * len(y),
+
+so rescoring reproduces the fused decoder's SCORES exactly for every prefix
+the no-LM beam kept (what can differ is the candidate set itself, since the
+LM no longer steers the search — the usual fusion-vs-rescoring trade).
+
+Works with ANY ShallowFusionLM protocol object (lm.py): the per-position
+scoring runs the protocol with a single candidate per beam (vmapped over all
+N*W hypotheses, scanned over positions), so token-level, hashed
+arbitrary-order, and word-boundary LMs all rescore without special cases.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("lm", "lm_alpha", "lm_beta", "resort"))
+def rescore_nbest(tokens, lengths, scores, lm, lm_alpha: float = 0.0,
+                  lm_beta: float = 0.0, resort: bool = True):
+    """Add shallow-fusion LM bonuses to an N-best list and re-rank.
+
+    Args:
+      tokens: (N, W, S) int32, -1 padded — as returned by
+        `beam_search_decode`.
+      lengths: (N, W) int32.
+      scores: (N, W) float log-scores (acoustic); -inf marks dead beams.
+      lm / lm_alpha / lm_beta: shallow-fusion LM and weights (lm.py).
+      resort: re-rank beams by the rescored totals (best first).
+
+    Returns:
+      (tokens, lengths, new_scores) with
+      `new_scores = scores + alpha*(lm logp + final) + beta*len`,
+      re-sorted per sample when `resort`.
+    """
+    n, w, s_cap = tokens.shape
+    nw = n * w
+    toks = tokens.reshape(nw, s_cap)
+    state0 = lm.init_state(nw)
+
+    def step(state, tok):
+        # tok: (nw,) this position's token per hypothesis (-1 = past end)
+        valid = tok >= 0
+        tok_safe = jnp.where(valid, tok, 0).astype(jnp.int32)
+
+        def one(state_b, tok_b):
+            st = jax.tree.map(lambda x: x[None], state_b)  # fake W=1
+            lm_lp, st_ext = lm.score(st, tok_b[None])       # (1, 1), K=1
+            zero = jnp.zeros((1,), jnp.int32)
+            st_new = lm.select(st, st_ext, zero, zero,
+                               jnp.zeros((1,), bool))
+            return lm_lp[0, 0], jax.tree.map(lambda x: x[0], st_new)
+
+        lm_lp, state_ext = jax.vmap(one)(state, tok_safe)
+        # past-end positions contribute nothing and keep their state
+        state = jax.tree.map(
+            lambda new, old: jnp.where(
+                valid.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+            ),
+            state_ext, state,
+        )
+        return state, jnp.where(valid, lm_lp, 0.0)
+
+    state, lm_lps = jax.lax.scan(step, state0, toks.T)  # scan over positions
+    lm_sum = lm_lps.sum(axis=0)                          # (nw,)
+    bonus = (lm_alpha * (lm_sum + lm.final(state))
+             + lm_beta * lengths.reshape(nw).astype(jnp.float32))
+    new_scores = jnp.where(
+        jnp.isfinite(scores.reshape(nw)),
+        scores.reshape(nw) + bonus,
+        -jnp.inf,
+    ).reshape(n, w)
+    if resort:
+        new_scores, order = jax.lax.top_k(new_scores, w)
+        tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
+        lengths = jnp.take_along_axis(lengths, order, axis=1)
+    return tokens, lengths, new_scores
