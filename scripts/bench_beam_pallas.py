@@ -29,10 +29,13 @@ def bench(impl):
         @jax.jit
         def run(x):
             def body(c, _):
+                # decode the CARRY so iterations are data-dependent — XLA
+                # hoists a loop-invariant decode out of the while loop
+                # (observed: 4x-optimistic numbers)
                 toks, lens, scores = beam_search_decode(
-                    x, il, beam_width=W, prune_k=K, max_symbols=256,
+                    c, il, beam_width=W, prune_k=K, max_symbols=256,
                     implementation=impl)
-                return c + 1e-6 * scores.sum(), scores[0, 0]
+                return c + 1e-9 * scores.sum(), scores[0, 0]
             _, vs = jax.lax.scan(body, x, None, length=r)
             return vs.sum()
         return lambda: run(lp)
