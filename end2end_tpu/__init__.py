@@ -17,6 +17,7 @@ from .ops.greedy import GreedyCTCDecoder, greedy_decode, greedy_decode_with_time
 from .ops.beam_search import BeamSearchCTCDecoder, beam_search_decode
 from .ops.lm import HashedNGramLM, HashedWordNGramLM, NGramLM, WordNGramLM
 from .ops.rescore import rescore_nbest
+from .ops.streaming_decode import StreamingBeamDecoder, StreamingGreedyDecoder
 
 __version__ = "0.2.0"
 
@@ -37,5 +38,7 @@ __all__ = [
     "HashedNGramLM",
     "HashedWordNGramLM",
     "rescore_nbest",
+    "StreamingGreedyDecoder",
+    "StreamingBeamDecoder",
     "__version__",
 ]

@@ -66,28 +66,36 @@ def _masked_logsumexp(x, mask, axis):
     return jnp.where(m > LOG0_THRESHOLD, out, LOG0)
 
 
-def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
-                        lm_alpha=0.0, lm_beta=0.0):
-    """Beam search for ONE sample.
-
-    lp: (T, V); lpk/ck_all: (T, K) per-frame top-K values/ids precomputed
-    OUTSIDE the scan (the vocabulary prune is beam-state independent, so
-    hoisting it turns T sequential small top-ks into one big batched one —
-    the dominant cost at large V); il: scalar length."""
-    t_max, v = lp.shape
+def _beam_init_state(W, s_cap, lm=None, dtype=jnp.float32):
+    """Initial per-sample beam state (the scan carry / streaming state)."""
     arange_w = jnp.arange(W, dtype=jnp.uint32)
-
     tokens0 = jnp.full((W, s_cap), -1, jnp.int32)
     lens0 = jnp.zeros((W,), jnp.int32)
     last0 = jnp.full((W,), -1, jnp.int32)
-    pb0 = jnp.where(jnp.arange(W) == 0, 0.0, LOG0).astype(lp.dtype)
-    pnb0 = jnp.full((W,), LOG0, lp.dtype)
+    pb0 = jnp.where(jnp.arange(W) == 0, 0.0, LOG0).astype(dtype)
+    pnb0 = jnp.full((W,), LOG0, dtype)
     # Dead padding beams get unique hashes so they can never merge with live
     # prefixes; beam 0 is the (live) empty prefix.
     h1_0 = jnp.where(jnp.arange(W) == 0, _SEED1, _DEAD + arange_w)
     h2_0 = jnp.where(jnp.arange(W) == 0, _SEED2, _DEAD + arange_w)
     lm_state0 = lm.init_state(W) if lm is not None else jnp.zeros((W, 0))
-    lm_score0 = jnp.zeros((W,), lp.dtype)  # accumulated alpha*lm + beta bonus
+    lm_score0 = jnp.zeros((W,), dtype)  # accumulated alpha*lm + beta bonus
+    return (tokens0, lens0, last0, pb0, pnb0, h1_0, h2_0, lm_state0,
+            lm_score0)
+
+
+def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
+                        lm_alpha=0.0, lm_beta=0.0, state0=None):
+    """Beam search for ONE sample (or one streaming chunk of one sample).
+
+    lp: (T, V); lpk/ck_all: (T, K) per-frame top-K values/ids precomputed
+    OUTSIDE the scan (the vocabulary prune is beam-state independent, so
+    hoisting it turns T sequential small top-ks into one big batched one —
+    the dominant cost at large V); il: scalar length (frames ≥ il are
+    frozen — in streaming, il counts from the chunk's own frame 0).
+    state0 resumes from a previous chunk's carry."""
+    t_max, v = lp.shape
+    arange_w = jnp.arange(W, dtype=jnp.uint32)
 
     def step(state, xs):
         tokens, lens, last, pb, pnb, h1, h2, lm_state, lm_score = state
@@ -184,11 +192,15 @@ def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
             out.append(jax.tree.map(lambda a, b: jnp.where(upd, a, b), new, old))
         return tuple(out), None
 
-    state0 = (tokens0, lens0, last0, pb0, pnb0, h1_0, h2_0, lm_state0, lm_score0)
+    if state0 is None:
+        state0 = _beam_init_state(W, s_cap, lm, lp.dtype)
     ts = jnp.arange(t_max, dtype=jnp.int32)
-    state, _ = jax.lax.scan(step, state0, (lp, lpk, ck_all, ts))
-    tokens, lens, last, pb, pnb, h1, h2, lm_state, lm_score = state
+    return jax.lax.scan(step, state0, (lp, lpk, ck_all, ts))[0]
 
+
+def _beam_rank(state, W, lm=None, lm_alpha=0.0):
+    """Rank a final beam state: (tokens, lens, scores), best first."""
+    tokens, lens, last, pb, pnb, h1, h2, lm_state, lm_score = state
     scores = logaddexp2(pb, pnb) + lm_score
     if lm is not None:
         scores = scores + lm_alpha * lm.final(lm_state)
@@ -225,9 +237,11 @@ def _beam_search_batched(
         lm_alpha=lm_alpha,
         lm_beta=lm_beta,
     )
-    return jax.vmap(fn, in_axes=(1, 1, 1, 0))(
+    state = jax.vmap(fn, in_axes=(1, 1, 1, 0))(
         log_probs, lpk, ck.astype(jnp.int32), input_lengths
     )
+    rank = partial(_beam_rank, W=beam_width, lm=lm, lm_alpha=lm_alpha)
+    return jax.vmap(rank)(state)
 
 
 def beam_search_decode(
