@@ -85,7 +85,7 @@ def _beam_init_state(W, s_cap, lm=None, dtype=jnp.float32):
 
 
 def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
-                        lm_alpha=0.0, lm_beta=0.0, state0=None):
+                        lm_alpha=0.0, lm_beta=0.0, state0=None, lpb=None):
     """Beam search for ONE sample (or one streaming chunk of one sample).
 
     lp: (T, V); lpk/ck_all: (T, K) per-frame top-K values/ids precomputed
@@ -93,18 +93,40 @@ def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
     hoisting it turns T sequential small top-ks into one big batched one —
     the dominant cost at large V); il: scalar length (frames ≥ il are
     frozen — in streaming, il counts from the chunk's own frame 0).
-    state0 resumes from a previous chunk's carry."""
-    t_max, v = lp.shape
+    state0 resumes from a previous chunk's carry.
+
+    CANDIDATE-ONLY mode (`lp=None, lpb=(T,)` blank log-probs): the scan
+    never touches the full vocab row — the repeat-last "stay" term reads
+    from the top-K set instead (exact when K >= V; otherwise the same
+    documented prune as the Pallas kernel).  This is the mode used when the
+    vocabulary is SHARDED over a mesh (parallel/vocab_parallel.py): only
+    the merged top-K candidates and the blank row are replicated."""
+    from_topk = lp is None
+    if not from_topk:
+        t_max, v = lp.shape
     arange_w = jnp.arange(W, dtype=jnp.uint32)
 
     def step(state, xs):
         tokens, lens, last, pb, pnb, h1, h2, lm_state, lm_score = state
-        lp_t, lpk_t, ck, t = xs
+        if from_topk:
+            lpk_t, ck, lpb_t, t = xs
+        else:
+            lp_t, lpk_t, ck, t = xs
         total = logaddexp2(pb, pnb)
 
         # --- stay candidates: same prefix --------------------------------
-        lp_last = lp_t[jnp.clip(last, 0, v - 1)]
-        pb_stay = total + lp_t[blank]
+        if from_topk:
+            ck_i = ck.astype(jnp.int32)
+            lp_last = jnp.max(
+                jnp.where(ck_i[None, :] == last[:, None], lpk_t[None, :],
+                          LOG0),
+                axis=1,
+            )
+            blank_lp = lpb_t
+        else:
+            lp_last = lp_t[jnp.clip(last, 0, v - 1)]
+            blank_lp = lp_t[blank]
+        pb_stay = total + blank_lp
         pnb_stay = jnp.where(last >= 0, pnb + lp_last, LOG0)
 
         # --- extend candidates: prefix + c (pre-pruned vocab) -------------
@@ -124,7 +146,7 @@ def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
             lm_delta = lm_alpha * lm_lp + lm_beta
         else:
             lm_state_ext = None
-            lm_delta = jnp.zeros((W, K), lp.dtype)
+            lm_delta = jnp.zeros((W, K), lpk_t.dtype)
         lm_score_ext = lm_score[:, None] + lm_delta  # (W, K)
 
         # --- merge extends that recreate an existing beam's prefix -------
@@ -141,7 +163,7 @@ def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
         pnb_ext = jnp.where(matched, LOG0, pnb_ext)
 
         # --- rank all W + W*K candidates (LM-adjusted), keep top W -------
-        cand_pb = jnp.concatenate([pb_stay, jnp.full((W * K,), LOG0, lp.dtype)])
+        cand_pb = jnp.concatenate([pb_stay, jnp.full((W * K,), LOG0, lpk_t.dtype)])
         cand_pnb = jnp.concatenate([pnb_stay, pnb_ext.reshape(-1)])
         cand_lm = jnp.concatenate([lm_score, lm_score_ext.reshape(-1)])
         cand_score = logaddexp2(cand_pb, cand_pnb) + cand_lm
@@ -193,9 +215,10 @@ def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
         return tuple(out), None
 
     if state0 is None:
-        state0 = _beam_init_state(W, s_cap, lm, lp.dtype)
-    ts = jnp.arange(t_max, dtype=jnp.int32)
-    return jax.lax.scan(step, state0, (lp, lpk, ck_all, ts))[0]
+        state0 = _beam_init_state(W, s_cap, lm, lpk.dtype)
+    ts = jnp.arange(lpk.shape[0], dtype=jnp.int32)
+    xs = (lpk, ck_all, lpb, ts) if from_topk else (lp, lpk, ck_all, ts)
+    return jax.lax.scan(step, state0, xs)[0]
 
 
 def _beam_rank(state, W, lm=None, lm_alpha=0.0):
@@ -207,6 +230,35 @@ def _beam_rank(state, W, lm=None, lm_alpha=0.0):
     scores, order = jax.lax.top_k(scores, W)
     scores = jnp.where(scores > LOG0_THRESHOLD, scores, -jnp.inf)
     return tokens[order], lens[order], scores
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "beam_width", "blank", "max_symbols", "lm", "lm_alpha", "lm_beta",
+    ),
+)
+def beam_search_from_topk(lpk, ck, lpb, input_lengths, beam_width, blank,
+                          max_symbols, lm=None, lm_alpha=0.0, lm_beta=0.0):
+    """Batched beam search from PRECOMPUTED per-frame candidates.
+
+    lpk/ck: (T, N, K) top-K log-probs / token ids; lpb: (T, N) blank
+    log-probs.  Candidate-only semantics (see _beam_search_single): exact
+    when the K candidates cover the vocab, else the Pallas kernel's
+    documented repeat-prune.  Used by the vocab-sharded (tensor-parallel)
+    decode, where only the merged top-K is replicated across the mesh.
+    Returns (tokens (N, W, max_symbols), lengths (N, W), scores (N, W)).
+    """
+    fn = lambda lpk_s, ck_s, lpb_s, il_s: _beam_search_single(
+        None, lpk_s, ck_s, il_s, W=beam_width, K=lpk.shape[2],
+        s_cap=max_symbols, blank=blank, lm=lm, lm_alpha=lm_alpha,
+        lm_beta=lm_beta, lpb=lpb_s,
+    )
+    state = jax.vmap(fn, in_axes=(1, 1, 1, 0))(
+        lpk, ck.astype(jnp.int32), lpb, jnp.asarray(input_lengths, jnp.int32)
+    )
+    rank = partial(_beam_rank, W=beam_width, lm=lm, lm_alpha=lm_alpha)
+    return jax.vmap(rank)(state)
 
 
 @partial(

@@ -34,10 +34,25 @@ def greedy_decode(log_probs, input_lengths=None, blank: int = 0, pad_id: int = -
     t_max, n, _ = log_probs.shape
     if input_lengths is None:
         input_lengths = jnp.full((n,), t_max, dtype=jnp.int32)
-    il = jnp.asarray(input_lengths, dtype=jnp.int32)
-
     best = jnp.max(log_probs, axis=-1)  # (T, N)
     ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)  # (T, N)
+    return greedy_decode_from_path(ids, best, input_lengths, blank=blank,
+                                   pad_id=pad_id)
+
+
+def greedy_decode_from_path(ids, best, input_lengths=None, blank: int = 0,
+                            pad_id: int = -1):
+    """Collapse a PRECOMPUTED best path (same returns as `greedy_decode`).
+
+    ids: (T, N) per-frame argmax token ids; best: (T, N) their log-probs.
+    Used when the argmax itself is computed elsewhere — e.g. over a
+    vocab-SHARDED lattice on a device mesh (parallel/vocab_parallel.py),
+    where only the per-frame winners are replicated."""
+    ids = jnp.asarray(ids, jnp.int32)
+    t_max, n = ids.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((n,), t_max, dtype=jnp.int32)
+    il = jnp.asarray(input_lengths, dtype=jnp.int32)
     ids_nt = ids.T  # (N, T)
     t_mask = jnp.arange(t_max, dtype=jnp.int32)[None, :] < il[:, None]
 

@@ -215,3 +215,132 @@ def _vp_bwd(mesh, blank, vocab_axis, saved, g):
 
 
 _ctc_nll_vp.defvjp(_vp_fwd, _vp_bwd)
+
+
+# --------------------------------------------------------------------------
+# Vocab-sharded decoding
+# --------------------------------------------------------------------------
+#
+# Decoding over a vocab-sharded lattice never materializes the full (T,N,V)
+# on one device: shard_map computes the per-frame winners (greedy) or the
+# merged top-K candidate set (beam) with one small collective, and the
+# sequential decode runs on those replicated candidates — compute
+# independent of V, exactly like the loss above.
+
+_BIG_I32 = np.int32(1 << 30)
+
+
+def greedy_decode_vocab_parallel(log_probs, input_lengths=None,
+                                 mesh: Mesh = None, blank: int = 0,
+                                 vocab_axis: str = "model", pad_id: int = -1):
+    """`greedy_decode` with the VOCAB axis sharded over the mesh — EXACT
+    (identical tokens/lengths/scores incl. argmax tie-breaks).
+
+    Per frame each device reduces its slice; a pmax/pmin pair picks the
+    global winner with the smallest global id on ties (jnp.argmax order).
+    """
+    t_max, n, v = log_probs.shape
+    d = mesh.shape[vocab_axis]
+    if v % d:
+        raise ValueError(f"V={v} must divide over {d} '{vocab_axis}' devices")
+    v_local = v // d
+    lp = jax.device_put(
+        jnp.asarray(log_probs), NamedSharding(mesh, P(None, None, vocab_axis))
+    )
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=P(None, None, vocab_axis), out_specs=(P(), P()),
+        check_vma=False,  # psum/pmax outputs are replicated by math
+    )
+    def winners(lp_local):
+        best_l = jnp.max(lp_local, axis=-1)                    # (T, N)
+        id_l = jnp.argmax(lp_local, axis=-1).astype(jnp.int32)
+        gid = id_l + jax.lax.axis_index(vocab_axis) * v_local
+        best = jax.lax.pmax(best_l, vocab_axis)
+        # smallest global id among the devices holding the max
+        cand = jnp.where(best_l >= best, gid, _BIG_I32)
+        ids = jax.lax.pmin(cand, vocab_axis)
+        return ids, best
+
+    ids, best = winners(lp)
+    from ..ops.greedy import greedy_decode_from_path
+
+    return greedy_decode_from_path(ids, best, input_lengths, blank=blank,
+                                   pad_id=pad_id)
+
+
+def beam_topk_prep_vocab_parallel(log_probs, mesh: Mesh, prune_k: int,
+                                  blank: int = 0,
+                                  vocab_axis: str = "model"):
+    """Merged per-frame top-K over a vocab-sharded lattice.
+
+    Each device takes a local top-k of its slice; one tiled all_gather
+    (K*d tiny scalars per frame) plus a replicated top_k merge reproduces
+    the GLOBAL `lax.top_k` exactly, tie-breaks included (the gather
+    concatenates in device order, so equal values keep ascending-global-id
+    order).  Returns replicated (lpk (T,N,K), ck (T,N,K), lpb (T,N))."""
+    t_max, n, v = log_probs.shape
+    d = mesh.shape[vocab_axis]
+    if v % d:
+        raise ValueError(f"V={v} must divide over {d} '{vocab_axis}' devices")
+    v_local = v // d
+    k = min(prune_k, v)
+    k_local = min(k, v_local)
+    lp = jax.device_put(
+        jnp.asarray(log_probs), NamedSharding(mesh, P(None, None, vocab_axis))
+    )
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=P(None, None, vocab_axis), out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def prep(lp_local):
+        v_start = jax.lax.axis_index(vocab_axis) * v_local
+        lv, li = jax.lax.top_k(lp_local, k_local)
+        gi = li.astype(jnp.int32) + v_start
+        lv_all = jax.lax.all_gather(lv, vocab_axis, axis=2, tiled=True)
+        gi_all = jax.lax.all_gather(gi, vocab_axis, axis=2, tiled=True)
+        lpk, sel = jax.lax.top_k(lv_all, k)
+        ck = jnp.take_along_axis(gi_all, sel, axis=2)
+        # blank row: owned by exactly one device
+        bl = blank - v_start
+        own = (bl >= 0) & (bl < v_local)
+        lpb = jax.lax.psum(
+            jnp.where(own, lp_local[:, :, jnp.clip(bl, 0, v_local - 1)], 0.0),
+            vocab_axis,
+        )
+        return lpk, ck, lpb
+
+    return prep(lp)
+
+
+def beam_search_decode_vocab_parallel(
+    log_probs, input_lengths=None, mesh: Mesh = None, beam_width: int = 8,
+    blank: int = 0, prune_k: int | None = None, max_symbols: int | None = None,
+    lm=None, lm_alpha: float = 0.0, lm_beta: float = 0.0,
+    vocab_axis: str = "model",
+):
+    """`beam_search_decode` with the VOCAB axis sharded over the mesh.
+
+    shard_map computes the merged top-K prep (above); the beam scan runs on
+    the replicated candidates via `beam_search_from_topk` — identical
+    results to the single-device candidate-only decode (exact at
+    prune_k >= V, else the documented repeat-prune).  LM fusion works
+    unchanged (LM tables are replicated; scoring touches candidates only).
+    """
+    from ..ops.beam_search import beam_search_from_topk
+
+    t_max, n, v = log_probs.shape
+    if input_lengths is None:
+        input_lengths = np.full((n,), t_max, np.int32)
+    k = min(prune_k or v, v)
+    s_cap = int(max_symbols or min(t_max, 512))
+    lpk, ck, lpb = beam_topk_prep_vocab_parallel(
+        log_probs, mesh, k, blank=blank, vocab_axis=vocab_axis
+    )
+    return beam_search_from_topk(
+        lpk, ck, lpb, input_lengths, int(beam_width), int(blank), s_cap,
+        lm=lm, lm_alpha=float(lm_alpha), lm_beta=float(lm_beta),
+    )

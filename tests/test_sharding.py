@@ -246,3 +246,119 @@ def test_vocab_parallel_impossible_and_blank_ownership(rng):
 
     with pytest.raises(ValueError, match="divide"):
         ctc_nll_vocab_parallel(jnp.asarray(lp)[:, :, :30], tgt, il, tl, mesh=mesh)
+
+
+@needs_devices
+def test_vocab_parallel_greedy_matches_sequential(rng):
+    """Vocab-sharded greedy decode == unsharded, exactly (incl. argmax
+    tie-breaks via the pmax/pmin winner merge)."""
+    from end2end_tpu.ops.greedy import greedy_decode
+    from end2end_tpu.parallel.vocab_parallel import (
+        greedy_decode_vocab_parallel,
+    )
+
+    B, T, V = 5, 30, 64
+    lp, _, _, _ = random_ctc_problem(rng, B, T, 3, V)
+    # inject exact ties to exercise the smallest-id tie-break across shards
+    lp[4, 0, 3] = lp[4, 0, 40] = lp[4, 0].max() + 1.0
+    lp[9, 2, 8] = lp[9, 2, 9] = lp[9, 2].max() + 1.0
+    il = rng.integers(T // 2, T + 1, B).astype(np.int32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("model",))
+    got = greedy_decode_vocab_parallel(jnp.asarray(lp), il, mesh=mesh)
+    want = greedy_decode(jnp.asarray(lp), il)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@needs_devices
+def test_vocab_parallel_beam_prep_matches_global_topk(rng):
+    """The all_gather + merge reproduces global lax.top_k exactly,
+    tie-breaks included."""
+    from end2end_tpu.parallel.vocab_parallel import (
+        beam_topk_prep_vocab_parallel,
+    )
+
+    B, T, V, K = 3, 12, 64, 10
+    lp, _, _, _ = random_ctc_problem(rng, B, T, 3, V)
+    lp[2, 1, 5] = lp[2, 1, 37]  # cross-shard exact tie
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("model",))
+    lpk, ck, lpb = beam_topk_prep_vocab_parallel(jnp.asarray(lp), mesh, K)
+    wv, wi = jax.lax.top_k(jnp.asarray(lp), K)
+    np.testing.assert_array_equal(np.asarray(lpk), np.asarray(wv))
+    np.testing.assert_array_equal(np.asarray(ck), np.asarray(wi))
+    np.testing.assert_array_equal(np.asarray(lpb), np.asarray(lp)[:, :, 0])
+
+
+@needs_devices
+def test_vocab_parallel_beam_matches_candidate_decode(rng):
+    """Vocab-sharded beam decode == the single-device candidate-only scan
+    on the same merged top-K; and at K >= V it equals the full XLA scan
+    (candidate-only mode is exact with full-vocab candidates)."""
+    from end2end_tpu.ops.beam_search import (
+        beam_search_decode,
+        beam_search_from_topk,
+    )
+    from end2end_tpu.parallel.vocab_parallel import (
+        beam_search_decode_vocab_parallel,
+    )
+
+    B, T, V, W = 3, 14, 16, 6
+    lp, _, _, _ = random_ctc_problem(rng, B, T, 3, V)
+    lp = np.asarray(lp, np.float32)
+    il = np.array([14, 9, 12], np.int32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("model",))
+
+    # exact regime: K = V
+    got = beam_search_decode_vocab_parallel(
+        jnp.asarray(lp), il, mesh=mesh, beam_width=W, max_symbols=16
+    )
+    want = beam_search_decode(lp, il, beam_width=W, max_symbols=16,
+                              implementation="xla")
+    gt, gl, gs = [np.asarray(a) for a in got]
+    wt, wl, ws = [np.asarray(a) for a in want]
+    np.testing.assert_array_equal(gl, wl)
+    np.testing.assert_allclose(gs, ws, atol=1e-5, rtol=1e-6)
+    for b in range(B):
+        for w in range(W):
+            if np.isfinite(ws[b, w]):
+                np.testing.assert_array_equal(gt[b, w, : gl[b, w]],
+                                              wt[b, w, : wl[b, w]])
+
+    # pruned regime: equals the same candidate-only decode run unsharded
+    K = 6
+    got_p = beam_search_decode_vocab_parallel(
+        jnp.asarray(lp), il, mesh=mesh, beam_width=W, prune_k=K,
+        max_symbols=16,
+    )
+    lpk, ck = jax.lax.top_k(jnp.asarray(lp), K)
+    want_p = beam_search_from_topk(
+        lpk, ck, jnp.asarray(lp)[:, :, 0], il, W, 0, 16
+    )
+    for a, b in zip(got_p, want_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@needs_devices
+def test_vocab_parallel_beam_with_lm(rng):
+    """LM fusion over the vocab-sharded decode (tables replicated; scoring
+    touches only the merged candidates) == unsharded XLA scan at K = V."""
+    from end2end_tpu.ops.beam_search import beam_search_decode
+    from end2end_tpu.ops.lm import NGramLM, bigram_from_counts
+    from end2end_tpu.parallel.vocab_parallel import (
+        beam_search_decode_vocab_parallel,
+    )
+
+    B, T, V, W = 2, 12, 16, 4
+    lp, _, _, _ = random_ctc_problem(rng, B, T, 3, V)
+    lp = np.asarray(lp, np.float32)
+    il = np.full(B, T, np.int32)
+    lm = NGramLM(bigram_from_counts(rng.integers(0, 10, (V, V))))
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("model",))
+    kw = dict(beam_width=W, lm=lm, lm_alpha=0.7, lm_beta=0.2, max_symbols=16)
+    got = beam_search_decode_vocab_parallel(jnp.asarray(lp), il, mesh=mesh,
+                                            **kw)
+    want = beam_search_decode(lp, il, implementation="xla", **kw)
+    gt, gl, gs = [np.asarray(a) for a in got]
+    wt, wl, ws = [np.asarray(a) for a in want]
+    np.testing.assert_array_equal(gl, wl)
+    np.testing.assert_allclose(gs, ws, atol=1e-5, rtol=1e-6)
