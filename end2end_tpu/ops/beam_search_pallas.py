@@ -400,12 +400,15 @@ def _beam_pallas_jit(log_probs, il, W, K, s_cap, blank, interpret,
     """Full decode: top-K prep -> pallas scan kernel -> XLA backtrace."""
     # Full-vocab top-K (blank included, masked in-kernel): candidate K-slot
     # ordering — and therefore tie-breaking — matches the XLA scan exactly.
-    # On TPU the dedicated pallas kernel replaces lax.top_k (11.6 ms -> ~2 ms
-    # at the metric config; see topk_pallas.py); interpret mode (CPU tests)
-    # keeps lax.top_k, which has identical semantics.
+    # On TPU the dedicated pallas kernel replaces lax.top_k for LARGE vocab
+    # (10.4 -> 1.9 ms at B=32,V=1024,K=16) but XLA's sort wins for small
+    # rows where the kernel's K sequential extraction passes dominate
+    # (1.7 vs 11.7 ms at B=128,V=128) — measured crossover at V ~ 256-512,
+    # so route on v; interpret mode (CPU tests) keeps lax.top_k, which has
+    # identical semantics either way.
     if approx_topk and K < v:
         lpk, ck = jax.lax.approx_max_k(log_probs, K)
-    elif interpret:
+    elif interpret or v <= 256:
         lpk, ck = jax.lax.top_k(log_probs, K)  # (T, N, K)
     else:
         from .topk_pallas import topk_pallas
