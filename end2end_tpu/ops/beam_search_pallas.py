@@ -414,9 +414,26 @@ def _beam_pallas_jit(log_probs, il, W, K, s_cap, blank, interpret,
         from .topk_pallas import topk_pallas
 
         lpk, ck = topk_pallas(log_probs, K)
-    ck = ck.astype(jnp.int32)
     lpb = log_probs[:, :, blank]  # (T, N)
+    return _beam_pallas_from_topk_jit(
+        lpk, ck, lpb, il, W, K, s_cap, blank, interpret, t_max, n, v,
+        lm_table=lm_table, lm_eos=lm_eos, lm_alpha=lm_alpha,
+        lm_beta=lm_beta,
+    )
 
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "W", "K", "s_cap", "blank", "interpret",
+        "t_max", "n", "v", "lm_alpha", "lm_beta",
+    ),
+)
+def _beam_pallas_from_topk_jit(lpk, ck, lpb, il, W, K, s_cap, blank,
+                               interpret, t_max, n, v, lm_table=None,
+                               lm_eos=None, lm_alpha=0.0, lm_beta=0.0):
+    """Pallas scan kernel + XLA backtrace from precomputed candidates."""
+    ck = ck.astype(jnp.int32)
     use_lm = lm_table is not None
     n_ctx = v + 1 if use_lm else 0
     c_pad = _pad_up(n_ctx, 8) if use_lm else 0
@@ -560,6 +577,37 @@ def beam_search_pallas(log_probs, input_lengths=None, beam_width: int = 8,
     return _beam_pallas_jit(
         log_probs, il, W, K, s_cap, int(blank), bool(interpret),
         bool(approx_topk), t_max, n, v,
+        lm_table=lm_table, lm_eos=lm_eos,
+        lm_alpha=float(lm_alpha), lm_beta=float(lm_beta),
+    )
+
+
+def beam_search_pallas_from_topk(lpk, ck, lpb, input_lengths, beam_width=8,
+                                 blank=0, max_symbols=None, v=None,
+                                 lm=None, lm_alpha=0.0, lm_beta=0.0,
+                                 interpret=None):
+    """Pallas beam search from PRECOMPUTED candidates — the kernel twin of
+    `beam_search.beam_search_from_topk` (identical candidate-only
+    semantics).  Used by the vocab-sharded decode so tensor-parallel
+    decoding runs at kernel speed: lpk/ck (T, N, K), lpb (T, N), `v` the
+    (global) vocab size the ids index into."""
+    lpk = jnp.asarray(lpk, jnp.float32)
+    t_max, n, K = lpk.shape
+    if v is None:
+        v = int(jnp.max(ck)) + 1  # forces a sync; pass v explicitly
+    W = int(beam_width)
+    s_cap = int(max_symbols or min(t_max, 512))
+    ok, reason = beam_pallas_supported(t_max, v, W, K, lm=lm)
+    if not ok:
+        raise ValueError(reason)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lm_table = lm._table if lm is not None else None
+    lm_eos = lm._eos if lm is not None else None
+    return _beam_pallas_from_topk_jit(
+        lpk, jnp.asarray(ck), jnp.asarray(lpb, jnp.float32),
+        jnp.asarray(input_lengths, jnp.int32), W, K, s_cap, int(blank),
+        bool(interpret), t_max, n, int(v),
         lm_table=lm_table, lm_eos=lm_eos,
         lm_alpha=float(lm_alpha), lm_beta=float(lm_beta),
     )

@@ -320,17 +320,23 @@ def beam_search_decode_vocab_parallel(
     log_probs, input_lengths=None, mesh: Mesh = None, beam_width: int = 8,
     blank: int = 0, prune_k: int | None = None, max_symbols: int | None = None,
     lm=None, lm_alpha: float = 0.0, lm_beta: float = 0.0,
-    vocab_axis: str = "model",
+    vocab_axis: str = "model", implementation: str = "auto",
 ):
     """`beam_search_decode` with the VOCAB axis sharded over the mesh.
 
-    shard_map computes the merged top-K prep (above); the beam scan runs on
-    the replicated candidates via `beam_search_from_topk` — identical
-    results to the single-device candidate-only decode (exact at
-    prune_k >= V, else the documented repeat-prune).  LM fusion works
-    unchanged (LM tables are replicated; scoring touches candidates only).
+    shard_map computes the merged top-K prep (above); the beam step runs on
+    the replicated candidates — through the Pallas kernel on TPU when it
+    applies (`implementation='auto'`, same routing as the single-device
+    decode), else the candidate-only XLA scan (`beam_search_from_topk`).
+    Both have identical candidate-only semantics: exact at prune_k >= V,
+    else the documented repeat-prune.  LM fusion works unchanged (tables
+    replicated; scoring touches candidates only).
     """
     from ..ops.beam_search import beam_search_from_topk
+    from ..ops.beam_search_pallas import (
+        beam_pallas_supported,
+        beam_search_pallas_from_topk,
+    )
 
     t_max, n, v = log_probs.shape
     if input_lengths is None:
@@ -340,6 +346,19 @@ def beam_search_decode_vocab_parallel(
     lpk, ck, lpb = beam_topk_prep_vocab_parallel(
         log_probs, mesh, k, blank=blank, vocab_axis=vocab_axis
     )
+    if implementation not in ("auto", "pallas", "xla"):
+        raise ValueError(f"invalid implementation {implementation!r}")
+    if implementation != "xla":
+        ok, reason = beam_pallas_supported(t_max, v, beam_width, k, lm)
+        on_tpu = jax.default_backend() == "tpu"
+        if implementation == "pallas" and not ok:
+            raise ValueError(f"implementation='pallas' unsupported: {reason}")
+        if ok and (on_tpu or implementation == "pallas"):
+            return beam_search_pallas_from_topk(
+                lpk, ck, lpb, input_lengths, beam_width=beam_width,
+                blank=blank, max_symbols=s_cap, v=v, lm=lm,
+                lm_alpha=lm_alpha, lm_beta=lm_beta,
+            )
     return beam_search_from_topk(
         lpk, ck, lpb, input_lengths, int(beam_width), int(blank), s_cap,
         lm=lm, lm_alpha=float(lm_alpha), lm_beta=float(lm_beta),

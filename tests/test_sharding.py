@@ -362,3 +362,36 @@ def test_vocab_parallel_beam_with_lm(rng):
     wt, wl, ws = [np.asarray(a) for a in want]
     np.testing.assert_array_equal(gl, wl)
     np.testing.assert_allclose(gs, ws, atol=1e-5, rtol=1e-6)
+
+
+@needs_devices
+def test_vocab_parallel_beam_pallas_route(rng):
+    """The Pallas-kernel route of the vocab-sharded decode (the on-TPU
+    default) == the candidate-only XLA scan, both on the merged top-K."""
+    from end2end_tpu.parallel.vocab_parallel import (
+        beam_search_decode_vocab_parallel,
+    )
+
+    B, T, V, W = 3, 12, 16, 4
+    lp, _, _, _ = random_ctc_problem(rng, B, T, 3, V)
+    il = np.array([12, 8, 10], np.int32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("model",))
+    for K in (None, 6):
+        got = beam_search_decode_vocab_parallel(
+            jnp.asarray(lp), il, mesh=mesh, beam_width=W, prune_k=K,
+            max_symbols=10, implementation="pallas",
+        )
+        want = beam_search_decode_vocab_parallel(
+            jnp.asarray(lp), il, mesh=mesh, beam_width=W, prune_k=K,
+            max_symbols=10, implementation="xla",
+        )
+        gt, gl, gs = [np.asarray(a) for a in got]
+        wt, wl, ws = [np.asarray(a) for a in want]
+        np.testing.assert_array_equal(gl, wl)
+        np.testing.assert_allclose(gs, ws, atol=5e-4, rtol=2e-4)
+        for b in range(B):
+            for w in range(W):
+                if np.isfinite(ws[b, w]):
+                    np.testing.assert_array_equal(
+                        gt[b, w, : gl[b, w]], wt[b, w, : wl[b, w]]
+                    )
