@@ -17,6 +17,7 @@ chunk edges lose context, and those are the trimmed ones.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..ops.beam_search import beam_search_decode
@@ -90,4 +91,69 @@ def transcribe_long_form(
     toks, lens, scores = beam_search_decode(
         lattice, t_total, beam_width=beam_width, blank=blank, **beam_kwargs
     )
+    return toks[0, 0], int(lens[0, 0]), float(scores[0, 0])
+
+
+def transcribe_long_form_streaming(
+    pipe,
+    params,
+    waveform,
+    chunk_seconds: float = 10.0,
+    overlap_seconds: float = 1.0,
+    beam_width: int = 0,
+    blank: int = 0,
+    max_symbols: int = 512,
+    partial_cb=None,
+    **beam_kwargs,
+):
+    """Bounded-latency long-form transcription: encode each chunk as it
+    arrives and ADVANCE the decoder immediately (ops/streaming_decode.py) —
+    no full-lattice stitch, so latency is one chunk, not the utterance.
+
+    Produces the SAME result as `transcribe_long_form` (identical trimmed
+    lattice slices; the streaming decoders are exact vs one-shot).  After
+    each chunk `partial_cb(tokens, length, chunk_index)` is called with the
+    current best hypothesis (the pure mid-stream `finish()`), e.g. for live
+    caption updates.  Returns (tokens, length, score) like the one-shot.
+    """
+    from ..ops.streaming_decode import (
+        StreamingBeamDecoder,
+        StreamingGreedyDecoder,
+    )
+
+    c = pipe.config
+    chunk_samples = int(chunk_seconds * c.sample_rate)
+    overlap_samples = int(overlap_seconds * c.sample_rate)
+    chunks, valid = chunk_waveform(waveform, chunk_samples, overlap_samples)
+    n = chunks.shape[0]
+    ov_frames = int(
+        np.asarray(ConvSubsampling.out_length(num_frames(overlap_samples, c.n_fft, c.hop_length)))
+    )
+    lo_trim = ov_frames // 2
+    hi_trim = ov_frames - lo_trim
+
+    if beam_width == 0:
+        dec = StreamingGreedyDecoder(blank=blank, max_symbols=max_symbols)
+    else:
+        dec = StreamingBeamDecoder(beam_width=beam_width, blank=blank,
+                                   max_symbols=max_symbols, **beam_kwargs)
+    state = dec.init(1)
+    for i in range(n):
+        # one static encoder shape, reused every chunk (no recompiles)
+        logits, out_len = pipe.encode(params, chunks[i : i + 1], valid[i : i + 1])
+        lp = jax.nn.log_softmax(logits, axis=-1)  # (1, T', V)
+        lo = lo_trim if i > 0 else 0
+        hi = max(int(out_len[0]) - (hi_trim if i < n - 1 else 0), lo)
+        piece = jnp.moveaxis(lp[:, lo:hi], 0, 1)  # (Tc, 1, V)
+        if piece.shape[0]:
+            state = dec.step(state, piece,
+                             np.array([piece.shape[0]], np.int32))
+        if partial_cb is not None:
+            toks, lens, _ = dec.finish(state)
+            best = toks[0, 0] if beam_width else toks[0]
+            blen = int(lens[0, 0]) if beam_width else int(lens[0])
+            partial_cb(np.asarray(best)[:blen], blen, i)
+    toks, lens, scores = dec.finish(state)
+    if beam_width == 0:
+        return toks[0], int(lens[0]), float(scores[0])
     return toks[0, 0], int(lens[0, 0]), float(scores[0, 0])

@@ -123,3 +123,32 @@ def test_fuzz_streaming_random_chunking(seed):
                     got[0][b, w, : got[1][b, w]],
                     want[0][b, w, : want[1][b, w]],
                 )
+
+
+@pytest.mark.parametrize("seed", range(ROUNDS))
+def test_fuzz_beam_lm_pallas_vs_xla(seed):
+    # randomized in-kernel LM fusion (full vocab -> exact) vs the scan
+    from end2end_tpu.ops.lm import NGramLM
+
+    rng = np.random.default_rng(4000 + seed)
+    B = int(rng.integers(1, 4))
+    T = int(rng.integers(3, 12))
+    V = int(rng.integers(3, 8))
+    W = int(rng.integers(2, 8))
+    alpha = float(rng.uniform(0.1, 2.0))
+    beta = float(rng.uniform(-0.5, 0.8))
+    lm = NGramLM(
+        lsm(rng.standard_normal((V, V)) * 2).astype(np.float32),
+        start_logp=rng.standard_normal(V).astype(np.float32),
+        eos_logp=rng.standard_normal(V).astype(np.float32),
+    )
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = rng.integers(1, T + 1, B).astype(np.int32)
+    kw = dict(beam_width=W, lm=lm, lm_alpha=alpha, lm_beta=beta)
+    p = _sets(*beam_search_decode(lp, il, implementation="pallas", **kw), W)
+    x = _sets(*beam_search_decode(lp, il, implementation="xla", **kw), W)
+    for b in range(B):
+        assert set(p[b]) == set(x[b]), (seed, b, set(p[b]) ^ set(x[b]))
+        for pref in p[b]:
+            np.testing.assert_allclose(p[b][pref], x[b][pref], atol=1e-3,
+                                       rtol=1e-3, err_msg=str((seed, b)))

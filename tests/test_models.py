@@ -239,3 +239,35 @@ def test_encoder_bucket_shape_invariance(rng):
         np.testing.assert_allclose(
             np.asarray(lg1)[0, :5], np.asarray(lg2)[0, :5], rtol=2e-4, atol=1e-5
         )
+
+
+def test_long_form_incremental_equals_stitched(rng):
+    """transcribe_long_form_streaming (encode+decode per chunk, bounded
+    latency) must reproduce the stitched-lattice transcribe_long_form
+    exactly — same trims, and the streaming decoders are exact."""
+    from end2end_tpu.models.streaming import (
+        transcribe_long_form,
+        transcribe_long_form_streaming,
+    )
+
+    pipe = ConformerCTCPipeline(CFG)
+    short = rng.standard_normal(3200).astype(np.float32)
+    params = pipe.init(jax.random.key(0), short[None], np.array([3200]))
+    long = rng.standard_normal(40000).astype(np.float32)
+
+    for bw in (0, 4):
+        want = transcribe_long_form(pipe, params, long, 0.5, 0.05,
+                                    beam_width=bw)
+        partials = []
+        got = transcribe_long_form_streaming(
+            pipe, params, long, 0.5, 0.05, beam_width=bw,
+            partial_cb=lambda t, l, i: partials.append((i, l)),
+        )
+        assert int(got[1]) == int(want[1]), bw
+        np.testing.assert_array_equal(
+            np.asarray(got[0])[: got[1]], np.asarray(want[0])[: want[1]]
+        )
+        np.testing.assert_allclose(float(got[2]), float(want[2]), atol=1e-3)
+        assert len(partials) == 6  # one live update per chunk
+        assert [i for i, _ in partials] == list(range(6))
+        assert partials[-1][1] == int(got[1])
