@@ -78,7 +78,10 @@ def _beam_init_state(W, s_cap, lm=None, dtype=jnp.float32):
     # prefixes; beam 0 is the (live) empty prefix.
     h1_0 = jnp.where(jnp.arange(W) == 0, _SEED1, _DEAD + arange_w)
     h2_0 = jnp.where(jnp.arange(W) == 0, _SEED2, _DEAD + arange_w)
-    lm_state0 = lm.init_state(W) if lm is not None else jnp.zeros((W, 0))
+    # no-LM placeholder is (W, 1), not (W, 0): zero-size leaves can't be
+    # checkpointed (orbax), and streaming states round-trip through orbax
+    lm_state0 = (lm.init_state(W) if lm is not None
+                 else jnp.zeros((W, 1), jnp.int32))
     lm_score0 = jnp.zeros((W,), dtype)  # accumulated alpha*lm + beta bonus
     return (tokens0, lens0, last0, pb0, pnb0, h1_0, h2_0, lm_state0,
             lm_score0)

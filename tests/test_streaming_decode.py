@@ -143,3 +143,25 @@ def test_streaming_beam_partial_finish_is_pure(rng):
     _beam_eq(part, want6, W)
     state = dec.step(state, lp[6:], _chunk_lens(il, 6, T))
     _beam_eq(dec.finish(state), want, W)
+
+
+def test_streaming_state_checkpoint_roundtrip(rng, tmp_path):
+    # a decoder stream survives a process restart: save the state pytree
+    # mid-stream (orbax), restore, continue — identical to uninterrupted
+    from end2end_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    T, B, V, W = 14, 2, 5, 4
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = np.full(B, T, np.int32)
+    dec = StreamingBeamDecoder(beam_width=W, max_symbols=16)
+    state = dec.init(B)
+    state = dec.step(state, lp[:7], _chunk_lens(il, 0, 7))
+    save_checkpoint(str(tmp_path / "stream"), state)
+    restored = restore_checkpoint(str(tmp_path / "stream"), state)
+    state2 = dec.step(restored, lp[7:], _chunk_lens(il, 7, T))
+    want = beam_search_decode(lp, il, beam_width=W, max_symbols=16,
+                              implementation="xla")
+    _beam_eq(dec.finish(state2), want, W)
