@@ -35,12 +35,19 @@ inline float logaddexp(float a, float b) {
 struct Hyp {
   float pb;   // log prob of prefix ending in blank
   float pnb;  // log prob of prefix ending in non-blank
+  float lm;   // accumulated alpha*lm + beta shallow-fusion bonus
 };
 
 // Prefix beam search for one utterance.  lp: (T, V) row-major log-probs.
+// Optional dense-bigram shallow fusion (the reference's KenLM hook): lm_t is
+// (V+1, V) row-major log p(next | prev) with row V = start-of-sequence
+// context, lm_e (V) the end-of-sequence scores; candidates are RANKED with
+// the accumulated alpha*lm + beta bonus and the </s> score is added at the
+// end — identical semantics to the JAX decoders (ops/beam_search.py).
 void beam_search_one(const float* lp, int t_len, int v, int w, int k,
-                     int blank, int s_cap, int* out_tokens, int* out_lens,
-                     float* out_scores) {
+                     int blank, int s_cap, const float* lm_t,
+                     const float* lm_e, float alpha, float beta,
+                     int* out_tokens, int* out_lens, float* out_scores) {
   using Prefix = std::vector<int32_t>;
   struct VecHash {
     size_t operator()(const Prefix& p) const {
@@ -53,7 +60,7 @@ void beam_search_one(const float* lp, int t_len, int v, int w, int k,
     }
   };
   std::unordered_map<Prefix, Hyp, VecHash> beams;
-  beams[{}] = {0.0f, kNegInf};
+  beams[{}] = {0.0f, kNegInf, 0.0f};
   std::vector<int> cand(v);
   for (int t = 0; t < t_len; ++t) {
     const float* row = lp + static_cast<size_t>(t) * v;
@@ -65,17 +72,21 @@ void beam_search_one(const float* lp, int t_len, int v, int w, int k,
     }
     std::unordered_map<Prefix, Hyp, VecHash> next;
     next.reserve(beams.size() * (kk + 1));
-    auto add = [&next](const Prefix& p, float pb, float pnb) {
-      auto it = next.try_emplace(p, Hyp{kNegInf, kNegInf}).first;
+    // lm is a pure function of the prefix, so on merges it is identical —
+    // try_emplace keeps the first copy
+    auto add = [&next](const Prefix& p, float pb, float pnb, float lm) {
+      auto it = next.try_emplace(p, Hyp{kNegInf, kNegInf, lm}).first;
       it->second.pb = logaddexp(it->second.pb, pb);
       it->second.pnb = logaddexp(it->second.pnb, pnb);
     };
     for (const auto& [prefix, hyp] : beams) {
       float total = logaddexp(hyp.pb, hyp.pnb);
       // blank: prefix unchanged, ends in blank
-      add(prefix, total + row[blank], kNegInf);
+      add(prefix, total + row[blank], kNegInf, hyp.lm);
       // repeat last char without separator
-      if (!prefix.empty()) add(prefix, kNegInf, hyp.pnb + row[prefix.back()]);
+      if (!prefix.empty())
+        add(prefix, kNegInf, hyp.pnb + row[prefix.back()], hyp.lm);
+      int ctx = prefix.empty() ? v : prefix.back();  // row v = <s>
       Prefix ext = prefix;
       ext.push_back(0);
       for (int i = 0; i < kk; ++i) {
@@ -83,18 +94,21 @@ void beam_search_one(const float* lp, int t_len, int v, int w, int k,
         if (c == blank) continue;
         if (static_cast<int>(prefix.size()) >= s_cap) continue;
         ext.back() = c;
+        float lm_child = hyp.lm;
+        if (lm_t)
+          lm_child += alpha * lm_t[static_cast<size_t>(ctx) * v + c] + beta;
         if (!prefix.empty() && c == prefix.back()) {
-          add(ext, kNegInf, hyp.pb + row[c]);
+          add(ext, kNegInf, hyp.pb + row[c], lm_child);
         } else {
-          add(ext, kNegInf, total + row[c]);
+          add(ext, kNegInf, total + row[c], lm_child);
         }
       }
     }
-    // prune to top-w
+    // prune to top-w, ranking WITH the LM bonus (like the device decoders)
     std::vector<std::pair<float, const Prefix*>> scored;
     scored.reserve(next.size());
     for (const auto& [p, h] : next)
-      scored.emplace_back(logaddexp(h.pb, h.pnb), &p);
+      scored.emplace_back(logaddexp(h.pb, h.pnb) + h.lm, &p);
     int keep = std::min<int>(w, scored.size());
     std::partial_sort(
         scored.begin(), scored.begin() + keep, scored.end(),
@@ -106,7 +120,11 @@ void beam_search_one(const float* lp, int t_len, int v, int w, int k,
   }
   std::vector<std::pair<float, const Prefix*>> fin;
   fin.reserve(beams.size());
-  for (const auto& [p, h] : beams) fin.emplace_back(logaddexp(h.pb, h.pnb), &p);
+  for (const auto& [p, h] : beams) {
+    float sc = logaddexp(h.pb, h.pnb) + h.lm;
+    if (lm_e && !p.empty()) sc += alpha * lm_e[p.back()];
+    fin.emplace_back(sc, &p);
+  }
   std::sort(fin.begin(), fin.end(),
             [](const auto& a, const auto& b) { return a.first > b.first; });
   for (int i = 0; i < w; ++i) {
@@ -142,7 +160,34 @@ void e2e_beam_search(const float* lp, int n, int t_max, int v,
       int b = next_item.fetch_add(1);
       if (b >= n) return;
       beam_search_one(lp + static_cast<size_t>(b) * t_max * v, lengths[b], v,
-                      w, k, blank, s_cap,
+                      w, k, blank, s_cap, nullptr, nullptr, 0.0f, 0.0f,
+                      out_tokens + static_cast<size_t>(b) * w * s_cap,
+                      out_lens + static_cast<size_t>(b) * w,
+                      out_scores + static_cast<size_t>(b) * w);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int i = 1; i < n_threads; ++i) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+}
+
+// Beam search with dense-bigram shallow fusion.  lm_table: (V+1, V)
+// row-major (row V = start context); lm_eos: (V).
+void e2e_beam_search_lm(const float* lp, int n, int t_max, int v,
+                        const int* lengths, int w, int k, int blank,
+                        int s_cap, const float* lm_table, const float* lm_eos,
+                        float alpha, float beta, int32_t* out_tokens,
+                        int32_t* out_lens, float* out_scores, int n_threads) {
+  if (n_threads <= 0) n_threads = std::max(1u, std::thread::hardware_concurrency());
+  n_threads = std::min(n_threads, n);
+  std::atomic<int> next_item{0};
+  auto worker = [&]() {
+    for (;;) {
+      int b = next_item.fetch_add(1);
+      if (b >= n) return;
+      beam_search_one(lp + static_cast<size_t>(b) * t_max * v, lengths[b], v,
+                      w, k, blank, s_cap, lm_table, lm_eos, alpha, beta,
                       out_tokens + static_cast<size_t>(b) * w * s_cap,
                       out_lens + static_cast<size_t>(b) * w,
                       out_scores + static_cast<size_t>(b) * w);

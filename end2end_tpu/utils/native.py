@@ -65,6 +65,12 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             c_i32p, c_i32p, c_f32p, ctypes.c_int,
         ]
+        lib.e2e_beam_search_lm.argtypes = [
+            c_f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, c_i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            c_f32p, c_f32p, ctypes.c_float, ctypes.c_float,
+            c_i32p, c_i32p, c_f32p, ctypes.c_int,
+        ]
         lib.e2e_greedy_decode.argtypes = [
             c_f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, c_i32p,
             ctypes.c_int, c_i32p, c_i32p,
@@ -101,12 +107,18 @@ def _i32p(a):
 
 
 def beam_search_cpu(log_probs, input_lengths, beam_width=8, prune_k=None,
-                    blank=0, max_symbols=None, n_threads=0):
+                    blank=0, max_symbols=None, n_threads=0,
+                    lm_table=None, lm_eos=None, lm_alpha=0.0, lm_beta=0.0):
     """Threaded native prefix beam search on the host.
 
     log_probs: (T, N, V) float (torch layout, like the JAX API).  Returns
     (tokens (N, W, s_cap), lengths (N, W), scores (N, W)).  Raises if the
     native library is unavailable.
+
+    Optional dense-bigram shallow fusion — the reference's KenLM-in-C++
+    behavior: lm_table (V+1, V) log p(next|prev) with row V the start
+    context (NGramLM._table layout), lm_eos (V,) end scores.  Semantics
+    identical to the device decoders (independent LM-fusion oracle).
     """
     lib = _load()
     if lib is None:
@@ -119,9 +131,25 @@ def beam_search_cpu(log_probs, input_lengths, beam_width=8, prune_k=None,
     tokens = np.empty((n, beam_width, s_cap), np.int32)
     lens = np.empty((n, beam_width), np.int32)
     scores = np.empty((n, beam_width), np.float32)
-    lib.e2e_beam_search(_f32p(lp), n, t_max, v, _i32p(il), beam_width, k,
-                        blank, s_cap, _i32p(tokens), _i32p(lens),
-                        _f32p(scores), n_threads)
+    if lm_table is None:
+        lib.e2e_beam_search(_f32p(lp), n, t_max, v, _i32p(il), beam_width, k,
+                            blank, s_cap, _i32p(tokens), _i32p(lens),
+                            _f32p(scores), n_threads)
+    else:
+        lm_t = np.ascontiguousarray(np.asarray(lm_table, np.float32))
+        if lm_t.shape != (v + 1, v):
+            raise ValueError(f"lm_table must be (V+1, V)=({v + 1}, {v}), "
+                             f"got {lm_t.shape}")
+        lm_e = np.ascontiguousarray(
+            np.asarray(lm_eos, np.float32) if lm_eos is not None
+            else np.zeros((v,), np.float32)
+        )
+        lib.e2e_beam_search_lm(
+            _f32p(lp), n, t_max, v, _i32p(il), beam_width, k, blank, s_cap,
+            _f32p(lm_t), _f32p(lm_e), ctypes.c_float(lm_alpha),
+            ctypes.c_float(lm_beta), _i32p(tokens), _i32p(lens),
+            _f32p(scores), n_threads,
+        )
     return tokens, lens, scores
 
 

@@ -215,3 +215,41 @@ def test_native_arpa_order_parser_matches_python(tmp_path):
         for (ia, la, ba), (ib, lb, bb) in zip(a, b):
             np.testing.assert_allclose(la, lb, rtol=1e-5, atol=1e-6)
             np.testing.assert_allclose(ba, bb, rtol=1e-5, atol=1e-6)
+
+
+
+def test_native_beam_lm_matches_jax(rng):
+    """C++ bigram shallow fusion (the reference's KenLM-in-C++ role) ==
+    both JAX decoders, full vocab (exact regime): 4-way LM agreement."""
+    from end2end_tpu import beam_search_decode
+    from end2end_tpu.ops.lm import NGramLM, bigram_from_counts
+    from end2end_tpu.utils.native import beam_search_cpu
+
+    B, T, V, W = 3, 12, 6, 6
+    alpha, beta = 0.8, 0.3
+    bigram = bigram_from_counts(rng.integers(0, 10, (V, V)))
+    start = rng.standard_normal(V).astype(np.float32)
+    eos = rng.standard_normal(V).astype(np.float32) * 0.5
+    lm = NGramLM(bigram, start_logp=start, eos_logp=eos)
+    lp = rng.standard_normal((T, B, V)).astype(np.float32) * 1.5
+    lp = lp - np.log(np.sum(np.exp(lp), -1, keepdims=True))
+    il = rng.integers(T // 2, T + 1, B).astype(np.int32)
+
+    nt, nl, ns = beam_search_cpu(
+        lp, il, beam_width=W, lm_table=np.asarray(lm._table),
+        lm_eos=np.asarray(lm._eos), lm_alpha=alpha, lm_beta=beta,
+    )
+    for impl in ("pallas", "xla"):
+        jt, jl, js = [np.asarray(a) for a in beam_search_decode(
+            lp, il, beam_width=W, lm=lm, lm_alpha=alpha, lm_beta=beta,
+            implementation=impl)]
+        for b in range(B):
+            nset = {tuple(nt[b, w, : nl[b, w]].tolist()): ns[b, w]
+                    for w in range(W) if np.isfinite(ns[b, w])}
+            jset = {tuple(jt[b, w, : jl[b, w]].tolist()): js[b, w]
+                    for w in range(W) if np.isfinite(js[b, w])}
+            assert set(nset) == set(jset), (impl, b)
+            for pref in nset:
+                np.testing.assert_allclose(nset[pref], jset[pref],
+                                           atol=1e-3, rtol=1e-3,
+                                           err_msg=f"{impl} {b}")
