@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .beam_search import _beam_init_state, _beam_rank, _beam_search_single
-from .semiring import LOG0
 
 
 def _bcast(x, n):

@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
 
 from end2end_tpu import ctc_loss, greedy_decode
 from end2end_tpu.parallel.sharding import (
@@ -395,3 +395,41 @@ def test_vocab_parallel_beam_pallas_route(rng):
                     np.testing.assert_array_equal(
                         gt[b, w, : gl[b, w]], wt[b, w, : wl[b, w]]
                     )
+
+
+@needs_devices
+def test_streaming_state_shards_over_batch(rng):
+    """The streaming decoder state is an ordinary pytree: shard it with
+    P('data') and step with sharded chunks under plain jit (GSPMD) —
+    results equal the unsharded stream."""
+    from jax.sharding import NamedSharding
+    from end2end_tpu import StreamingBeamDecoder, beam_search_decode
+
+    T, B, V, W = 12, 16, 6, 4
+    lp = np.asarray(
+        random_ctc_problem(rng, B, T, 3, V)[0], np.float32
+    )
+    il = np.full(B, T, np.int32)
+    mesh = make_mesh(8)
+    shard = NamedSharding(mesh, P(None, "data", None))
+
+    dec = StreamingBeamDecoder(beam_width=W, max_symbols=10)
+    state = jax.device_put(
+        dec.init(B),
+        jax.tree.map(lambda x: NamedSharding(mesh, P("data")), dec.init(B)),
+    )
+    for lo, hi in ((0, 6), (6, 12)):
+        chunk = jax.device_put(jnp.asarray(lp[lo:hi]), shard)
+        state = dec.step(state, chunk, np.full(B, hi - lo, np.int32))
+    got = [np.asarray(a) for a in dec.finish(state)]
+    want = [np.asarray(a) for a in beam_search_decode(
+        lp, il, beam_width=W, max_symbols=10, implementation="xla")]
+    np.testing.assert_array_equal(got[1], want[1])
+    np.testing.assert_allclose(got[2], want[2], atol=1e-5)
+    for b in range(B):
+        for w in range(W):
+            if np.isfinite(want[2][b, w]):
+                np.testing.assert_array_equal(
+                    got[0][b, w, : got[1][b, w]],
+                    want[0][b, w, : want[1][b, w]],
+                )
