@@ -68,6 +68,11 @@ def main():
     for t, g, b in zip(texts, greedy, beam):
         print(f"{t!r:12} | {g!r:12} | {b!r:12}")
 
+    from end2end_tpu.utils.metrics import corpus_wer
+
+    print(f"\ngreedy WER {corpus_wer(texts, greedy):.2%} | "
+          f"beam-8 WER {corpus_wer(texts, beam):.2%}")
+
 
 if __name__ == "__main__":
     main()
