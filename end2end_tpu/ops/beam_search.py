@@ -70,6 +70,7 @@ def _beam_init_state(W, s_cap, lm=None, dtype=jnp.float32):
     """Initial per-sample beam state (the scan carry / streaming state)."""
     arange_w = jnp.arange(W, dtype=jnp.uint32)
     tokens0 = jnp.full((W, s_cap), -1, jnp.int32)
+    times0 = jnp.full((W, s_cap), -1, jnp.int32)  # emission frame per token
     lens0 = jnp.zeros((W,), jnp.int32)
     last0 = jnp.full((W,), -1, jnp.int32)
     pb0 = jnp.where(jnp.arange(W) == 0, 0.0, LOG0).astype(dtype)
@@ -83,12 +84,13 @@ def _beam_init_state(W, s_cap, lm=None, dtype=jnp.float32):
     lm_state0 = (lm.init_state(W) if lm is not None
                  else jnp.zeros((W, 1), jnp.int32))
     lm_score0 = jnp.zeros((W,), dtype)  # accumulated alpha*lm + beta bonus
-    return (tokens0, lens0, last0, pb0, pnb0, h1_0, h2_0, lm_state0,
+    return (tokens0, times0, lens0, last0, pb0, pnb0, h1_0, h2_0, lm_state0,
             lm_score0)
 
 
 def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
-                        lm_alpha=0.0, lm_beta=0.0, state0=None, lpb=None):
+                        lm_alpha=0.0, lm_beta=0.0, state0=None, lpb=None,
+                        t0=0):
     """Beam search for ONE sample (or one streaming chunk of one sample).
 
     lp: (T, V); lpk/ck_all: (T, K) per-frame top-K values/ids precomputed
@@ -110,7 +112,7 @@ def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
     arange_w = jnp.arange(W, dtype=jnp.uint32)
 
     def step(state, xs):
-        tokens, lens, last, pb, pnb, h1, h2, lm_state, lm_score = state
+        tokens, times, lens, last, pb, pnb, h1, h2, lm_state, lm_score = state
         if from_topk:
             lpk_t, ck, lpb_t, t = xs
         else:
@@ -183,11 +185,14 @@ def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
         c_sel = ck[kk]
 
         new_tokens = tokens[parent]
+        new_times = times[parent]
         parent_len = lens[parent]
         slot = jnp.arange(s_cap, dtype=jnp.int32)[None, :] == parent_len[:, None]
-        new_tokens = jnp.where(
-            slot & (~is_stay)[:, None], c_sel[:, None], new_tokens
-        )
+        emit_slot = slot & (~is_stay)[:, None]
+        new_tokens = jnp.where(emit_slot, c_sel[:, None], new_tokens)
+        # t0: global frame offset (streaming chunks record utterance-global
+        # emission frames; 0 for one-shot decodes)
+        new_times = jnp.where(emit_slot, t + t0, new_times)
         new_lens = jnp.minimum(
             jnp.where(is_stay, parent_len, parent_len + 1), s_cap
         )
@@ -210,7 +215,8 @@ def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
         upd = t < il
         out = []
         for new, old in (
-            (new_tokens, tokens), (new_lens, lens), (new_last, last),
+            (new_tokens, tokens), (new_times, times), (new_lens, lens),
+            (new_last, last),
             (new_pb, pb), (new_pnb, pnb), (new_h1, h1), (new_h2, h2),
             (new_lm_state, lm_state), (new_lm_score, lm_score),
         ):
@@ -225,24 +231,30 @@ def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
 
 
 def _beam_rank(state, W, lm=None, lm_alpha=0.0):
-    """Rank a final beam state: (tokens, lens, scores), best first."""
-    tokens, lens, last, pb, pnb, h1, h2, lm_state, lm_score = state
+    """Rank a final beam state: (tokens, lens, scores, times), best first.
+
+    times: per-token EMISSION FRAME indices aligned with tokens (-1 pad) —
+    the frame at which each symbol joined the (surviving construction of
+    the) prefix, the beam-search analog of greedy_decode_with_timestamps."""
+    tokens, times, lens, last, pb, pnb, h1, h2, lm_state, lm_score = state
     scores = logaddexp2(pb, pnb) + lm_score
     if lm is not None:
         scores = scores + lm_alpha * lm.final(lm_state)
     scores, order = jax.lax.top_k(scores, W)
     scores = jnp.where(scores > LOG0_THRESHOLD, scores, -jnp.inf)
-    return tokens[order], lens[order], scores
+    return tokens[order], lens[order], scores, times[order]
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "beam_width", "blank", "max_symbols", "lm", "lm_alpha", "lm_beta",
+        "return_timestamps",
     ),
 )
 def beam_search_from_topk(lpk, ck, lpb, input_lengths, beam_width, blank,
-                          max_symbols, lm=None, lm_alpha=0.0, lm_beta=0.0):
+                          max_symbols, lm=None, lm_alpha=0.0, lm_beta=0.0,
+                          return_timestamps=False):
     """Batched beam search from PRECOMPUTED per-frame candidates.
 
     lpk/ck: (T, N, K) top-K log-probs / token ids; lpb: (T, N) blank
@@ -250,7 +262,8 @@ def beam_search_from_topk(lpk, ck, lpb, input_lengths, beam_width, blank,
     when the K candidates cover the vocab, else the Pallas kernel's
     documented repeat-prune.  Used by the vocab-sharded (tensor-parallel)
     decode, where only the merged top-K is replicated across the mesh.
-    Returns (tokens (N, W, max_symbols), lengths (N, W), scores (N, W)).
+    Returns (tokens (N, W, max_symbols), lengths (N, W), scores (N, W),
+    times (N, W, max_symbols) emission-frame indices).
     """
     fn = lambda lpk_s, ck_s, lpb_s, il_s: _beam_search_single(
         None, lpk_s, ck_s, il_s, W=beam_width, K=lpk.shape[2],
@@ -261,7 +274,8 @@ def beam_search_from_topk(lpk, ck, lpb, input_lengths, beam_width, blank,
         lpk, ck.astype(jnp.int32), lpb, jnp.asarray(input_lengths, jnp.int32)
     )
     rank = partial(_beam_rank, W=beam_width, lm=lm, lm_alpha=lm_alpha)
-    return jax.vmap(rank)(state)
+    out = jax.vmap(rank)(state)
+    return out if return_timestamps else out[:3]
 
 
 @partial(
@@ -311,6 +325,7 @@ def beam_search_decode(
     lm_beta: float = 0.0,
     approx_topk: bool = False,
     implementation: str = "auto",
+    return_timestamps: bool = False,
 ):
     """Batched CTC prefix beam search.
 
@@ -331,12 +346,17 @@ def beam_search_decode(
         vocabulary prune (faster on large V; the prune is heuristic anyway).
       implementation: 'auto' (Pallas kernel on TPU when it applies, else the
         XLA scan), 'pallas' (force; raises if unsupported), or 'xla'.
+      return_timestamps: also return per-token EMISSION FRAME indices —
+        the frame at which each symbol joined the (surviving construction
+        of the) prefix; the beam analog of greedy_decode_with_timestamps.
 
     Returns:
       tokens: (N, W, max_symbols) int32, -1 padded, best beam first.
       lengths: (N, W) int32.
       scores: (N, W) float log p(prefix | x) (LM-adjusted when lm is given);
         -inf for dead padding beams.
+      times: (N, W, max_symbols) int32, -1 padded (only when
+        return_timestamps).
     """
     log_probs = jnp.asarray(log_probs)
     t_max, n, v = log_probs.shape
@@ -362,6 +382,7 @@ def beam_search_decode(
                 prune_k=prune_k, max_symbols=max_symbols,
                 approx_topk=approx_topk,
                 lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta,
+                return_timestamps=return_timestamps,
             )
         if implementation == "auto" and on_tpu and not ok:
             import logging
@@ -369,7 +390,7 @@ def beam_search_decode(
             logging.getLogger(__name__).info(
                 "beam_search_decode: falling back to the XLA scan (%s)", reason
             )
-    return _beam_search_batched(
+    out = _beam_search_batched(
         log_probs,
         jnp.asarray(input_lengths, jnp.int32),
         int(beam_width),
@@ -381,6 +402,7 @@ def beam_search_decode(
         float(lm_beta),
         bool(approx_topk),
     )
+    return out if return_timestamps else out[:3]
 
 
 class BeamSearchCTCDecoder:

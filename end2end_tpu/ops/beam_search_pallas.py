@@ -375,16 +375,22 @@ def _backtrace(bp, ck, scores, W, K, s_cap, t_max, n):
     idx = jnp.where(emit, jnp.minimum(pos, s_cap - 1), s_cap)
     n_idx = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
     w_idx = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 2)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
     tokens = jnp.full((n, W, s_cap + 1), -1, jnp.int32)
     tokens = tokens.at[n_idx, w_idx, idx].set(jnp.where(emit, ch, -1))
     tokens = tokens[:, :, :s_cap]
+    # per-token emission frames (same scatter, frame index payload)
+    times = jnp.full((n, W, s_cap + 1), -1, jnp.int32)
+    times = times.at[n_idx, w_idx, idx].set(jnp.where(emit, t_idx, -1))
+    times = times[:, :, :s_cap]
 
     sc = scores[:, :n].T  # (N, W)
     sc = jnp.where(sc > LOG0_THRESHOLD, sc, -jnp.inf)
     sc, order = jax.lax.top_k(sc, W)
     tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
+    times = jnp.take_along_axis(times, order[:, :, None], axis=1)
     lens = jnp.take_along_axis(lens, order, axis=1)
-    return tokens, lens, sc
+    return tokens, lens, sc, times
 
 
 @partial(
@@ -552,7 +558,8 @@ def beam_search_pallas(log_probs, input_lengths=None, beam_width: int = 8,
                        blank: int = 0, prune_k: int | None = None,
                        max_symbols: int | None = None,
                        approx_topk: bool = False, interpret=None,
-                       lm=None, lm_alpha: float = 0.0, lm_beta: float = 0.0):
+                       lm=None, lm_alpha: float = 0.0, lm_beta: float = 0.0,
+                       return_timestamps: bool = False):
     """Pallas-kernel beam search; same returns as beam_search_decode.
 
     Jittable end to end (device arrays out).  float32 only;
@@ -574,18 +581,19 @@ def beam_search_pallas(log_probs, input_lengths=None, beam_width: int = 8,
         interpret = jax.default_backend() != "tpu"
     lm_table = lm._table if lm is not None else None
     lm_eos = lm._eos if lm is not None else None
-    return _beam_pallas_jit(
+    out = _beam_pallas_jit(
         log_probs, il, W, K, s_cap, int(blank), bool(interpret),
         bool(approx_topk), t_max, n, v,
         lm_table=lm_table, lm_eos=lm_eos,
         lm_alpha=float(lm_alpha), lm_beta=float(lm_beta),
     )
+    return out if return_timestamps else out[:3]
 
 
 def beam_search_pallas_from_topk(lpk, ck, lpb, input_lengths, beam_width=8,
                                  blank=0, max_symbols=None, v=None,
                                  lm=None, lm_alpha=0.0, lm_beta=0.0,
-                                 interpret=None):
+                                 interpret=None, return_timestamps=False):
     """Pallas beam search from PRECOMPUTED candidates — the kernel twin of
     `beam_search.beam_search_from_topk` (identical candidate-only
     semantics).  Used by the vocab-sharded decode so tensor-parallel
@@ -604,10 +612,11 @@ def beam_search_pallas_from_topk(lpk, ck, lpb, input_lengths, beam_width=8,
         interpret = jax.default_backend() != "tpu"
     lm_table = lm._table if lm is not None else None
     lm_eos = lm._eos if lm is not None else None
-    return _beam_pallas_from_topk_jit(
+    out = _beam_pallas_from_topk_jit(
         lpk, jnp.asarray(ck), jnp.asarray(lpb, jnp.float32),
         jnp.asarray(input_lengths, jnp.int32), W, K, s_cap, int(blank),
         bool(interpret), t_max, n, int(v),
         lm_table=lm_table, lm_eos=lm_eos,
         lm_alpha=float(lm_alpha), lm_beta=float(lm_beta),
     )
+    return out if return_timestamps else out[:3]

@@ -122,20 +122,24 @@ def _beam_stream_step(state, log_probs, chunk_lengths, W, K, s_cap, blank,
     else:
         lpk, ck = jax.lax.top_k(log_probs, K)
 
-    def one(lp_s, lpk_s, ck_s, il_s, st):
+    core, offset = state
+
+    def one(lp_s, lpk_s, ck_s, il_s, st, off):
         return _beam_search_single(
             lp_s, lpk_s, ck_s, il_s, W=W, K=K, s_cap=s_cap, blank=blank,
-            lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta, state0=st,
+            lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta, state0=st, t0=off,
         )
 
-    return jax.vmap(one, in_axes=(1, 1, 1, 0, 0))(
-        log_probs, lpk, ck.astype(jnp.int32), chunk_lengths, state
+    core = jax.vmap(one, in_axes=(1, 1, 1, 0, 0, 0))(
+        log_probs, lpk, ck.astype(jnp.int32), chunk_lengths, core, offset
     )
+    return core, offset + chunk_lengths
 
 
 @partial(jax.jit, static_argnames=("W", "lm", "lm_alpha"))
 def _beam_stream_finish(state, W, lm, lm_alpha):
-    return jax.vmap(partial(_beam_rank, W=W, lm=lm, lm_alpha=lm_alpha))(state)
+    core, _ = state
+    return jax.vmap(partial(_beam_rank, W=W, lm=lm, lm_alpha=lm_alpha))(core)
 
 
 class StreamingBeamDecoder:
@@ -165,7 +169,9 @@ class StreamingBeamDecoder:
 
     def init(self, batch_size: int):
         single = _beam_init_state(self.beam_width, self.max_symbols, self.lm)
-        return jax.tree.map(lambda x: _bcast(x, batch_size), single)
+        core = jax.tree.map(lambda x: _bcast(x, batch_size), single)
+        # per-sample global frame offset (for utterance-global timestamps)
+        return core, jnp.zeros((batch_size,), jnp.int32)
 
     def step(self, state, log_probs, chunk_lengths=None):
         log_probs = jnp.asarray(log_probs)
@@ -179,6 +185,7 @@ class StreamingBeamDecoder:
             self.lm, self.lm_alpha, self.lm_beta, self.approx_topk,
         )
 
-    def finish(self, state):
-        return _beam_stream_finish(state, self.beam_width, self.lm,
-                                   self.lm_alpha)
+    def finish(self, state, return_timestamps: bool = False):
+        out = _beam_stream_finish(state, self.beam_width, self.lm,
+                                  self.lm_alpha)
+        return out if return_timestamps else out[:3]

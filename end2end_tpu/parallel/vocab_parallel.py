@@ -321,6 +321,7 @@ def beam_search_decode_vocab_parallel(
     blank: int = 0, prune_k: int | None = None, max_symbols: int | None = None,
     lm=None, lm_alpha: float = 0.0, lm_beta: float = 0.0,
     vocab_axis: str = "model", implementation: str = "auto",
+    return_timestamps: bool = False,
 ):
     """`beam_search_decode` with the VOCAB axis sharded over the mesh.
 
@@ -358,8 +359,10 @@ def beam_search_decode_vocab_parallel(
                 lpk, ck, lpb, input_lengths, beam_width=beam_width,
                 blank=blank, max_symbols=s_cap, v=v, lm=lm,
                 lm_alpha=lm_alpha, lm_beta=lm_beta,
+                return_timestamps=return_timestamps,
             )
     return beam_search_from_topk(
         lpk, ck, lpb, input_lengths, int(beam_width), int(blank), s_cap,
         lm=lm, lm_alpha=float(lm_alpha), lm_beta=float(lm_beta),
+        return_timestamps=return_timestamps,
     )

@@ -267,3 +267,40 @@ def test_beam_saturation_warns(rng):
     dec = BeamSearchCTCDecoder(beam_width=2, max_symbols=3)
     with pytest.warns(UserWarning, match="saturated"):
         dec.decode(lp)
+
+
+def test_beam_timestamps_match_across_impls_and_greedy(rng):
+    from end2end_tpu import greedy_decode_with_timestamps
+
+    # random lattice: pallas and xla must emit identical timestamps
+    B, T, V, W = 3, 14, 6, 4
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = rng.integers(T // 2, T + 1, B).astype(np.int32)
+    pt, pl_, ps, ptm = beam_search_decode(lp, il, beam_width=W,
+                                          implementation="pallas",
+                                          return_timestamps=True)
+    xt, xl, xs, xtm = beam_search_decode(lp, il, beam_width=W,
+                                         implementation="xla",
+                                         return_timestamps=True)
+    pt, pl_, ptm, xt, xl, xtm = map(np.asarray, (pt, pl_, ptm, xt, xl, xtm))
+    for b in range(B):
+        for w in range(W):
+            if pt[b, w, : pl_[b, w]].tolist() == xt[b, w, : xl[b, w]].tolist():
+                np.testing.assert_array_equal(
+                    ptm[b, w, : pl_[b, w]], xtm[b, w, : xl[b, w]],
+                    err_msg=str((b, w)),
+                )
+    # peaked lattice: beam-1 emission frames == greedy timestamps
+    path = [0, 1, 1, 0, 2, 0, 3, 3, 3, 0, 1]
+    lpp = np.full((len(path), 1, 5), -12.0, np.float32)
+    for t, c in enumerate(path):
+        lpp[t, 0, c] = -0.01
+    lpp = lsm(lpp.astype(np.float64)).astype(np.float32)
+    bt, bl, _, btm = beam_search_decode(lpp, beam_width=1,
+                                        implementation="pallas",
+                                        return_timestamps=True)
+    gt, gl, _, gtm = greedy_decode_with_timestamps(lpp)
+    n = int(gl[0])
+    assert np.asarray(bt)[0, 0, :n].tolist() == np.asarray(gt)[0, :n].tolist()
+    np.testing.assert_array_equal(np.asarray(btm)[0, 0, :n],
+                                  np.asarray(gtm)[0, :n])

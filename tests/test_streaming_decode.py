@@ -165,3 +165,27 @@ def test_streaming_state_checkpoint_roundtrip(rng, tmp_path):
     want = beam_search_decode(lp, il, beam_width=W, max_symbols=16,
                               implementation="xla")
     _beam_eq(dec.finish(state2), want, W)
+
+
+def test_streaming_beam_timestamps_are_global(rng):
+    # emission frames from chunked streaming must be utterance-global and
+    # equal the one-shot decode's timestamps
+    T, B, V, W = 16, 3, 6, 4
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = rng.integers(T // 2, T + 1, B).astype(np.int32)
+    wt, wl, ws, wtm = beam_search_decode(
+        lp, il, beam_width=W, max_symbols=16, implementation="xla",
+        return_timestamps=True)
+    dec = StreamingBeamDecoder(beam_width=W, max_symbols=16)
+    state = _stream(dec, lp, il, [5, 9, 16])
+    gt, gl, gs, gtm = dec.finish(state, return_timestamps=True)
+    gt, gl, gtm = map(np.asarray, (gt, gl, gtm))
+    wt, wl, wtm = map(np.asarray, (wt, wl, wtm))
+    np.testing.assert_array_equal(gl, wl)
+    for b in range(B):
+        for w in range(W):
+            if np.isfinite(np.asarray(ws)[b, w]):
+                np.testing.assert_array_equal(gt[b, w, : gl[b, w]],
+                                              wt[b, w, : wl[b, w]])
+                np.testing.assert_array_equal(gtm[b, w, : gl[b, w]],
+                                              wtm[b, w, : wl[b, w]])
