@@ -435,12 +435,13 @@ class BeamSearchCTCDecoder:
     def _to_text(self, ids):
         return "".join(self.labels[c] for c in ids) if self.labels else ids
 
-    def decode_beams(self, log_probs, input_lengths=None):
+    def decode_beams(self, log_probs, input_lengths=None,
+                     return_timestamps=False):
         log_probs = jnp.asarray(log_probs)
         t_max, n, _ = log_probs.shape
         if input_lengths is None:
             input_lengths = np.full((n,), t_max, np.int32)
-        tokens, lengths, scores = jax.device_get(
+        out = jax.device_get(
             beam_search_decode(
                 log_probs,
                 jnp.asarray(input_lengths, jnp.int32),
@@ -452,8 +453,11 @@ class BeamSearchCTCDecoder:
                 lm_alpha=self.lm_alpha,
                 lm_beta=self.lm_beta,
                 implementation=self.implementation,
+                return_timestamps=return_timestamps,
             )
         )
+        tokens, lengths, scores = out[:3]
+        times = out[3] if return_timestamps else None
         s_cap = self.max_symbols or min(t_max, 512)
         if (lengths >= s_cap).any():
             import warnings
@@ -464,16 +468,19 @@ class BeamSearchCTCDecoder:
                 "transcripts (semantic divergence from the unbounded "
                 "reference algorithm)"
             )
-        out = []
+        res = []
         for i in range(n):
             beams = []
             for w in range(self.beam_width):
                 if not np.isfinite(scores[i, w]):
                     continue
                 ids = tokens[i, w, : lengths[i, w]].tolist()
-                beams.append((self._to_text(ids), float(scores[i, w])))
-            out.append(beams)
-        return out
+                entry = (self._to_text(ids), float(scores[i, w]))
+                if return_timestamps:
+                    entry += (times[i, w, : lengths[i, w]].tolist(),)
+                beams.append(entry)
+            res.append(beams)
+        return res
 
     def decode(self, log_probs, input_lengths=None):
         beams = self.decode_beams(log_probs, input_lengths)
