@@ -379,6 +379,10 @@ int e2e_arpa_scan(const char* path, const char* vocab, int n_words,
     float lp, bo;
     if (!arpa_tokenize(line, section, words, 8, n_tok, lp, bo)) {
       if (section == -1) break;
+      if (section > 8) {  // beyond this parser's cap: refuse loudly so the
+        std::fclose(f);   // caller falls back to the generic Python parser
+        return -2;        // instead of silently truncating the model
+      }
       continue;
     }
     if (section > max_order) max_order = section;

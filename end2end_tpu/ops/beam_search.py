@@ -359,6 +359,11 @@ def beam_search_decode(
         return_timestamps).
     """
     log_probs = jnp.asarray(log_probs)
+    if log_probs.dtype in (jnp.bfloat16, jnp.float16):
+        # decoding is f32 everywhere (scores/merging); upcasting here keeps
+        # half-precision model outputs on the fast Pallas route.  float64
+        # stays f64 and falls back to the XLA scan (the kernel is f32-only).
+        log_probs = log_probs.astype(jnp.float32)
     t_max, n, v = log_probs.shape
     if input_lengths is None:
         input_lengths = jnp.full((n,), t_max, jnp.int32)
@@ -372,7 +377,8 @@ def beam_search_decode(
     if implementation != "xla":
         from .beam_search_pallas import beam_pallas_supported, beam_search_pallas
 
-        ok, reason = beam_pallas_supported(t_max, v, beam_width, prune_k, lm)
+        ok, reason = beam_pallas_supported(t_max, v, beam_width, prune_k,
+                                           lm, dtype=log_probs.dtype)
         on_tpu = jax.default_backend() == "tpu"
         if implementation == "pallas" and not ok:
             raise ValueError(f"implementation='pallas' unsupported: {reason}")

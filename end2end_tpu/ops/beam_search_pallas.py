@@ -412,13 +412,16 @@ def _beam_pallas_jit(log_probs, il, W, K, s_cap, blank, interpret,
     # (1.7 vs 11.7 ms at B=128,V=128) — measured crossover at V ~ 256-512,
     # so route on v; interpret mode (CPU tests) keeps lax.top_k, which has
     # identical semantics either way.
+    from .topk_pallas import topk_pallas, topk_pallas_fits_vmem
+
     if approx_topk and K < v:
         lpk, ck = jax.lax.approx_max_k(log_probs, K)
-    elif interpret or v <= 256:
+    elif interpret or v <= 256 or not topk_pallas_fits_vmem(n, v):
+        # small rows: XLA's sort wins; huge rows: the kernel's minimum
+        # block would blow scoped VMEM — either way lax.top_k (identical
+        # semantics) keeps the beam kernel path usable
         lpk, ck = jax.lax.top_k(log_probs, K)  # (T, N, K)
     else:
-        from .topk_pallas import topk_pallas
-
         lpk, ck = topk_pallas(log_probs, K)
     lpb = log_probs[:, :, blank]  # (T, N)
     return _beam_pallas_from_topk_jit(

@@ -41,6 +41,14 @@ def _pad_up(x, m):
     return (x + m - 1) // m * m
 
 
+def topk_pallas_fits_vmem(b, v):
+    """Whether the kernel's MINIMUM block (tc=1) fits scoped VMEM: one
+    double-buffered input block plus the scratch copy, with headroom."""
+    b_pad = _pad_up(b, 8)
+    v_pad = _pad_up(v, 128)
+    return 3 * b_pad * v_pad * 4 <= (12 << 20)
+
+
 def _topk_kernel(K, x_ref, val_ref, idx_ref, x_s):
     # The K extraction passes MUTATE the block in a VMEM scratch: a fully
     # unrolled pure-value loop keeps ~K live copies of the block in scoped
@@ -78,6 +86,11 @@ def topk_pallas(x, k: int, interpret: bool = False):
     t_max, b, v = x.shape
     if k > v:
         raise ValueError(f"k={k} > V={v}")
+    if not topk_pallas_fits_vmem(b, v):
+        raise ValueError(
+            f"topk_pallas: one (B={b}, V={v}) row tile exceeds the VMEM "
+            "budget; use jax.lax.top_k (the beam decoder falls back "
+            "automatically)")
     x = x.astype(jnp.float32)
 
     b_pad = _pad_up(b, 8)

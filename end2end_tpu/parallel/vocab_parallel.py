@@ -123,7 +123,7 @@ def _vp_fwd_impl(log_probs, targets, input_lengths, target_lengths, mesh,
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(None, None, vocab_axis), P(), P(), P(), P()),
-        out_specs=P(),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,  # psum-assembled lattice -> replicated by math
     )
     def run(lp_local, ext_labels, valid, skip2, args):
@@ -133,23 +133,31 @@ def _vp_fwd_impl(log_probs, targets, input_lengths, target_lengths, mesh,
             lp_local, tabs, jax.lax.axis_index(vocab_axis) * v_local,
             v_local, vocab_axis, valid,
         )  # (T, N, L) replicated
-        nll, _, _, _, _ = ctc_forward_scan(lp_ext, skip2, il_, tl_)
-        return nll
+        nll, _, z_hat, alpha_hat, anorm2 = ctc_forward_scan(
+            lp_ext, skip2, il_, tl_
+        )
+        return nll, z_hat, alpha_hat, anorm2
 
-    return run(lp, tables.ext_labels, tables.valid, tables.skip2, (il, tl)), None
+    nll, z_hat, alpha_hat, anorm2 = run(
+        lp, tables.ext_labels, tables.valid, tables.skip2, (il, tl)
+    )
+    return nll, (z_hat, alpha_hat, anorm2)
 
 
 def _vp_fwd(log_probs, targets, input_lengths, target_lengths, mesh, blank,
             vocab_axis):
-    nll, _ = _vp_fwd_impl(
+    nll, res = _vp_fwd_impl(
         log_probs, targets, input_lengths, target_lengths, mesh, blank,
         vocab_axis,
     )
-    return nll, (log_probs, targets, input_lengths, target_lengths)
+    # residuals include the forward scan's alpha tape so the backward pass
+    # runs ONLY the beta scan (matching the sequential path's custom VJP)
+    return nll, (log_probs, targets, input_lengths, target_lengths) + res
 
 
 def _vp_bwd(mesh, blank, vocab_axis, saved, g):
-    log_probs, targets, input_lengths, target_lengths = saved
+    (log_probs, targets, input_lengths, target_lengths,
+     z_hat_r, alpha_hat_r, anorm2_r) = saved
     lp, tables, v_local = _vp_common(
         log_probs, targets, target_lengths, mesh, blank, vocab_axis
     )
@@ -160,19 +168,18 @@ def _vp_bwd(mesh, blank, vocab_axis, saved, g):
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, None, vocab_axis), P(), P(), P(), P(), P()),
+        in_specs=(P(None, None, vocab_axis), P(), P(), P(), P(), P(),
+                  P(), P(), P()),
         out_specs=P(None, None, vocab_axis),
         check_vma=False,
     )
-    def run(lp_local, ext_labels, valid, skip2, args, g_):
+    def run(lp_local, ext_labels, valid, skip2, args, g_,
+            z_hat, alpha_hat, anorm2):
         il_, tl_ = args
         tabs = type(tables)(ext_labels, skip2, valid)
         v_start = jax.lax.axis_index(vocab_axis) * v_local
         lp_ext = _assemble_lp_ext(
             lp_local, tabs, v_start, v_local, vocab_axis, valid
-        )
-        nll, log_z, z_hat, alpha_hat, anorm2 = ctc_forward_scan(
-            lp_ext, skip2, il_, tl_
         )
         finite = z_hat > LOG0_THRESHOLD
         z_hat_safe = jnp.where(finite, z_hat, 0.0)
@@ -204,7 +211,7 @@ def _vp_bwd(mesh, blank, vocab_axis, saved, g):
         return grad * g_[None, :, None]
 
     grad = run(lp, tables.ext_labels, tables.valid, tables.skip2, (il, tl),
-               jnp.asarray(g))
+               jnp.asarray(g), z_hat_r, alpha_hat_r, anorm2_r)
     f0 = lambda x: np.zeros(np.shape(x), dtype=jax.dtypes.float0)
     return (
         grad.astype(log_probs.dtype),
@@ -350,7 +357,8 @@ def beam_search_decode_vocab_parallel(
     if implementation not in ("auto", "pallas", "xla"):
         raise ValueError(f"invalid implementation {implementation!r}")
     if implementation != "xla":
-        ok, reason = beam_pallas_supported(t_max, v, beam_width, k, lm)
+        ok, reason = beam_pallas_supported(t_max, v, beam_width, k, lm,
+                                           dtype=lpk.dtype)
         on_tpu = jax.default_backend() == "tpu"
         if implementation == "pallas" and not ok:
             raise ValueError(f"implementation='pallas' unsupported: {reason}")

@@ -201,6 +201,8 @@ def parse_arpa_order_native(path: str, vocab: list[str]):
     counts = (ctypes.c_long * 9)()
     unk = np.array([np.nan], np.float32)
     order = lib.e2e_arpa_scan(path.encode(), blob, v, counts, _f32p(unk))
+    if order == -2:
+        return None  # order > 8: beyond the C parser; use the Python one
     if order < 0:
         raise FileNotFoundError(path)
     ngrams: dict = {"unk": None if np.isnan(unk[0]) else float(unk[0])}

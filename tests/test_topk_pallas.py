@@ -38,3 +38,21 @@ def test_topk_k_equals_v_sorts(rng):
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     with pytest.raises(ValueError, match="k="):
         topk_pallas(x, 13, interpret=True)
+
+
+def test_topk_vmem_guard():
+    # huge rows can't fit the kernel's minimum block: explicit error here,
+    # and the beam decoder's auto route falls back to lax.top_k
+    import jax.numpy as jnp
+    import pytest
+
+    from end2end_tpu.ops.topk_pallas import (
+        topk_pallas,
+        topk_pallas_fits_vmem,
+    )
+
+    assert topk_pallas_fits_vmem(32, 1024)
+    assert not topk_pallas_fits_vmem(64, 32768)
+    with pytest.raises(ValueError, match="VMEM"):
+        topk_pallas(jnp.zeros((4, 64, 32768), jnp.float32), 16,
+                    interpret=True)
