@@ -50,3 +50,35 @@ def asr_alphabet() -> Alphabet:
 
 def ocr_alphabet() -> Alphabet:
     return Alphabet(OCR_CHARS)
+
+
+def word_spans(ids, times, space_id, alphabet: Alphabet | None = None):
+    """Word-level timings from decoded tokens + per-token emission frames.
+
+    ids/times: one hypothesis's token ids and frame indices, as returned by
+    `greedy_decode_with_timestamps` or `beam_search_decode(...,
+    return_timestamps=True)` (trim to the decoded length first).
+    Splits on `space_id`; each word's span is [first token's frame, last
+    token's frame].  Returns a list of (word, start_frame, end_frame) with
+    `word` a string when an alphabet is given, else a list of ids.
+    """
+    out = []
+    cur_ids, cur_times = [], []
+
+    def flush():
+        if cur_ids:
+            word = (alphabet.decode(cur_ids) if alphabet is not None
+                    else list(cur_ids))
+            out.append((word, int(cur_times[0]), int(cur_times[-1])))
+        cur_ids.clear()
+        cur_times.clear()
+
+    for c, t in zip(ids, times):
+        c = int(c)
+        if c == space_id:
+            flush()
+        else:
+            cur_ids.append(c)
+            cur_times.append(t)
+    flush()
+    return out

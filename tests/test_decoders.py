@@ -179,3 +179,27 @@ def test_greedy_timestamps(rng):
     for b in range(B):
         ts = np.asarray(tt)[b, : int(l2[b])]
         assert np.all(np.diff(ts) > 0) and np.all(ts >= 0) and np.all(ts < il[b])
+
+
+def test_word_spans_from_beam_timestamps(rng):
+    from end2end_tpu import beam_search_decode
+    from end2end_tpu.utils.text import asr_alphabet, word_spans
+
+    alphabet = asr_alphabet()
+    ids = alphabet.encode("hi me")  # h i ' ' m e
+    path = []
+    for c in ids:
+        path += [c, 0]  # one frame per char + blank
+    V = len(alphabet)
+    lp = np.full((len(path), 1, V), -12.0, np.float32)
+    for t, c in enumerate(path):
+        lp[t, 0, c] = -0.01
+    lp = lp - np.log(np.sum(np.exp(lp), -1, keepdims=True))
+    toks, lens, _, times = beam_search_decode(lp, beam_width=2,
+                                              return_timestamps=True)
+    n = int(lens[0, 0])
+    space_id = alphabet.encode(" ")[0]
+    spans = word_spans(np.asarray(toks)[0, 0, :n],
+                       np.asarray(times)[0, 0, :n], space_id, alphabet)
+    # chars emit at frames 0,2,4,6,8 -> "hi"=[0,2], "me"=[6,8]
+    assert spans == [("hi", 0, 2), ("me", 6, 8)], spans
