@@ -1,0 +1,165 @@
+"""Deep offline differential stress sweep (not part of the CI suite).
+
+Hundreds of randomized rounds of the same differential checks the fuzz
+tests run, over wider shape/parameter ranges:
+
+  * loss+grad vs torch.nn.CTCLoss: random (B, T, S, V), random blank,
+    all reductions, zero_infinity with deliberately impossible samples,
+    1-D concatenated targets.
+  * beam: Pallas (interpret) == XLA scan == float64 dict oracle at full
+    vocab; LM-fused pallas == xla with random bigram LMs.
+
+Usage: JAX_PLATFORMS=cpu python scripts/stress_sweep.py [rounds]
+Prints one line per 25 rounds and a final PASS/FAIL summary.
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+import jax
+
+if jax.default_backend() != "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import torch
+
+from end2end_tpu import beam_search_decode, ctc_loss
+from end2end_tpu.ops.lm import NGramLM
+from end2end_tpu.utils.reference_impl import beam_search_decode_ref
+
+ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+
+
+def lsm(x):
+    return x - np.log(np.sum(np.exp(x), -1, keepdims=True))
+
+
+def torch_ctc(lp, tgt, il, tl, blank, reduction, zero_inf):
+    t = torch.tensor(lp, requires_grad=True)
+    loss = torch.nn.functional.ctc_loss(
+        t, torch.tensor(tgt), torch.tensor(il), torch.tensor(tl),
+        blank=blank, reduction=reduction, zero_infinity=zero_inf,
+    )
+    out = loss.sum() if reduction == "none" else loss
+    out.backward()
+    return (loss.detach().numpy(), t.grad.numpy())
+
+
+def loss_round(rng, i):
+    B = int(rng.integers(1, 6))
+    T = int(rng.integers(6, 90))
+    S = int(rng.integers(1, min(22, T)))
+    V = int(rng.integers(3, 40))
+    blank = int(rng.integers(0, V))
+    reduction = ["none", "sum", "mean"][int(rng.integers(3))]
+    zero_inf = bool(rng.integers(2))
+    lp = lsm(rng.standard_normal((T, B, V)) * 2).astype(np.float32)
+    others = [c for c in range(V) if c != blank]
+    tgt = rng.choice(others, (B, S)).astype(np.int32)
+    il = rng.integers(max(T // 2, 1), T + 1, B).astype(np.int32)
+    tl = rng.integers(1, S + 1, B).astype(np.int32)
+    if zero_inf and B > 1:
+        tl[0] = S  # likely-impossible sample now and then
+        il[0] = max(int(rng.integers(1, max(S, 2))), 1)
+    cfg = (i, B, T, S, V, blank, reduction, zero_inf)
+    want_loss, want_grad = torch_ctc(lp, tgt, il, tl, blank, reduction,
+                                     zero_inf)
+
+    import jax.numpy as jnp
+
+    def f(x):
+        out = ctc_loss(x, jnp.asarray(tgt), jnp.asarray(il), jnp.asarray(tl),
+                       blank=blank, reduction=reduction,
+                       zero_infinity=zero_inf)
+        return out.sum() if reduction == "none" else out
+
+    got_grad = np.asarray(jax.grad(f)(jnp.asarray(lp)))
+    got_loss = np.asarray(ctc_loss(
+        jnp.asarray(lp), jnp.asarray(tgt), jnp.asarray(il), jnp.asarray(tl),
+        blank=blank, reduction=reduction, zero_infinity=zero_inf))
+    np.testing.assert_allclose(got_loss, want_loss, rtol=2e-4, atol=2e-4,
+                               err_msg=str(cfg))
+    np.testing.assert_allclose(got_grad, want_grad, rtol=2e-3, atol=5e-4,
+                               err_msg=str(cfg))
+
+
+def beam_round(rng, i):
+    B = int(rng.integers(1, 4))
+    T = int(rng.integers(3, 18))
+    V = int(rng.integers(2, 9))
+    W = int(rng.integers(2, 10))
+    lp = lsm(rng.standard_normal((T, B, V)) *
+             float(rng.uniform(0.4, 3.0))).astype(np.float32)
+    il = rng.integers(1, T + 1, B).astype(np.int32)
+    cfg = (i, B, T, V, W)
+    outs = {}
+    for impl in ("pallas", "xla"):
+        tk, ln, sc = [np.asarray(a) for a in beam_search_decode(
+            lp, il, beam_width=W, implementation=impl)]
+        outs[impl] = [
+            {tuple(tk[b, w, : ln[b, w]].tolist()): sc[b, w]
+             for w in range(W) if np.isfinite(sc[b, w])}
+            for b in range(B)
+        ]
+    ref = beam_search_decode_ref(np.asarray(lp, np.float64), il,
+                                 beam_width=W)
+    for b in range(B):
+        want = {k: v for k, v in ref[b] if np.isfinite(v)}
+        for impl in ("pallas", "xla"):
+            got = outs[impl][b]
+            assert set(got) == set(want), (cfg, impl, b,
+                                           set(got) ^ set(want))
+            for pref in want:
+                np.testing.assert_allclose(got[pref], want[pref], atol=2e-3,
+                                           rtol=2e-3, err_msg=str((cfg, b)))
+
+
+def lm_round(rng, i):
+    B = int(rng.integers(1, 3))
+    T = int(rng.integers(3, 14))
+    V = int(rng.integers(3, 8))
+    W = int(rng.integers(2, 8))
+    lm = NGramLM(
+        lsm(rng.standard_normal((V, V)) * 2).astype(np.float32),
+        start_logp=rng.standard_normal(V).astype(np.float32),
+        eos_logp=rng.standard_normal(V).astype(np.float32),
+    )
+    alpha = float(rng.uniform(0.1, 2.0))
+    beta = float(rng.uniform(-0.6, 0.8))
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = rng.integers(1, T + 1, B).astype(np.int32)
+    cfg = (i, B, T, V, W, alpha, beta)
+    res = {}
+    for impl in ("pallas", "xla"):
+        tk, ln, sc = [np.asarray(a) for a in beam_search_decode(
+            lp, il, beam_width=W, lm=lm, lm_alpha=alpha, lm_beta=beta,
+            implementation=impl)]
+        res[impl] = [
+            {tuple(tk[b, w, : ln[b, w]].tolist()): sc[b, w]
+             for w in range(W) if np.isfinite(sc[b, w])}
+            for b in range(B)
+        ]
+    for b in range(B):
+        assert set(res["pallas"][b]) == set(res["xla"][b]), (cfg, b)
+        for pref in res["pallas"][b]:
+            np.testing.assert_allclose(res["pallas"][b][pref],
+                                       res["xla"][b][pref], atol=2e-3,
+                                       rtol=2e-3, err_msg=str((cfg, b)))
+
+
+def main():
+    rng = np.random.default_rng(12345)
+    for i in range(ROUNDS):
+        loss_round(rng, i)
+        beam_round(rng, i)
+        lm_round(rng, i)
+        if (i + 1) % 25 == 0:
+            print(f"{i + 1}/{ROUNDS} rounds clean", flush=True)
+    print(f"PASS: {ROUNDS} rounds x (loss-vs-torch + 3-way beam + LM "
+          "pallas==xla) all clean", flush=True)
+
+
+if __name__ == "__main__":
+    main()
