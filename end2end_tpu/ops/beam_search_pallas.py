@@ -49,7 +49,7 @@ scratch register exactly like the XLA scan's `lm_score` carry; ranking,
 merging and the final </s> bonus reproduce the XLA scan's semantics.
 Higher-order / hashed / word-level LMs still fall back to the XLA scan.
 
-Constraints: beam_width <= 16, prune_k <= 128, float32; LM fusion limited
+Constraints: beam_width <= 32, prune_k <= 128, float32; LM fusion limited
 to dense `NGramLM` with vocab + 1 <= 64 (auto mode falls back to the XLA
 scan otherwise, with a logged reason).
 """
@@ -547,8 +547,8 @@ def beam_pallas_supported(t_max, v, beam_width, prune_k, lm,
             return False, (f"in-kernel LM fusion supports vocab + 1 <= "
                            f"{_LM_CTX_CAP} context rows (got {lm._v + 1}); "
                            "larger LMs use the XLA scan")
-    if beam_width > 16:
-        return False, "pallas beam supports beam_width <= 16"
+    if beam_width > 32:
+        return False, "pallas beam supports beam_width <= 32"
     k = min(prune_k if prune_k else v, v)
     if k > 128:
         return False, "pallas beam supports prune_k <= 128"
@@ -566,7 +566,7 @@ def beam_search_pallas(log_probs, input_lengths=None, beam_width: int = 8,
     """Pallas-kernel beam search; same returns as beam_search_decode.
 
     Jittable end to end (device arrays out).  float32 only;
-    beam_width <= 16; prune_k <= 128; LM fusion for dense `NGramLM` with
+    beam_width <= 32; prune_k <= 128; LM fusion for dense `NGramLM` with
     vocab + 1 <= 64 (see module docstring).
     """
     log_probs = jnp.asarray(log_probs, jnp.float32)

@@ -71,7 +71,7 @@ def test_pallas_beam_pruned_top1_on_peaked(rng):
 def test_pallas_beam_constraint_errors(rng):
     lp = lsm(rng.standard_normal((5, 1, 4))).astype(np.float32)
     with pytest.raises(ValueError, match="beam_width"):
-        beam_search_pallas(lp, beam_width=32)
+        beam_search_pallas(lp, beam_width=64)
 
 
 def test_pallas_beam_multi_batch_tile(rng):
@@ -304,3 +304,19 @@ def test_beam_timestamps_match_across_impls_and_greedy(rng):
     assert np.asarray(bt)[0, 0, :n].tolist() == np.asarray(gt)[0, :n].tolist()
     np.testing.assert_array_equal(np.asarray(btm)[0, 0, :n],
                                   np.asarray(gtm)[0, :n])
+
+
+def test_pallas_beam_width32(rng):
+    # W=32 (four-vreg sublane dim; wide accuracy-focused beams): full set
+    # parity with the XLA scan — 10x the scan on chip (README table)
+    B, T, V, W = 2, 10, 8, 32
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    p = _beam_sets(*beam_search_decode(lp, beam_width=W,
+                                       implementation="pallas"), W)
+    x = _beam_sets(*beam_search_decode(lp, beam_width=W,
+                                       implementation="xla"), W)
+    for b in range(B):
+        assert set(p[b]) == set(x[b]), b
+        for pref in p[b]:
+            np.testing.assert_allclose(p[b][pref], x[b][pref], atol=5e-4,
+                                       rtol=2e-4)
