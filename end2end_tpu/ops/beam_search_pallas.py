@@ -547,6 +547,11 @@ def beam_pallas_supported(t_max, v, beam_width, prune_k, lm,
             return False, (f"in-kernel LM fusion supports vocab + 1 <= "
                            f"{_LM_CTX_CAP} context rows (got {lm._v + 1}); "
                            "larger LMs use the XLA scan")
+        if beam_width > 16:
+            return False, ("in-kernel LM fusion supports beam_width <= 16 "
+                           "(the unrolled select ladder at W=32 exceeds "
+                           "Mosaic's compile limits); wide-beam LM decoding "
+                           "uses the XLA scan or no-LM decode + rescoring")
     if beam_width > 32:
         return False, "pallas beam supports beam_width <= 32"
     k = min(prune_k if prune_k else v, v)
