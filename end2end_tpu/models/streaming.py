@@ -44,6 +44,25 @@ def chunk_waveform(waveform, chunk_samples: int, overlap_samples: int):
     return chunks, valid
 
 
+
+
+def _chunk_plan(pipe, waveform, chunk_seconds, overlap_seconds):
+    """Shared chunking/trim arithmetic for both long-form paths — the
+    stitched and streaming transcribers MUST consume identical trimmed
+    lattice slices (their exactness equivalence depends on it).
+    Returns (chunks, valid, lo_trim, hi_trim)."""
+    c = pipe.config
+    chunk_samples = int(chunk_seconds * c.sample_rate)
+    overlap_samples = int(overlap_seconds * c.sample_rate)
+    chunks, valid = chunk_waveform(waveform, chunk_samples, overlap_samples)
+    ov_frames = int(
+        np.asarray(ConvSubsampling.out_length(num_frames(overlap_samples, c.n_fft, c.hop_length)))
+    )
+    lo_trim = ov_frames // 2
+    hi_trim = ov_frames - lo_trim
+    return chunks, valid, lo_trim, hi_trim
+
+
 def transcribe_long_form(
     pipe,
     params,
@@ -60,22 +79,14 @@ def transcribe_long_form(
     hypothesis).  Encoder runs once over the chunk batch; a single decode
     runs over the stitched lattice.
     """
-    c = pipe.config
-    chunk_samples = int(chunk_seconds * c.sample_rate)
-    overlap_samples = int(overlap_seconds * c.sample_rate)
-    chunks, valid = chunk_waveform(waveform, chunk_samples, overlap_samples)
+    chunks, valid, lo_trim, hi_trim = _chunk_plan(
+        pipe, waveform, chunk_seconds, overlap_seconds
+    )
     n = chunks.shape[0]
 
     logits, out_len = pipe.encode(params, chunks, valid)  # (n, T', V)
     logits = np.asarray(jax.nn.log_softmax(logits, axis=-1))
     out_len = np.asarray(out_len)
-
-    # overlap in encoder frames (frontend hop then conv subsampling)
-    ov_frames = int(
-        np.asarray(ConvSubsampling.out_length(num_frames(overlap_samples, c.n_fft, c.hop_length)))
-    )
-    lo_trim = ov_frames // 2
-    hi_trim = ov_frames - lo_trim
 
     pieces = []
     for i in range(n):
@@ -121,16 +132,10 @@ def transcribe_long_form_streaming(
         StreamingGreedyDecoder,
     )
 
-    c = pipe.config
-    chunk_samples = int(chunk_seconds * c.sample_rate)
-    overlap_samples = int(overlap_seconds * c.sample_rate)
-    chunks, valid = chunk_waveform(waveform, chunk_samples, overlap_samples)
-    n = chunks.shape[0]
-    ov_frames = int(
-        np.asarray(ConvSubsampling.out_length(num_frames(overlap_samples, c.n_fft, c.hop_length)))
+    chunks, valid, lo_trim, hi_trim = _chunk_plan(
+        pipe, waveform, chunk_seconds, overlap_seconds
     )
-    lo_trim = ov_frames // 2
-    hi_trim = ov_frames - lo_trim
+    n = chunks.shape[0]
 
     if beam_width == 0:
         dec = StreamingGreedyDecoder(blank=blank, max_symbols=max_symbols)

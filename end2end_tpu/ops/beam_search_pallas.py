@@ -610,7 +610,10 @@ def beam_search_pallas_from_topk(lpk, ck, lpb, input_lengths, beam_width=8,
     lpk = jnp.asarray(lpk, jnp.float32)
     t_max, n, K = lpk.shape
     if v is None:
-        v = int(jnp.max(ck)) + 1  # forces a sync; pass v explicitly
+        raise ValueError(
+            "pass the (global) vocab size v explicitly — inferring it from "
+            "ck would force a host sync and underestimates V whenever the "
+            "highest token ids never reach any frame's top-K")
     W = int(beam_width)
     s_cap = int(max_symbols or min(t_max, 512))
     ok, reason = beam_pallas_supported(t_max, v, W, K, lm=lm)

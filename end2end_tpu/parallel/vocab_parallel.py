@@ -91,7 +91,7 @@ def _ctc_nll_vp(log_probs, targets, input_lengths, target_lengths, mesh,
                 blank, vocab_axis):
     nll, _ = _vp_fwd_impl(
         log_probs, targets, input_lengths, target_lengths, mesh, blank,
-        vocab_axis,
+        vocab_axis, want_residuals=False,
     )
     return nll
 
@@ -112,18 +112,20 @@ def _vp_common(log_probs, targets, target_lengths, mesh, blank, vocab_axis):
 
 
 def _vp_fwd_impl(log_probs, targets, input_lengths, target_lengths, mesh,
-                 blank, vocab_axis):
+                 blank, vocab_axis, want_residuals=True):
     lp, tables, v_local = _vp_common(
         log_probs, targets, target_lengths, mesh, blank, vocab_axis
     )
     il = jnp.asarray(input_lengths, jnp.int32)
     tl = jnp.asarray(target_lengths, jnp.int32)
+    # primal-only calls skip the (T, N, L) alpha-tape residuals entirely
+    out_specs = (P(), P(), P(), P()) if want_residuals else P()
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(None, None, vocab_axis), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=out_specs,
         check_vma=False,  # psum-assembled lattice -> replicated by math
     )
     def run(lp_local, ext_labels, valid, skip2, args):
@@ -136,11 +138,14 @@ def _vp_fwd_impl(log_probs, targets, input_lengths, target_lengths, mesh,
         nll, _, z_hat, alpha_hat, anorm2 = ctc_forward_scan(
             lp_ext, skip2, il_, tl_
         )
+        if not want_residuals:
+            return nll
         return nll, z_hat, alpha_hat, anorm2
 
-    nll, z_hat, alpha_hat, anorm2 = run(
-        lp, tables.ext_labels, tables.valid, tables.skip2, (il, tl)
-    )
+    out = run(lp, tables.ext_labels, tables.valid, tables.skip2, (il, tl))
+    if not want_residuals:
+        return out, None
+    nll, z_hat, alpha_hat, anorm2 = out
     return nll, (z_hat, alpha_hat, anorm2)
 
 

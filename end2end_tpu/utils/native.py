@@ -144,6 +144,8 @@ def beam_search_cpu(log_probs, input_lengths, beam_width=8, prune_k=None,
             np.asarray(lm_eos, np.float32) if lm_eos is not None
             else np.zeros((v,), np.float32)
         )
+        if lm_e.shape != (v,):
+            raise ValueError(f"lm_eos must be (V,)=({v},), got {lm_e.shape}")
         lib.e2e_beam_search_lm(
             _f32p(lp), n, t_max, v, _i32p(il), beam_width, k, blank, s_cap,
             _f32p(lm_t), _f32p(lm_e), ctypes.c_float(lm_alpha),

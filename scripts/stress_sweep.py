@@ -12,9 +12,11 @@ tests run, over wider shape/parameter ranges:
 Usage: JAX_PLATFORMS=cpu python scripts/stress_sweep.py [rounds]
 Prints one line per 25 rounds and a final PASS/FAIL summary.
 """
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
