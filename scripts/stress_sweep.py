@@ -9,7 +9,7 @@ tests run, over wider shape/parameter ranges:
   * beam: Pallas (interpret) == XLA scan == float64 dict oracle at full
     vocab; LM-fused pallas == xla with random bigram LMs.
 
-Usage: JAX_PLATFORMS=cpu python scripts/stress_sweep.py [rounds]
+Usage: JAX_PLATFORMS=cpu python scripts/stress_sweep.py [rounds] [seed]
 Prints one line per 25 rounds and a final PASS/FAIL summary.
 """
 import os
@@ -32,6 +32,7 @@ from end2end_tpu.ops.lm import NGramLM
 from end2end_tpu.utils.reference_impl import beam_search_decode_ref
 
 ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 12345
 
 
 def lsm(x):
@@ -152,7 +153,7 @@ def lm_round(rng, i):
 
 
 def main():
-    rng = np.random.default_rng(12345)
+    rng = np.random.default_rng(SEED)
     for i in range(ROUNDS):
         loss_round(rng, i)
         beam_round(rng, i)
