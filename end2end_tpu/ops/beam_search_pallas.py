@@ -448,10 +448,7 @@ def _beam_pallas_from_topk_jit(lpk, ck, lpb, il, W, K, s_cap, blank,
     c_pad = _pad_up(n_ctx, 8) if use_lm else 0
 
     b_pad = _pad_up(max(n, 1), _LANES)
-    # time-chunk length bounded by a ~4 MB VMEM budget for the (tc, ...)
-    # input blocks (x2 for double buffering)
-    frame_bytes = K * _LANES * 8 + (c_pad * K * _LANES * 4 if use_lm else 0)
-    tc = max(8, min(128, (4 << 20) // frame_bytes))
+    tc = _input_tc(K, c_pad)
     t_pad = _pad_up(t_max, tc)
 
     lpk_full = jnp.full((t_pad, K, b_pad), LOG0, jnp.float32)
@@ -532,9 +529,25 @@ def _beam_pallas_from_topk_jit(lpk, ck, lpb, il, W, K, s_cap, blank,
 _LM_CTX_CAP = 64  # max context rows for in-kernel LM (select-ladder cost)
 
 
+def _input_frame_bytes(K, c_pad):
+    """Bytes of per-frame kernel input: top-K values+ids (+ the LM
+    increment block when fused)."""
+    return K * _LANES * 8 + c_pad * K * _LANES * 4
+
+
+def _input_tc(K, c_pad):
+    """Time-chunk length for the kernel's input blocks: target ~4 MB of
+    per-chunk VMEM (x2 double-buffered).  No lower floor: with LM fusion at
+    large (V, K) the per-frame LM block alone reaches ~2 MB, and a floored
+    tc=8 would allocate >16 MB of scoped VMEM — tc=1 just runs more grid
+    steps instead (advisor finding, round 2)."""
+    return max(1, min(128, (4 << 20) // _input_frame_bytes(K, c_pad)))
+
+
 def beam_pallas_supported(t_max, v, beam_width, prune_k, lm,
                           dtype=jnp.float32):
     """(ok, reason) — whether the pallas kernel covers this decode config."""
+    k = min(prune_k if prune_k else v, v)
     if lm is not None:
         from .lm import NGramLM
 
@@ -552,9 +565,17 @@ def beam_pallas_supported(t_max, v, beam_width, prune_k, lm,
                            "(the unrolled select ladder at W=32 exceeds "
                            "Mosaic's compile limits); wide-beam LM decoding "
                            "uses the XLA scan or no-LM decode + rescoring")
+        # VMEM budget for the per-frame LM increment block: even at tc=1
+        # the double-buffered input blocks must fit scoped VMEM (advisor
+        # finding, round 2 — within the current envelope this always holds,
+        # but the guard keeps 'auto' safe if the caps above ever widen).
+        c_pad = _pad_up(lm._v + 1, 8)
+        if 2 * _input_frame_bytes(k, c_pad) > (10 << 20):
+            return False, ("in-kernel LM fusion: per-frame input blocks "
+                           "exceed the VMEM budget at this (V, prune_k); "
+                           "falling back to the XLA scan")
     if beam_width > 32:
         return False, "pallas beam supports beam_width <= 32"
-    k = min(prune_k if prune_k else v, v)
     if k > 128:
         return False, "pallas beam supports prune_k <= 128"
     if dtype != jnp.float32:

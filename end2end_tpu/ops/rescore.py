@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 @partial(jax.jit, static_argnames=("lm", "lm_alpha", "lm_beta", "resort"))
 def rescore_nbest(tokens, lengths, scores, lm, lm_alpha: float = 0.0,
-                  lm_beta: float = 0.0, resort: bool = True):
+                  lm_beta: float = 0.0, resort: bool = True, times=None):
     """Add shallow-fusion LM bonuses to an N-best list and re-rank.
 
     Args:
@@ -38,11 +38,15 @@ def rescore_nbest(tokens, lengths, scores, lm, lm_alpha: float = 0.0,
       scores: (N, W) float log-scores (acoustic); -inf marks dead beams.
       lm / lm_alpha / lm_beta: shallow-fusion LM and weights (lm.py).
       resort: re-rank beams by the rescored totals (best first).
+      times: optional (N, W, S) per-token emission frames from
+        `beam_search_decode(..., return_timestamps=True)`; co-sorted with
+        the beams so timestamped N-best lists stay aligned after re-ranking.
 
     Returns:
       (tokens, lengths, new_scores) with
       `new_scores = scores + alpha*(lm logp + final) + beta*len`,
-      re-sorted per sample when `resort`.
+      re-sorted per sample when `resort`; plus `times` (same order as
+      tokens) when a times array was given.
     """
     n, w, s_cap = tokens.shape
     nw = n * w
@@ -85,4 +89,8 @@ def rescore_nbest(tokens, lengths, scores, lm, lm_alpha: float = 0.0,
         new_scores, order = jax.lax.top_k(new_scores, w)
         tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
         lengths = jnp.take_along_axis(lengths, order, axis=1)
+        if times is not None:
+            times = jnp.take_along_axis(times, order[:, :, None], axis=1)
+    if times is not None:
+        return tokens, lengths, new_scores, times
     return tokens, lengths, new_scores

@@ -22,8 +22,11 @@ import numpy as np
 
 import jax
 
-if jax.default_backend() != "cpu":
-    jax.config.update("jax_platforms", "cpu")
+# Force CPU unconditionally BEFORE any backend-initializing call: probing
+# jax.default_backend() first would itself initialize the TPU plugin (the
+# env-ordering pitfall in CLAUDE.md), making the guard a no-op and silently
+# hogging the single-client TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
 
 import torch
 

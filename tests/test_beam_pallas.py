@@ -320,3 +320,27 @@ def test_pallas_beam_width32(rng):
         for pref in p[b]:
             np.testing.assert_allclose(p[b][pref], x[b][pref], atol=5e-4,
                                        rtol=2e-4)
+
+
+def test_pallas_beam_lm_fusion_large_v_full_prune(rng):
+    # V=63 (the top of the in-kernel LM envelope) at prune_k=None: the
+    # per-frame LM increment block is ~2 MB, forcing the time-chunk length
+    # down to tc=1 — the config that used to allocate >16 MB of scoped VMEM
+    # with the old tc >= 8 floor (advisor finding, round 2).  On the real
+    # chip this verifies the kernel compiles and fits VMEM; in interpret
+    # mode it still exercises the tc=1 chunked grid.
+    B, T, V, W = 2, 12, 63, 8
+    lm = _rand_bigram_lm(rng, V)
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = rng.integers(T // 2, T + 1, B).astype(np.int32)
+    p = _beam_sets(*beam_search_decode(
+        lp, il, beam_width=W, lm=lm, lm_alpha=0.7, lm_beta=0.2,
+        implementation="pallas"), W)
+    x = _beam_sets(*beam_search_decode(
+        lp, il, beam_width=W, lm=lm, lm_alpha=0.7, lm_beta=0.2,
+        implementation="xla"), W)
+    for b in range(B):
+        assert set(p[b]) == set(x[b]), (b, set(p[b]) ^ set(x[b]))
+        for pref in p[b]:
+            np.testing.assert_allclose(p[b][pref], x[b][pref], atol=5e-4,
+                                       rtol=2e-4)

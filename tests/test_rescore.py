@@ -243,3 +243,32 @@ def test_rescore_resort_reranks(rng):
     rt, rl = np.asarray(rt), np.asarray(rl)
     assert rt[0, 0, : rl[0, 0]].tolist() == [1, 2]
     assert np.all(np.diff(np.asarray(rs)[0]) <= 1e-6)  # sorted desc
+
+
+def test_rescore_cosorts_timestamps(rng):
+    # times from return_timestamps=True must follow the re-ranked beam
+    # order (advisor finding, round 2): each (tokens-row, times-row) pair
+    # from the base decode must survive rescoring intact.
+    B, T, V, W = 3, 10, 5, 8
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    lm = NGramLM(bigram_from_counts(rng.integers(0, 20, (V, V))))
+    t0, l0, s0, tm0 = beam_search_decode(lp, beam_width=W,
+                                         return_timestamps=True)
+    rt, rl, rs, rtm = rescore_nbest(t0, l0, s0, lm, lm_alpha=0.9,
+                                    lm_beta=0.3, times=tm0)
+    t0, tm0, rt, rtm = [np.asarray(a) for a in (t0, tm0, rt, rtm)]
+    rl, rs = np.asarray(rl), np.asarray(rs)
+    base_pairs = {
+        (tuple(t0[b, w].tolist()), tuple(tm0[b, w].tolist()))
+        for b in range(B) for w in range(W)
+    }
+    assert not np.all(rs == np.asarray(s0))  # the LM actually rescored
+    for b in range(B):
+        for w in range(W):
+            if not np.isfinite(rs[b, w]):
+                continue
+            pair = (tuple(rt[b, w].tolist()), tuple(rtm[b, w].tolist()))
+            assert pair in base_pairs, (b, w)
+            # tokens and times stay index-aligned after the re-sort
+            assert (rtm[b, w, : rl[b, w]] >= 0).all()
+            assert (rtm[b, w, rl[b, w]:] == -1).all()
