@@ -76,6 +76,7 @@ _NOPARENT = np.int32(0x5EED0000)  # parent-prefix hash that matches nothing
 _BIG = np.int32(1 << 30)
 
 _LANES = 128  # batch tile width
+_N_STATE = 9  # per-beam state arrays: pb pnb h1 h2 hp1 hp2 last len lm
 
 
 def _laddexp2(a, b):
@@ -90,21 +91,28 @@ def _pad_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _beam_kernel(W, K, s_cap, blank, n_ctx, *refs):
+def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, *refs):
+    n_in = 4 + (1 if n_ctx else 0) + (_N_STATE if resume else 0)
+    n_out = 3 + (_N_STATE if resume else 0)
+    in_refs, out_refs = refs[:n_in], refs[n_in:n_in + n_out]
+    (pb_s, pnb_s, h1_s, h2_s, hp1_s, hp2_s, last_s, len_s,
+     lm_s) = refs[n_in + n_out:]
     if n_ctx:  # in-kernel LM fusion: one extra input block of LM increments
-        (lpk_ref, ck_ref, lpb_ref, il_ref, lm_ref,
-         bp_ref, score_ref, last_ref,
-         pb_s, pnb_s, h1_s, h2_s, hp1_s, hp2_s, last_s, len_s, lm_s) = refs
+        lpk_ref, ck_ref, lpb_ref, il_ref, lm_ref = in_refs[:5]
     else:
-        (lpk_ref, ck_ref, lpb_ref, il_ref,
-         bp_ref, score_ref, last_ref,
-         pb_s, pnb_s, h1_s, h2_s, hp1_s, hp2_s, last_s, len_s, lm_s) = refs
+        lpk_ref, ck_ref, lpb_ref, il_ref = in_refs[:4]
+    bp_ref, score_ref, last_ref = out_refs[:3]
     i = pl.program_id(1)  # time chunk (sequential; batch tile is dim 0)
     tc_len, _, b = lpk_ref.shape
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, b), 0)
     k_iota2 = jax.lax.broadcasted_iota(jnp.int32, (K, b), 0)
     k_iota3 = jax.lax.broadcasted_iota(jnp.int32, (K, W, b), 0)
     w_iota3 = jax.lax.broadcasted_iota(jnp.int32, (K, W, b), 1)
+    # Does candidate ranking carry an LM bonus?  True with in-kernel fusion
+    # (n_ctx) and in resume/chunked mode, where the bonus accumulated by
+    # earlier chunks steers this chunk's pruning (per-frame increments are
+    # then zero; the XLA side adds each chunk's emissions post hoc).
+    track_lm = bool(n_ctx) or resume
     # Candidate codes in the XLA scan's ranking order (ties break identically):
     # stay candidates first (code = w), then extends row-major (W + w*K + k).
     code_ext = W + w_iota3 * K + k_iota3  # (K, W, b)
@@ -112,16 +120,29 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, *refs):
 
     @pl.when(i == 0)
     def _():
-        live0 = w_iota == 0
-        pb_s[:] = jnp.where(live0, 0.0, LOG0)
-        pnb_s[:] = jnp.full((W, b), LOG0, jnp.float32)
-        h1_s[:] = jnp.where(live0, _SEED1, _DEADBASE + w_iota)
-        h2_s[:] = jnp.where(live0, _SEED2, _DEADBASE + w_iota)
-        hp1_s[:] = _NOPARENT + w_iota  # the empty prefix has no parent
-        hp2_s[:] = _NOPARENT + w_iota
-        last_s[:] = jnp.full((W, b), -1, jnp.int32)
-        len_s[:] = jnp.zeros((W, b), jnp.int32)
-        lm_s[:] = jnp.zeros((W, b), jnp.float32)
+        if resume:  # chunked decode: continue from the carried-in state
+            (pb_i, pnb_i, h1_i, h2_i, hp1_i, hp2_i, last_i, len_i,
+             lm_i) = in_refs[n_in - _N_STATE:]
+            pb_s[:] = pb_i[:]
+            pnb_s[:] = pnb_i[:]
+            h1_s[:] = h1_i[:]
+            h2_s[:] = h2_i[:]
+            hp1_s[:] = hp1_i[:]
+            hp2_s[:] = hp2_i[:]
+            last_s[:] = last_i[:]
+            len_s[:] = len_i[:]
+            lm_s[:] = lm_i[:]
+        else:
+            live0 = w_iota == 0
+            pb_s[:] = jnp.where(live0, 0.0, LOG0)
+            pnb_s[:] = jnp.full((W, b), LOG0, jnp.float32)
+            h1_s[:] = jnp.where(live0, _SEED1, _DEADBASE + w_iota)
+            h2_s[:] = jnp.where(live0, _SEED2, _DEADBASE + w_iota)
+            hp1_s[:] = _NOPARENT + w_iota  # the empty prefix has no parent
+            hp2_s[:] = _NOPARENT + w_iota
+            last_s[:] = jnp.full((W, b), -1, jnp.int32)
+            len_s[:] = jnp.zeros((W, b), jnp.int32)
+            lm_s[:] = jnp.zeros((W, b), jnp.float32)
 
     il = il_ref[:]  # (1, b)
 
@@ -164,6 +185,10 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, *refs):
                     (ctx == c)[None], lm_ref[tc, c][:, None, :], delta
                 )
             lm_tot = lms[None] + delta  # (K, W, b) candidate total bonus
+        elif track_lm:
+            # resume/chunked mode without in-kernel increments: every
+            # candidate inherits its parent beam's accumulated bonus
+            lm_tot = lms[None]  # (1, W, b), broadcasts over K
 
         # --- merge extends that recreate an existing beam's prefix --------
         # A beam w can receive merges ONLY from extensions of its unique
@@ -199,7 +224,7 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, *refs):
         # --- top-W by repeated argmax (first-index tie break, XLA order) ---
         # Ranking scores carry the LM bonus (like the XLA scan's cand_lm);
         # acoustic mass is selected separately from the unranked pools.
-        if n_ctx:
+        if track_lm:
             cand_ext = ext_pnb + lm_tot
             cand_stay = stay_score + lms
         else:
@@ -262,7 +287,7 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, *refs):
             ck_k = jnp.sum(
                 jnp.where(k_iota2 == kk, ck, 0), axis=0, keepdims=True
             )
-            if n_ctx:
+            if track_lm:
                 # acoustic mass / LM bonus of the selected ext candidate
                 # (oh_e is exact-onehot; mx alone would include the bonus)
                 ac_e = jnp.sum(
@@ -323,7 +348,7 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, *refs):
         hp2_s[:] = jnp.where(upd, new_hp2, hp2)
         last_s[:] = jnp.where(upd, new_last, last)
         len_s[:] = jnp.where(upd, new_len, lens)
-        if n_ctx:
+        if track_lm:
             lm_s[:] = jnp.where(upd, new_lm, lms)
         bp_ref[tc] = jnp.where(upd, bp_row, code_stay)
         return 0
@@ -334,6 +359,18 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, *refs):
     def _():
         score_ref[:] = _laddexp2(pb_s[:], pnb_s[:]) + lm_s[:]
         last_ref[:] = last_s[:]
+        if resume:  # export the full carry for the next chunk
+            (pb_o, pnb_o, h1_o, h2_o, hp1_o, hp2_o, last_o, len_o,
+             lm_o) = out_refs[3:]
+            pb_o[:] = pb_s[:]
+            pnb_o[:] = pnb_s[:]
+            h1_o[:] = h1_s[:]
+            h2_o[:] = h2_s[:]
+            hp1_o[:] = hp1_s[:]
+            hp2_o[:] = hp2_s[:]
+            last_o[:] = last_s[:]
+            len_o[:] = len_s[:]
+            lm_o[:] = lm_s[:]
 
 
 def _compose(a, b):
@@ -431,6 +468,74 @@ def _beam_pallas_jit(log_probs, il, W, K, s_cap, blank, interpret,
     )
 
 
+_STATE_DTYPES = (jnp.float32, jnp.float32, jnp.int32, jnp.int32, jnp.int32,
+                 jnp.int32, jnp.int32, jnp.int32, jnp.float32)
+
+
+def beam_state_init(W, b_pad):
+    """Initial per-beam kernel carry as XLA arrays — bit-identical to the
+    kernel's own i==0 init (used to seed resume/chunked decoding)."""
+    w_iota = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[:, None],
+                              (W, b_pad))
+    live0 = w_iota == 0
+    return (
+        jnp.where(live0, 0.0, LOG0).astype(jnp.float32),        # pb
+        jnp.full((W, b_pad), LOG0, jnp.float32),                # pnb
+        jnp.where(live0, _SEED1, _DEADBASE + w_iota),           # h1
+        jnp.where(live0, _SEED2, _DEADBASE + w_iota),           # h2
+        _NOPARENT + w_iota,                                     # hp1
+        _NOPARENT + w_iota,                                     # hp2
+        jnp.full((W, b_pad), -1, jnp.int32),                    # last
+        jnp.zeros((W, b_pad), jnp.int32),                       # len
+        jnp.zeros((W, b_pad), jnp.float32),                     # lm bonus
+    )
+
+
+def _run_beam_kernel(inputs, in_specs, t_pad, tc, b_pad, W, K, s_cap, blank,
+                     n_ctx, interpret, state_in=None):
+    """Build and invoke the pallas_call.  With `state_in` (a 9-tuple of
+    (W, b_pad) arrays, see beam_state_init) the kernel resumes from that
+    carry and additionally returns the final carry — the primitive the
+    chunked LM decode (beam_chunked.py) alternates with XLA-side LM
+    scoring."""
+    resume = state_in is not None
+    vspec = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                             memory_space=pltpu.VMEM)
+    state_spec = vspec((W, _LANES), lambda bt, i: (0, bt))
+    inputs = list(inputs)
+    in_specs = list(in_specs)
+    if resume:
+        inputs += list(state_in)
+        in_specs += [state_spec] * _N_STATE
+    out_specs = [
+        vspec((tc, W, _LANES), lambda bt, i: (i, 0, bt)),
+        state_spec,
+        state_spec,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t_pad, W, b_pad), jnp.int32),
+        jax.ShapeDtypeStruct((W, b_pad), jnp.float32),
+        jax.ShapeDtypeStruct((W, b_pad), jnp.int32),
+    ]
+    if resume:
+        out_specs += [state_spec] * _N_STATE
+        out_shape += [jax.ShapeDtypeStruct((W, b_pad), d)
+                      for d in _STATE_DTYPES]
+    kern = partial(_beam_kernel, W, K, s_cap, blank, n_ctx, resume)
+    out = pl.pallas_call(
+        kern,
+        grid=(b_pad // _LANES, t_pad // tc),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((W, _LANES), d) for d in _STATE_DTYPES],
+        interpret=interpret,
+    )(*inputs)
+    bp, scores, last_out = out[:3]
+    state_out = tuple(out[3:]) if resume else None
+    return bp, scores, last_out, state_out
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -488,36 +593,10 @@ def _beam_pallas_from_topk_jit(lpk, ck, lpb, il, W, K, s_cap, blank,
             vspec((tc, c_pad, K, _LANES), lambda bt, i: (i, 0, 0, bt))
         )
 
-    n_btiles = b_pad // _LANES
-    n_chunks = t_pad // tc
-    kern = partial(_beam_kernel, W, K, s_cap, blank, n_ctx)
-    bp, scores, last_out = pl.pallas_call(
-        kern,
-        grid=(n_btiles, n_chunks),
-        in_specs=in_specs,
-        out_specs=[
-            vspec((tc, W, _LANES), lambda bt, i: (i, 0, bt)),
-            vspec((W, _LANES), lambda bt, i: (0, bt)),
-            vspec((W, _LANES), lambda bt, i: (0, bt)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t_pad, W, b_pad), jnp.int32),
-            jax.ShapeDtypeStruct((W, b_pad), jnp.float32),
-            jax.ShapeDtypeStruct((W, b_pad), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((W, _LANES), jnp.float32),
-            pltpu.VMEM((W, _LANES), jnp.float32),
-            pltpu.VMEM((W, _LANES), jnp.int32),
-            pltpu.VMEM((W, _LANES), jnp.int32),
-            pltpu.VMEM((W, _LANES), jnp.int32),
-            pltpu.VMEM((W, _LANES), jnp.int32),
-            pltpu.VMEM((W, _LANES), jnp.int32),
-            pltpu.VMEM((W, _LANES), jnp.int32),
-            pltpu.VMEM((W, _LANES), jnp.float32),
-        ],
-        interpret=interpret,
-    )(*inputs)
+    bp, scores, last_out, _ = _run_beam_kernel(
+        inputs, in_specs, t_pad, tc, b_pad, W, K, s_cap, blank, n_ctx,
+        interpret, state_in=None,
+    )
     if use_lm:
         # end-of-sequence bonus, matching the XLA scan's lm.final():
         # alpha * eos[last] for nonempty prefixes

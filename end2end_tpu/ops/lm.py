@@ -26,8 +26,110 @@ across calls or every new instance recompiles.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+_INV31 = np.uint32(pow(31, -1, 1 << 32))  # 31 is odd -> invertible mod 2^32
+
+
+def _pow_table(base, n):
+    """uint32 powers base^0..base^n (mod 2^32) as a device-gatherable table."""
+    out = np.empty(n + 1, np.uint32)
+    x = np.uint32(1)
+    with np.errstate(over="ignore"):
+        for i in range(n + 1):
+            out[i] = x
+            x = x * base
+    return jnp.asarray(out)
+
+
+def _chunk_words(toks, space_id, curh, curlen, mult, seed):
+    """Vectorized word segmentation of emitted-token chunks.
+
+    The chunked kernel decode (beam_chunked.py) hands each beam its tokens
+    emitted during a chunk as a dense row; word-level LMs must then find the
+    completed words and their spell hashes WITHOUT a sequential scan (a
+    T-step scan is exactly the cost the chunked decode exists to avoid).
+    The rolling polynomial hash h = h0*m^L + sum_i (c_i+1)*m^(L-1-i) factors
+    as h = m^L * (h0 + sum_i (c_i+1)*inv_m^(i+1)) because m is odd and hence
+    invertible mod 2^32 — so per-word hashes become segmented SUMS of
+    position-weighted terms, computable with cumulative sums plus one
+    "value at the previous space" gather.  All (M, C) element-wise ops.
+
+    Args:
+      toks: (M, C) int32 emitted tokens in order, -1 padded at the end.
+      space_id: the word-separator token id.
+      curh / curlen: (M,) uint32/int32 carried partial-word hash and length.
+      mult / seed: the rolling-hash constants (uint32).
+
+    Returns dict with:
+      whash: (M, Wmax) uint32 spell hashes of completed words, in order.
+      wvalid: (M, Wmax) bool; n_words: (M,) int32.
+      new_curh / new_curlen: carried partial word after the chunk.
+    """
+    m, c = toks.shape
+    w_max = c // 2 + 1  # a completed word needs >= 1 char + 1 space
+    pow_m = _pow_table(mult, c)
+    inv_m = _pow_table(_INV31 if mult == np.uint32(31) else
+                       np.uint32(pow(int(mult), -1, 1 << 32)), c)
+    valid = toks >= 0
+    space = valid & (toks == space_id)
+    char = valid & ~space
+    pos = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None], (m, c))
+
+    # position of the most recent space STRICTLY BEFORE each position
+    sp_pos = jnp.where(space, pos, -1)
+    last_sp_excl = jnp.concatenate(
+        [jnp.full((m, 1), -1, jnp.int32),
+         jax.lax.cummax(sp_pos, axis=1)[:, :-1]], axis=1)
+    seg0 = last_sp_excl < 0  # position belongs to the carried-word segment
+
+    cc = jnp.cumsum(char.astype(jnp.int32), axis=1)  # chars so far (incl.)
+    gather_at = lambda arr, idx: jnp.where(
+        idx >= 0, jnp.take_along_axis(arr, jnp.maximum(idx, 0), axis=1),
+        jnp.zeros_like(arr[:, :1]))
+    cc_prev_sp = gather_at(cc, last_sp_excl)
+    within = cc - 1 - cc_prev_sp  # char's 0-based index within its segment
+
+    # position-weighted terms u_j = (tok+1) * inv_m^(within+1)
+    u = (toks.astype(jnp.uint32) + 1) * inv_m[
+        jnp.clip(within + 1, 0, c).astype(jnp.int32)]
+    cs = jnp.cumsum(jnp.where(char, u, jnp.uint32(0)), axis=1)
+    cs_prev_sp = gather_at(cs, last_sp_excl)
+
+    # completed word at each space position (chunk part + carried part)
+    seg_len = cc - cc_prev_sp          # at a space: chars in the chunk part
+    tot_len = seg_len + jnp.where(seg0, curlen[:, None], 0)
+    is_word = space & (tot_len > 0)
+    base = jnp.where(seg0, curh[:, None], jnp.uint32(seed))
+    u_sum = cs - cs_prev_sp
+    whash_at = pow_m[jnp.clip(seg_len, 0, c).astype(jnp.int32)] * (
+        base + u_sum)
+
+    # compact completed words left-justified (cumsum scatter)
+    widx = jnp.cumsum(is_word.astype(jnp.int32), axis=1) - 1
+    n_words = jnp.where(is_word, widx + 1, 0).max(axis=1)
+    dst = jnp.where(is_word, widx, w_max)
+    rows = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None], (m, c))
+    whash = jnp.zeros((m, w_max + 1), jnp.uint32).at[rows, dst].set(
+        whash_at, mode="drop")[:, :w_max]
+    wvalid = jnp.arange(w_max, dtype=jnp.int32)[None] < n_words[:, None]
+
+    # trailing partial word -> new carry
+    last_sp_all = jax.lax.cummax(sp_pos, axis=1)[:, -1]  # (M,)
+    any_sp = last_sp_all >= 0
+    cc_end, cs_end = cc[:, -1], cs[:, -1]
+    cc_sp = jnp.where(any_sp, gather_at(cc, last_sp_all[:, None])[:, 0], 0)
+    cs_sp = jnp.where(any_sp, gather_at(cs, last_sp_all[:, None])[:, 0],
+                      jnp.uint32(0))
+    tl_chars = cc_end - cc_sp
+    base_tr = jnp.where(any_sp, jnp.uint32(seed), curh)
+    new_curh = pow_m[jnp.clip(tl_chars, 0, c).astype(jnp.int32)] * (
+        base_tr + (cs_end - cs_sp))
+    new_curlen = tl_chars + jnp.where(any_sp, 0, curlen)
+    return dict(whash=whash, wvalid=wvalid, n_words=n_words,
+                new_curh=new_curh, new_curlen=new_curlen.astype(jnp.int32))
 
 
 class NGramLM:
@@ -74,6 +176,23 @@ class NGramLM:
     def final(self, state):
         last = jnp.clip(state, 0, self._v - 1)
         return jnp.where(state >= 0, self._eos[last], 0.0)
+
+    def score_chunk(self, state, toks):
+        """Score a dense chunk of emitted tokens per hypothesis — the
+        vectorized replay used by the chunked kernel decode
+        (beam_chunked.py): toks (M, C) int32 in emission order, -1 padded
+        at the END.  Returns (sum of log p_LM over the chunk (M,), advanced
+        state); exactly equals folding score()/select() token by token."""
+        m, c = toks.shape
+        valid = toks >= 0
+        prev = jnp.concatenate([state[:, None], toks[:, :-1]], axis=1)
+        ctx = jnp.where(prev < 0, self._v, prev)
+        lp = self._table[ctx, jnp.clip(toks, 0, self._v - 1)]  # (M, C)
+        lp_sum = jnp.sum(jnp.where(valid, lp, 0.0), axis=1)
+        n_valid = valid.sum(axis=1)
+        last_tok = jnp.take_along_axis(
+            toks, jnp.maximum(n_valid - 1, 0)[:, None], axis=1)[:, 0]
+        return lp_sum, jnp.where(n_valid > 0, last_tok, state)
 
 
 class UniformLM(NGramLM):
@@ -255,6 +374,25 @@ class WordNGramLM:
         trailing = jnp.where(curlen > 0, lp, 0.0)
         ended = jnp.where(curlen > 0, wid, prev)
         return trailing + self._eos[jnp.minimum(ended, self._wv + 1)]
+
+    def score_chunk(self, state, toks):
+        """Vectorized chunk replay (see NGramLM.score_chunk): words
+        completed inside the chunk are segmented/hashed with _chunk_words,
+        resolved to ids in one batched table lookup, and bigram-scored with
+        a shifted context chain — no per-frame scan."""
+        prev, curh, curlen = state
+        seg = _chunk_words(toks, self._space, curh, curlen,
+                           self._MULT, self._SEED)
+        wid = self._wh.lookup(seg["whash"])  # (M, Wmax); miss -> _unk
+        ctx = jnp.concatenate([prev[:, None], wid[:, :-1]], axis=1)
+        lp = self._table[ctx, jnp.minimum(wid, self._wv)]
+        lp = jnp.where(wid == self._unk, self._unk_logp, lp)
+        lp_sum = jnp.sum(jnp.where(seg["wvalid"], lp, 0.0), axis=1)
+        n_words = seg["n_words"]
+        last_wid = jnp.take_along_axis(
+            wid, jnp.maximum(n_words - 1, 0)[:, None], axis=1)[:, 0]
+        new_prev = jnp.where(n_words > 0, last_wid, prev).astype(jnp.int32)
+        return lp_sum, (new_prev, seg["new_curh"], seg["new_curlen"])
 
 
 class _HashedNGramTables:
@@ -465,6 +603,22 @@ class HashedNGramLM:
         w = jnp.full((state.shape[0],), self._eos, jnp.int32)
         return self._t.score(state, w)
 
+    def score_chunk(self, state, toks):
+        """Vectorized chunk replay (see NGramLM.score_chunk): every emitted
+        token is scored against its (order-1)-token history, assembled by
+        shifted slices of state ++ toks — no sequential scan."""
+        m, c = toks.shape
+        n_ctx = state.shape[1]
+        valid = toks >= 0
+        full = jnp.concatenate([state, toks], axis=1)  # (M, n_ctx + C)
+        win = jnp.stack([full[:, j:j + c] for j in range(n_ctx)],
+                        axis=-1)  # (M, C, n_ctx): history of position j
+        lp = self._t.score(win, toks)  # (M, C); invalid positions masked
+        lp_sum = jnp.sum(jnp.where(valid, lp, 0.0), axis=1)
+        n_valid = valid.sum(axis=1)
+        idx = n_valid[:, None] + jnp.arange(n_ctx, dtype=jnp.int32)[None]
+        return lp_sum, jnp.take_along_axis(full, idx, axis=1)
+
 
 class HashedWordNGramLM:
     """Word-level shallow fusion at ANY n-gram order — full KenLM parity for
@@ -569,3 +723,24 @@ class HashedWordNGramLM:
         )
         eos = jnp.full((win.shape[0],), self._eos, jnp.int32)
         return trailing + self._t.score(ended, eos)
+
+    def score_chunk(self, state, toks):
+        """Vectorized chunk replay (see NGramLM.score_chunk): chunk words
+        from _chunk_words, ids from one batched spell lookup, and each word
+        scored against its (order-1)-word history via shifted slices of
+        win ++ word-ids — no per-frame scan."""
+        win, curh, curlen = state
+        seg = _chunk_words(toks, self._space, curh, curlen,
+                           self._MULT, self._SEED)
+        wid = self._wh.lookup(seg["whash"])  # (M, Wmax); miss -> -2 (unk)
+        n_ctx = win.shape[1]
+        w_max = wid.shape[1]
+        full = jnp.concatenate([win, wid], axis=1)
+        wwin = jnp.stack([full[:, j:j + w_max] for j in range(n_ctx)],
+                         axis=-1)  # (M, Wmax, n_ctx)
+        lp = self._t.score(wwin, wid)
+        lp_sum = jnp.sum(jnp.where(seg["wvalid"], lp, 0.0), axis=1)
+        idx = seg["n_words"][:, None] + jnp.arange(n_ctx,
+                                                   dtype=jnp.int32)[None]
+        new_win = jnp.take_along_axis(full, idx, axis=1)
+        return lp_sum, (new_win, seg["new_curh"], seg["new_curlen"])
