@@ -15,6 +15,7 @@ from .ops.alignment import ForcedAlignment, ctc_forced_alignment
 from .ops.ctc_loss import CTCLoss, ctc_loss, ctc_loss_jit, ctc_nll
 from .ops.greedy import GreedyCTCDecoder, greedy_decode, greedy_decode_with_timestamps
 from .ops.beam_search import BeamSearchCTCDecoder, beam_search_decode
+from .ops.beam_chunked import beam_search_chunked_lm
 from .ops.lm import HashedNGramLM, HashedWordNGramLM, NGramLM, WordNGramLM
 from .ops.rescore import rescore_nbest
 from .ops.streaming_decode import StreamingBeamDecoder, StreamingGreedyDecoder
@@ -30,6 +31,7 @@ __all__ = [
     "greedy_decode_with_timestamps",
     "GreedyCTCDecoder",
     "beam_search_decode",
+    "beam_search_chunked_lm",
     "BeamSearchCTCDecoder",
     "ctc_forced_alignment",
     "ForcedAlignment",

@@ -1,0 +1,212 @@
+"""Chunked Pallas beam search with LM steering — kernel-speed decoding for
+word-level and arbitrary-order n-gram LMs.
+
+The reference fuses KenLM queries into its C++ beam loop per frame
+(SURVEY.md §3.1 N6, §4.4); the round-2 rebuild could only do that in-kernel
+for dense bigrams, so word/hashed LMs fell back to the ~30x-slower XLA scan
+(their open-addressing probes need per-lane dynamic gather, which Mosaic
+does not expose).  This module removes that cliff with a TWO-LEVEL design:
+
+  * the Pallas beam kernel (beam_search_pallas.py) advances CHUNK_T frames
+    at full kernel speed, carrying an accumulated per-beam LM bonus that
+    participates in candidate RANKING (so the LM steers pruning), with its
+    full beam state exported at the chunk boundary;
+  * between chunks, XLA reconstructs each surviving beam's tokens emitted
+    during the chunk (associative-scan backtrace over the chunk's
+    backpointer codes) and replays them through the LM's VECTORIZED
+    `score_chunk` (lm.py) — open-addressing word/gram lookups are plain
+    batched XLA gathers out here — then folds `alpha*logp + beta*n_tokens`
+    into the carried bonus before the next chunk.
+
+Semantics: the LM steers the search at chunk granularity instead of per
+frame.  Every surviving hypothesis's SCORE is exact (identical to fused
+scoring of the same prefix, like ops/rescore.py); what chunking can change
+is which tail hypotheses survive intermediate pruning.  chunk_t=T degrades
+to no-LM decoding + exact rescoring; chunk_t -> 1 approaches fused
+per-frame steering at the XLA scan's cost.  On peaked (high-confidence)
+lattices the beam sets match the fused scan exactly — tested.
+
+Works with ANY LM implementing `score_chunk` (all four lm.py classes);
+the acoustic beam mechanics keep the kernel's documented repeat-prune
+semantics (exact at prune_k >= V).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .semiring import LOG0, LOG0_THRESHOLD, logaddexp2
+from .beam_search_pallas import (
+    _LANES,
+    _backtrace,
+    _compose,
+    _input_tc,
+    _pad_up,
+    _run_beam_kernel,
+    beam_state_init,
+)
+
+
+def _chunk_tc(chunk_t, K):
+    """Inner kernel time-chunk: the largest divisor of chunk_t within the
+    VMEM-budget cap (grid steps must tile the chunk exactly)."""
+    cap = min(chunk_t, _input_tc(K, 0))
+    while chunk_t % cap:
+        cap -= 1
+    return cap
+
+
+def _chunk_emissions(bp_c, ck_c, W, K, chunk_t):
+    """Per-chunk token replay inputs from backpointer codes.
+
+    bp_c: (chunk_t, W, b_pad) codes; ck_c: (chunk_t, K, b_pad) top-K ids.
+    Returns (lane0 (b_pad, W) ancestor lane at chunk start for each
+    end-of-chunk beam lane, toks (b_pad, W, chunk_t) dense -1-padded tokens
+    emitted during the chunk, n_emit (b_pad, W)).
+    """
+    code = jnp.moveaxis(bp_c, 1, 2)  # (C, b_pad, W)
+    g = jnp.where(code < W, code, (code - W) // K)
+    # suffix lane-map compositions; lane occupied AFTER frame t by final
+    # beam w is s_comp[t+1][w] (identity at the last frame)
+    s_comp = jax.lax.associative_scan(_compose, g, reverse=True, axis=0)
+    b_pad = code.shape[1]
+    ident = jnp.broadcast_to(jnp.arange(W, dtype=code.dtype), (1, b_pad, W))
+    lane_after = jnp.concatenate([s_comp[1:], ident], axis=0)
+    lane0 = s_comp[0]  # (b_pad, W)
+
+    code_sel = jnp.take_along_axis(code, lane_after, axis=2)  # (C, b_pad, W)
+    emit = code_sel >= W
+    k_sel = jnp.where(emit, (code_sel - W) % K, 0)
+    ck_t = jnp.moveaxis(ck_c, 1, 2)  # (C, b_pad, K)
+    ch = jnp.take_along_axis(ck_t, k_sel, axis=2)  # (C, b_pad, W)
+
+    pos = jnp.cumsum(emit.astype(jnp.int32), axis=0) - 1
+    n_emit = pos[-1] + 1  # (b_pad, W)
+    idx = jnp.where(emit, pos, chunk_t)
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
+    w_idx = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 2)
+    toks = jnp.full((b_pad, W, chunk_t + 1), -1, jnp.int32)
+    toks = toks.at[b_idx, w_idx, idx].set(jnp.where(emit, ch, -1))
+    return lane0, toks[:, :, :chunk_t], n_emit
+
+
+@partial(
+    jax.jit,
+    static_argnames=("W", "K", "s_cap", "blank", "interpret", "chunk_t",
+                     "t_max", "n", "v", "lm", "lm_alpha", "lm_beta"),
+)
+def _beam_chunked_jit(log_probs, il, W, K, s_cap, blank, interpret, chunk_t,
+                      t_max, n, v, lm, lm_alpha, lm_beta):
+    from .topk_pallas import topk_pallas, topk_pallas_fits_vmem
+
+    # --- full-lattice top-K prep (identical routing to the no-LM kernel) --
+    if interpret or v <= 256 or not topk_pallas_fits_vmem(n, v):
+        lpk, ck = jax.lax.top_k(log_probs, K)
+    else:
+        lpk, ck = topk_pallas(log_probs, K)
+    ck = ck.astype(jnp.int32)
+    lpb = log_probs[:, :, blank]
+
+    b_pad = _pad_up(max(n, 1), _LANES)
+    t_pad = _pad_up(t_max, chunk_t)
+    n_chunks = t_pad // chunk_t
+    tc = _chunk_tc(chunk_t, K)
+
+    lpk_full = jnp.full((t_pad, K, b_pad), LOG0, jnp.float32)
+    lpk_full = lpk_full.at[:t_max, :, :n].set(jnp.moveaxis(lpk, 2, 1))
+    ck_full = jnp.full((t_pad, K, b_pad), -2, jnp.int32)
+    ck_full = ck_full.at[:t_max, :, :n].set(jnp.moveaxis(ck, 2, 1))
+    lpb_full = jnp.full((t_pad, 1, b_pad), LOG0, jnp.float32)
+    lpb_full = lpb_full.at[:t_max, 0, :n].set(lpb)
+    il_full = jnp.zeros((1, b_pad), jnp.int32).at[0, :n].set(il)
+
+    in_specs_shapes = [
+        ((tc, K, _LANES), lambda bt, i: (i, 0, bt)),
+        ((tc, K, _LANES), lambda bt, i: (i, 0, bt)),
+        ((tc, 1, _LANES), lambda bt, i: (i, 0, bt)),
+        ((1, _LANES), lambda bt, i: (0, bt)),
+    ]
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    in_specs = [pl.BlockSpec(s, m, memory_space=pltpu.VMEM)
+                for s, m in in_specs_shapes]
+
+    m_rows = W * b_pad  # LM-state row index = w * b_pad + b
+    state0 = beam_state_init(W, b_pad)
+    lm_state0 = lm.init_state(m_rows)
+
+    xs = (
+        lpk_full.reshape(n_chunks, chunk_t, K, b_pad),
+        ck_full.reshape(n_chunks, chunk_t, K, b_pad),
+        lpb_full.reshape(n_chunks, chunk_t, 1, b_pad),
+        jnp.arange(n_chunks, dtype=jnp.int32),
+    )
+
+    def body(carry, x):
+        kstate, lm_state = carry
+        lpk_c, ck_c, lpb_c, ci = x
+        il_c = il_full - ci * chunk_t
+        bp_c, _, _, kstate = _run_beam_kernel(
+            [lpk_c, ck_c, lpb_c, il_c], in_specs, chunk_t, tc, b_pad,
+            W, K, s_cap, blank, 0, interpret, state_in=kstate,
+        )
+        lane0, toks, n_emit = _chunk_emissions(bp_c, ck_c, W, K, chunk_t)
+        # re-home LM state: end-of-chunk lane w descends from lane0[b, w]
+        src = (lane0.T * b_pad
+               + jnp.arange(b_pad, dtype=jnp.int32)[None, :]).reshape(-1)
+        lm_state = jax.tree.map(lambda a: jnp.take(a, src, axis=0), lm_state)
+        toks_m = jnp.moveaxis(toks, 0, 1).reshape(m_rows, chunk_t)
+        delta, lm_state = lm.score_chunk(lm_state, toks_m)
+        bonus = (lm_alpha * delta.reshape(W, b_pad)
+                 + lm_beta * jnp.moveaxis(n_emit, 0, 1).astype(jnp.float32))
+        kstate = kstate[:8] + (kstate[8] + bonus,)
+        return (kstate, lm_state), bp_c
+
+    (kstate, lm_state), bp = jax.lax.scan(body, (state0, lm_state0), xs)
+    bp = bp.reshape(t_pad, W, b_pad)
+    pb, pnb, lm_bonus = kstate[0], kstate[1], kstate[8]
+    scores = logaddexp2(pb, pnb) + lm_bonus
+    scores = scores + lm_alpha * lm.final(lm_state).reshape(W, b_pad)
+    return _backtrace(bp, ck, scores, W, K, s_cap, t_max, n)
+
+
+def beam_search_chunked_lm(log_probs, input_lengths=None, beam_width: int = 8,
+                           blank: int = 0, prune_k: int | None = None,
+                           max_symbols: int | None = None, lm=None,
+                           lm_alpha: float = 0.0, lm_beta: float = 0.0,
+                           chunk_t: int = 128, interpret=None,
+                           return_timestamps: bool = False):
+    """Kernel-speed beam search with chunk-granular LM steering.
+
+    Same returns as `beam_search_decode`; `lm` must implement the
+    `score_chunk` protocol (all lm.py classes do).  `chunk_t` trades
+    steering granularity against speed (see module docstring); the default
+    128 re-ranks the beams every 128 frames.
+    """
+    if lm is None:
+        raise ValueError("beam_search_chunked_lm requires an lm; use "
+                         "beam_search_pallas for no-LM decoding")
+    if not hasattr(lm, "score_chunk"):
+        raise ValueError(f"{type(lm).__name__} does not implement "
+                         "score_chunk")
+    log_probs = jnp.asarray(log_probs, jnp.float32)
+    t_max, n, v = log_probs.shape
+    if input_lengths is None:
+        input_lengths = np.full((n,), t_max, np.int32)
+    W = int(beam_width)
+    K = min(int(prune_k or v), v)
+    s_cap = int(max_symbols or min(t_max, 512))
+    chunk_t = int(min(chunk_t, _pad_up(t_max, 8)))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = _beam_chunked_jit(
+        log_probs, jnp.asarray(input_lengths, jnp.int32), W, K, s_cap,
+        int(blank), bool(interpret), chunk_t, t_max, n, v, lm,
+        float(lm_alpha), float(lm_beta),
+    )
+    return out if return_timestamps else out[:3]

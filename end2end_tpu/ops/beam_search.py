@@ -325,6 +325,7 @@ def beam_search_decode(
     lm_beta: float = 0.0,
     approx_topk: bool = False,
     implementation: str = "auto",
+    lm_chunk_t: int = 128,
     return_timestamps: bool = False,
 ):
     """Batched CTC prefix beam search.
@@ -344,8 +345,17 @@ def beam_search_decode(
         replacement for the reference's KenLM hook (SURVEY.md §3.1 N6).
       approx_topk: use the TPU-native approximate top-k for the per-frame
         vocabulary prune (faster on large V; the prune is heuristic anyway).
-      implementation: 'auto' (Pallas kernel on TPU when it applies, else the
-        XLA scan), 'pallas' (force; raises if unsupported), or 'xla'.
+      implementation: 'auto' (Pallas kernel on TPU when it applies — with a
+        word-level / hashed n-gram LM this is the CHUNKED kernel path, see
+        below — else the XLA scan), 'pallas' (force the fused kernel;
+        raises if unsupported), 'chunked' (force the chunked-LM kernel
+        path), or 'xla' (the scan: exact per-frame LM fusion, any config).
+      lm_chunk_t: steering granularity of the chunked LM path (frames per
+        kernel chunk; the LM re-ranks beams at each boundary).  Chunked
+        semantics (ops/beam_chunked.py): every hypothesis's score is exact,
+        but the LM influences pruning once per chunk instead of per frame —
+        use implementation='xla' when exact per-frame fusion matters more
+        than the ~order-of-magnitude speed difference.
       return_timestamps: also return per-token EMISSION FRAME indices —
         the frame at which each symbol joined the (surviving construction
         of the) prefix; the beam analog of greedy_decode_with_timestamps.
@@ -372,7 +382,7 @@ def beam_search_decode(
     prune_k = min(prune_k, v)
     if max_symbols is None:
         max_symbols = min(t_max, 512)
-    if implementation not in ("auto", "pallas", "xla"):
+    if implementation not in ("auto", "pallas", "chunked", "xla"):
         raise ValueError(f"invalid implementation {implementation!r}")
     if implementation != "xla":
         from .beam_search_pallas import beam_pallas_supported, beam_search_pallas
@@ -382,7 +392,8 @@ def beam_search_decode(
         on_tpu = jax.default_backend() == "tpu"
         if implementation == "pallas" and not ok:
             raise ValueError(f"implementation='pallas' unsupported: {reason}")
-        if ok and (on_tpu or implementation == "pallas"):
+        if implementation != "chunked" and ok and (
+                on_tpu or implementation == "pallas"):
             return beam_search_pallas(
                 log_probs, input_lengths, beam_width=beam_width, blank=blank,
                 prune_k=prune_k, max_symbols=max_symbols,
@@ -390,6 +401,30 @@ def beam_search_decode(
                 lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta,
                 return_timestamps=return_timestamps,
             )
+        # LM configs the fused kernel can't take (word-level / hashed /
+        # large-vocab LMs): the chunked kernel path, when the ACOUSTIC
+        # config is kernel-supported and the LM can chunk-score.
+        if lm is not None and hasattr(lm, "score_chunk"):
+            ok_nolm, _ = beam_pallas_supported(
+                t_max, v, beam_width, prune_k, lm=None,
+                dtype=log_probs.dtype)
+            if implementation == "chunked" and not ok_nolm:
+                raise ValueError(
+                    "implementation='chunked' unsupported: acoustic config "
+                    "outside the pallas kernel envelope")
+            if ok_nolm and (on_tpu or implementation == "chunked"):
+                from .beam_chunked import beam_search_chunked_lm
+
+                return beam_search_chunked_lm(
+                    log_probs, input_lengths, beam_width=beam_width,
+                    blank=blank, prune_k=prune_k, max_symbols=max_symbols,
+                    lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta,
+                    chunk_t=lm_chunk_t,
+                    return_timestamps=return_timestamps,
+                )
+        elif implementation == "chunked":
+            raise ValueError(
+                "implementation='chunked' requires an lm with score_chunk")
         if implementation == "auto" and on_tpu and not ok:
             import logging
 
@@ -427,6 +462,7 @@ class BeamSearchCTCDecoder:
         lm_alpha: float = 0.0,
         lm_beta: float = 0.0,
         implementation: str = "auto",
+        lm_chunk_t: int = 128,
     ):
         self.beam_width = beam_width
         self.blank = blank
@@ -437,6 +473,7 @@ class BeamSearchCTCDecoder:
         self.lm_alpha = lm_alpha
         self.lm_beta = lm_beta
         self.implementation = implementation
+        self.lm_chunk_t = lm_chunk_t
 
     def _to_text(self, ids):
         return "".join(self.labels[c] for c in ids) if self.labels else ids
@@ -459,6 +496,7 @@ class BeamSearchCTCDecoder:
                 lm_alpha=self.lm_alpha,
                 lm_beta=self.lm_beta,
                 implementation=self.implementation,
+                lm_chunk_t=self.lm_chunk_t,
                 return_timestamps=return_timestamps,
             )
         )

