@@ -220,11 +220,7 @@ class _WordHash:
 
     def __init__(self, word_spellings, miss_value):
         self.miss = int(miss_value)
-        m = 1
-        while m < 4 * max(len(word_spellings), 1):
-            m *= 2
-        keys = np.zeros((m,), np.uint32)
-        vals = np.full((m,), self.miss, np.int32)
+        hashes = []
         with np.errstate(over="ignore"):
             for wid, spell in enumerate(word_spellings):
                 h = self._SEED
@@ -232,6 +228,15 @@ class _WordHash:
                     h = h * self._MULT + np.uint32(int(c) + 1)
                 if h == 0:
                     raise ValueError("degenerate word hash")
+                hashes.append(h)
+        m = 1
+        while m < 4 * max(len(word_spellings), 1):
+            m *= 2
+        while True:  # overfull probe window: grow and rebuild
+            keys = np.zeros((m,), np.uint32)
+            vals = np.full((m,), self.miss, np.int32)
+            ok = True
+            for wid, h in enumerate(hashes):
                 idx = int(h) & (m - 1)
                 for p in range(self._PROBES):
                     j = (idx + p) & (m - 1)
@@ -242,7 +247,11 @@ class _WordHash:
                     if keys[j] == h:
                         raise ValueError(f"word hash collision for word {wid}")
                 else:
-                    raise ValueError("hash table overfull; increase size")
+                    ok = False
+                    break
+            if ok:
+                break
+            m *= 2
         self._m = m
         self._keys = jnp.asarray(keys)
         self._vals = jnp.asarray(vals)
