@@ -40,10 +40,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .semiring import LOG0, LOG0_THRESHOLD, logaddexp2
+from .indexing import compact_rows, flat_take, ladder_take
 from .beam_search_pallas import (
     _LANES,
     _backtrace,
-    _compose,
     _input_tc,
     _pad_up,
     _run_beam_kernel,
@@ -60,38 +60,41 @@ def _chunk_tc(chunk_t, K):
     return cap
 
 
+def _compose_ladder(a, b):
+    """Lane-map composition fn(a, b)[w] = b[a[w]] as a compare-select
+    ladder over the small static trailing beam dim (take_along_axis on a
+    trailing lane axis is ~30x slower on TPU — see ops/indexing.py)."""
+    return ladder_take(b, a)
+
+
 def _chunk_emissions(bp_c, ck_c, W, K, chunk_t):
     """Per-chunk token replay inputs from backpointer codes.
 
     bp_c: (chunk_t, W, b_pad) codes; ck_c: (chunk_t, K, b_pad) top-K ids.
     Returns (lane0 (b_pad, W) ancestor lane at chunk start for each
-    end-of-chunk beam lane, toks (b_pad, W, chunk_t) dense -1-padded tokens
-    emitted during the chunk, n_emit (b_pad, W)).
+    end-of-chunk beam lane, toks (b_pad, W, chunk_t) FRAME-ALIGNED emitted
+    tokens (-1 at non-emitting frames), n_emit (b_pad, W)).
     """
     code = jnp.moveaxis(bp_c, 1, 2)  # (C, b_pad, W)
     g = jnp.where(code < W, code, (code - W) // K)
     # suffix lane-map compositions; lane occupied AFTER frame t by final
     # beam w is s_comp[t+1][w] (identity at the last frame)
-    s_comp = jax.lax.associative_scan(_compose, g, reverse=True, axis=0)
+    s_comp = jax.lax.associative_scan(_compose_ladder, g, reverse=True,
+                                      axis=0)
     b_pad = code.shape[1]
     ident = jnp.broadcast_to(jnp.arange(W, dtype=code.dtype), (1, b_pad, W))
     lane_after = jnp.concatenate([s_comp[1:], ident], axis=0)
     lane0 = s_comp[0]  # (b_pad, W)
 
-    code_sel = jnp.take_along_axis(code, lane_after, axis=2)  # (C, b_pad, W)
+    code_sel = ladder_take(code, lane_after)  # (C, b_pad, W)
     emit = code_sel >= W
     k_sel = jnp.where(emit, (code_sel - W) % K, 0)
     ck_t = jnp.moveaxis(ck_c, 1, 2)  # (C, b_pad, K)
-    ch = jnp.take_along_axis(ck_t, k_sel, axis=2)  # (C, b_pad, W)
+    ch = flat_take(ck_t, k_sel)  # (C, b_pad, W)
 
-    pos = jnp.cumsum(emit.astype(jnp.int32), axis=0) - 1
-    n_emit = pos[-1] + 1  # (b_pad, W)
-    idx = jnp.where(emit, pos, chunk_t)
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
-    w_idx = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 2)
-    toks = jnp.full((b_pad, W, chunk_t + 1), -1, jnp.int32)
-    toks = toks.at[b_idx, w_idx, idx].set(jnp.where(emit, ch, -1))
-    return lane0, toks[:, :, :chunk_t], n_emit
+    n_emit = jnp.sum(emit.astype(jnp.int32), axis=0)  # (b_pad, W)
+    toks = jnp.moveaxis(jnp.where(emit, ch, -1), 0, 2)  # (b_pad, W, C)
+    return lane0, toks, n_emit
 
 
 @partial(
@@ -156,11 +159,22 @@ def _beam_chunked_jit(log_probs, il, W, K, s_cap, blank, interpret, chunk_t,
             W, K, s_cap, blank, 0, interpret, state_in=kstate,
         )
         lane0, toks, n_emit = _chunk_emissions(bp_c, ck_c, W, K, chunk_t)
-        # re-home LM state: end-of-chunk lane w descends from lane0[b, w]
-        src = (lane0.T * b_pad
-               + jnp.arange(b_pad, dtype=jnp.int32)[None, :]).reshape(-1)
-        lm_state = jax.tree.map(lambda a: jnp.take(a, src, axis=0), lm_state)
-        toks_m = jnp.moveaxis(toks, 0, 1).reshape(m_rows, chunk_t)
+        # re-home LM state: end-of-chunk lane w descends from lane0[b, w].
+        # The permutation is within each batch column over the W beam rows,
+        # so it is a W-way select ladder, not a row gather.
+        src = lane0.T  # (W, b_pad)
+
+        def rehome(a):
+            aw = a.reshape((W, b_pad) + a.shape[1:])
+            idx = src.reshape((W, b_pad) + (1,) * (a.ndim - 1))
+            out = jnp.zeros_like(aw)
+            for x in range(W):
+                out = jnp.where(idx == x, aw[x][None], out)
+            return out.reshape(a.shape)
+
+        lm_state = jax.tree.map(rehome, lm_state)
+        toks_m = compact_rows(
+            jnp.moveaxis(toks, 0, 1).reshape(m_rows, chunk_t))
         delta, lm_state = lm.score_chunk(lm_state, toks_m)
         bonus = (lm_alpha * delta.reshape(W, b_pad)
                  + lm_beta * jnp.moveaxis(n_emit, 0, 1).astype(jnp.float32))

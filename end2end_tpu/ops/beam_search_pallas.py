@@ -380,9 +380,13 @@ def _compose(a, b):
     leftmost (r_t = fn(...fn(x_{T-1}, x_{T-2})..., x_t), verified
     empirically), so fn must apply its left argument FIRST for the suffix
     product to come out as g_t ∘ g_{t+1} ∘ ... ∘ g_{T-1}:
-    fn(a, b)[w] = b[a[w]].
+    fn(a, b)[w] = b[a[w]].  Compare-select ladder over the static beam dim
+    (take_along_axis on a trailing axis is ~30x slower on TPU — see
+    ops/indexing.py).
     """
-    return jnp.take_along_axis(b, a, axis=-1)
+    from .indexing import ladder_take
+
+    return ladder_take(b, a)
 
 
 def _backtrace(bp, ck, scores, W, K, s_cap, t_max, n):
@@ -391,6 +395,8 @@ def _backtrace(bp, ck, scores, W, K, s_cap, t_max, n):
 
     bp: (t_pad, W, b_pad) codes; ck: (T, N, K) top-K ids; scores: (W, b_pad).
     """
+    from .indexing import flat_take, ladder_take
+
     code = jnp.moveaxis(bp[:t_max, :, :n], 1, 2)  # (T, N, W)
     # parent lane chosen at frame t for each (post-t) beam lane
     g = jnp.where(code < W, code, (code - W) // K)  # (T, N, W)
@@ -403,10 +409,10 @@ def _backtrace(bp, ck, scores, W, K, s_cap, t_max, n):
     )
     lane_after = jnp.concatenate([s_comp[1:], ident], axis=0)  # (T, N, W)
 
-    code_sel = jnp.take_along_axis(code, lane_after, axis=2)  # (T, N, W)
+    code_sel = ladder_take(code, lane_after)  # (T, N, W)
     emit = code_sel >= W
     k_sel = jnp.where(emit, (code_sel - W) % K, 0)
-    ch = jnp.take_along_axis(ck, k_sel, axis=2)  # (T, N, W)
+    ch = flat_take(ck, k_sel)  # (T, N, W)
     pos = jnp.cumsum(emit.astype(jnp.int32), axis=0) - 1
     lens = jnp.minimum(pos[-1] + 1, s_cap)  # (N, W); kernel caps emits
     idx = jnp.where(emit, jnp.minimum(pos, s_cap - 1), s_cap)

@@ -86,15 +86,19 @@ def _chunk_words(toks, space_id, curh, curlen, mult, seed):
     seg0 = last_sp_excl < 0  # position belongs to the carried-word segment
 
     cc = jnp.cumsum(char.astype(jnp.int32), axis=1)  # chars so far (incl.)
+    # "value at the previous space" reads: ONE flat gather each (a
+    # take_along_axis here is ~30x slower on TPU — ops/indexing.py)
+    from .indexing import compact_rows, flat_take, take1d
+
     gather_at = lambda arr, idx: jnp.where(
-        idx >= 0, jnp.take_along_axis(arr, jnp.maximum(idx, 0), axis=1),
+        idx >= 0, flat_take(arr, jnp.maximum(idx, 0)),
         jnp.zeros_like(arr[:, :1]))
     cc_prev_sp = gather_at(cc, last_sp_excl)
     within = cc - 1 - cc_prev_sp  # char's 0-based index within its segment
 
     # position-weighted terms u_j = (tok+1) * inv_m^(within+1)
-    u = (toks.astype(jnp.uint32) + 1) * inv_m[
-        jnp.clip(within + 1, 0, c).astype(jnp.int32)]
+    u = (toks.astype(jnp.uint32) + 1) * take1d(
+        inv_m, jnp.clip(within + 1, 0, c).astype(jnp.int32))
     cs = jnp.cumsum(jnp.where(char, u, jnp.uint32(0)), axis=1)
     cs_prev_sp = gather_at(cs, last_sp_excl)
 
@@ -104,16 +108,13 @@ def _chunk_words(toks, space_id, curh, curlen, mult, seed):
     is_word = space & (tot_len > 0)
     base = jnp.where(seg0, curh[:, None], jnp.uint32(seed))
     u_sum = cs - cs_prev_sp
-    whash_at = pow_m[jnp.clip(seg_len, 0, c).astype(jnp.int32)] * (
+    whash_at = take1d(pow_m, jnp.clip(seg_len, 0, c).astype(jnp.int32)) * (
         base + u_sum)
 
-    # compact completed words left-justified (cumsum scatter)
-    widx = jnp.cumsum(is_word.astype(jnp.int32), axis=1) - 1
-    n_words = jnp.where(is_word, widx + 1, 0).max(axis=1)
-    dst = jnp.where(is_word, widx, w_max)
-    rows = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None], (m, c))
-    whash = jnp.zeros((m, w_max + 1), jnp.uint32).at[rows, dst].set(
-        whash_at, mode="drop")[:, :w_max]
+    # compact completed words left-justified (one stable sort, no scatter)
+    n_words = jnp.sum(is_word.astype(jnp.int32), axis=1)
+    whash = compact_rows(jnp.where(is_word, whash_at, 0),
+                         fill=np.uint32(0), valid=is_word)[:, :w_max]
     wvalid = jnp.arange(w_max, dtype=jnp.int32)[None] < n_words[:, None]
 
     # trailing partial word -> new carry
@@ -125,7 +126,7 @@ def _chunk_words(toks, space_id, curh, curlen, mult, seed):
                       jnp.uint32(0))
     tl_chars = cc_end - cc_sp
     base_tr = jnp.where(any_sp, jnp.uint32(seed), curh)
-    new_curh = pow_m[jnp.clip(tl_chars, 0, c).astype(jnp.int32)] * (
+    new_curh = take1d(pow_m, jnp.clip(tl_chars, 0, c).astype(jnp.int32)) * (
         base_tr + (cs_end - cs_sp))
     new_curlen = tl_chars + jnp.where(any_sp, 0, curlen)
     return dict(whash=whash, wvalid=wvalid, n_words=n_words,
@@ -183,15 +184,18 @@ class NGramLM:
         (beam_chunked.py): toks (M, C) int32 in emission order, -1 padded
         at the END.  Returns (sum of log p_LM over the chunk (M,), advanced
         state); exactly equals folding score()/select() token by token."""
+        from .indexing import flat_take
+
         m, c = toks.shape
         valid = toks >= 0
         prev = jnp.concatenate([state[:, None], toks[:, :-1]], axis=1)
         ctx = jnp.where(prev < 0, self._v, prev)
-        lp = self._table[ctx, jnp.clip(toks, 0, self._v - 1)]  # (M, C)
+        # table[ctx, tok] as one flat 1-D gather (fast TPU form)
+        lp = self._table.reshape(-1)[
+            ctx * self._v + jnp.clip(toks, 0, self._v - 1)]  # (M, C)
         lp_sum = jnp.sum(jnp.where(valid, lp, 0.0), axis=1)
         n_valid = valid.sum(axis=1)
-        last_tok = jnp.take_along_axis(
-            toks, jnp.maximum(n_valid - 1, 0)[:, None], axis=1)[:, 0]
+        last_tok = flat_take(toks, jnp.maximum(n_valid - 1, 0)[:, None])[:, 0]
         return lp_sum, jnp.where(n_valid > 0, last_tok, state)
 
 
@@ -253,18 +257,27 @@ class _WordHash:
                 break
             m *= 2
         self._m = m
-        self._keys = jnp.asarray(keys)
-        self._vals = jnp.asarray(vals)
+        # Packed (m, 2) float32 rows [key bits, word id]: ONE f32 row
+        # gather per probe instead of two integer gathers — integer
+        # gathers take a ~30x slower TPU path (ops/indexing.py), and word
+        # ids are exact in f32 (< 2^24).
+        packed = np.empty((m, 2), np.float32)
+        packed[:, 0] = keys.view(np.float32)
+        packed[:, 1] = vals.astype(np.float32)
+        self._packed = jnp.asarray(packed)
 
     def lookup(self, h):
         """uint32 spell-hashes (any shape) -> word ids (miss_value on miss)."""
+        import jax
+
         idx0 = (h & jnp.uint32(self._m - 1)).astype(jnp.int32)
         wid = jnp.full(h.shape, self.miss, jnp.int32)
         found = jnp.zeros(h.shape, bool)
         for p in range(self._PROBES):
-            j = (idx0 + p) % self._m
-            hit = (self._keys[j] == h) & ~found
-            wid = jnp.where(hit, self._vals[j], wid)
+            row = self._packed[(idx0 + p) % self._m]  # (..., 2) f32
+            key = jax.lax.bitcast_convert_type(row[..., 0], jnp.uint32)
+            hit = (key == h) & ~found
+            wid = jnp.where(hit, row[..., 1].astype(jnp.int32), wid)
             found = found | hit
         return wid
 
@@ -392,14 +405,16 @@ class WordNGramLM:
         prev, curh, curlen = state
         seg = _chunk_words(toks, self._space, curh, curlen,
                            self._MULT, self._SEED)
+        from .indexing import flat_take
+
         wid = self._wh.lookup(seg["whash"])  # (M, Wmax); miss -> _unk
         ctx = jnp.concatenate([prev[:, None], wid[:, :-1]], axis=1)
-        lp = self._table[ctx, jnp.minimum(wid, self._wv)]
+        ncol = self._wv + 1
+        lp = self._table.reshape(-1)[ctx * ncol + jnp.minimum(wid, self._wv)]
         lp = jnp.where(wid == self._unk, self._unk_logp, lp)
         lp_sum = jnp.sum(jnp.where(seg["wvalid"], lp, 0.0), axis=1)
         n_words = seg["n_words"]
-        last_wid = jnp.take_along_axis(
-            wid, jnp.maximum(n_words - 1, 0)[:, None], axis=1)[:, 0]
+        last_wid = flat_take(wid, jnp.maximum(n_words - 1, 0)[:, None])[:, 0]
         new_prev = jnp.where(n_words > 0, last_wid, prev).astype(jnp.int32)
         return lp_sum, (new_prev, seg["new_curh"], seg["new_curlen"])
 
@@ -432,7 +447,7 @@ class _HashedNGramTables:
             unk_logp if unk_logp is not None
             else (ngrams.get("unk") if ngrams.get("unk") is not None else -23.0)
         )
-        self._keys, self._occ, self._lps, self._bos, self._ms = [], [], [], [], []
+        self._packed, self._ms = [], []
         for k in range(1, self.order + 1):
             entries = ngrams.get(k, [])
             m = 8
@@ -467,10 +482,15 @@ class _HashedNGramTables:
                     break
                 m *= 2  # overfull probe window: grow and rebuild
             self._ms.append(m)
-            self._keys.append(jnp.asarray(keys))
-            self._occ.append(jnp.asarray(occ))
-            self._lps.append(jnp.asarray(lps))
-            self._bos.append(jnp.asarray(bos))
+            # Packed (m, 4) f32 rows [key bits, occupied, logp, backoff]:
+            # one f32 row gather per probe (integer/bool gathers are ~30x
+            # slower on TPU — ops/indexing.py).
+            packed = np.empty((m, 4), np.float32)
+            packed[:, 0] = keys.view(np.float32)
+            packed[:, 1] = occ.astype(np.float32)
+            packed[:, 2] = lps
+            packed[:, 3] = bos
+            self._packed.append(jnp.asarray(packed))
 
     @classmethod
     def _fold_np(cls, ids):
@@ -489,18 +509,20 @@ class _HashedNGramTables:
     def _lookup(self, k, h1, h2):
         """k-gram lookup (1-based order).  h1/h2: raw uint32 fold hashes
         (any shape).  Returns (logp, backoff, hit)."""
+        import jax
+
         m = self._ms[k - 1]
-        keys, occ = self._keys[k - 1], self._occ[k - 1]
-        lps, bos = self._lps[k - 1], self._bos[k - 1]
+        packed = self._packed[k - 1]
         idx0 = (h1 & jnp.uint32(m - 1)).astype(jnp.int32)
         lp = jnp.zeros(h1.shape, jnp.float32)
         bo = jnp.zeros(h1.shape, jnp.float32)
         hit = jnp.zeros(h1.shape, bool)
         for p in range(self._PROBES):
-            j = (idx0 + p) % m
-            h = occ[j] & (keys[j] == h2) & ~hit
-            lp = jnp.where(h, lps[j], lp)
-            bo = jnp.where(h, bos[j], bo)
+            row = packed[(idx0 + p) % m]  # (..., 4) f32
+            key = jax.lax.bitcast_convert_type(row[..., 0], jnp.uint32)
+            h = (row[..., 1] > 0.5) & (key == h2) & ~hit
+            lp = jnp.where(h, row[..., 2], lp)
+            bo = jnp.where(h, row[..., 3], bo)
             hit = hit | h
         return lp, bo, hit
 
@@ -622,11 +644,13 @@ class HashedNGramLM:
         full = jnp.concatenate([state, toks], axis=1)  # (M, n_ctx + C)
         win = jnp.stack([full[:, j:j + c] for j in range(n_ctx)],
                         axis=-1)  # (M, C, n_ctx): history of position j
+        from .indexing import flat_take
+
         lp = self._t.score(win, toks)  # (M, C); invalid positions masked
         lp_sum = jnp.sum(jnp.where(valid, lp, 0.0), axis=1)
         n_valid = valid.sum(axis=1)
         idx = n_valid[:, None] + jnp.arange(n_ctx, dtype=jnp.int32)[None]
-        return lp_sum, jnp.take_along_axis(full, idx, axis=1)
+        return lp_sum, flat_take(full, idx)
 
 
 class HashedWordNGramLM:
@@ -747,9 +771,11 @@ class HashedWordNGramLM:
         full = jnp.concatenate([win, wid], axis=1)
         wwin = jnp.stack([full[:, j:j + w_max] for j in range(n_ctx)],
                          axis=-1)  # (M, Wmax, n_ctx)
+        from .indexing import flat_take
+
         lp = self._t.score(wwin, wid)
         lp_sum = jnp.sum(jnp.where(seg["wvalid"], lp, 0.0), axis=1)
         idx = seg["n_words"][:, None] + jnp.arange(n_ctx,
                                                    dtype=jnp.int32)[None]
-        new_win = jnp.take_along_axis(full, idx, axis=1)
+        new_win = flat_take(full, idx)
         return lp_sum, (new_win, seg["new_curh"], seg["new_curlen"])

@@ -27,11 +27,16 @@ import jax
 # env-ordering pitfall in CLAUDE.md), making the guard a no-op and silently
 # hogging the single-client TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)  # for the time-parallel rounds
 
 import torch
 
-from end2end_tpu import beam_search_decode, ctc_loss
-from end2end_tpu.ops.lm import NGramLM
+from end2end_tpu import beam_search_decode, ctc_loss, rescore_nbest
+from end2end_tpu.ops.beam_chunked import beam_search_chunked_lm
+from end2end_tpu.ops.beam_search_pallas import beam_search_pallas
+from end2end_tpu.ops.lm import (
+    HashedNGramLM, NGramLM, WordNGramLM, bigram_from_counts,
+)
 from end2end_tpu.utils.reference_impl import beam_search_decode_ref
 
 ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
@@ -155,16 +160,160 @@ def lm_round(rng, i):
                                        rtol=2e-3, err_msg=str((cfg, b)))
 
 
+def _random_lm(rng, V):
+    """A random LM of a random kind (token bigram / hashed token trigram /
+    dense word bigram)."""
+    kind = int(rng.integers(3))
+    if kind == 0:
+        return NGramLM(bigram_from_counts(rng.integers(0, 20, (V, V))),
+                       start_logp=rng.standard_normal(V).astype(np.float32),
+                       eos_logp=rng.standard_normal(V).astype(np.float32))
+    if kind == 1:
+        ngrams = {1: [], 2: [], 3: [], "unk": float(rng.uniform(-9, -4))}
+        for a in range(V):
+            ngrams[1].append(((a,), float(rng.uniform(-4, -1)),
+                              float(rng.uniform(-1, 0))))
+        seen = set()
+        for _ in range(3 * V * V):
+            o = int(rng.integers(2, 4))
+            g = tuple(int(x) for x in rng.integers(0, V + 2, o))
+            if g not in seen:
+                seen.add(g)
+                ngrams[o].append((g, float(rng.uniform(-3, -0.3)),
+                                  float(rng.uniform(-1, 0))))
+        return HashedNGramLM(3, ngrams, V)
+    words, space = [], V - 1
+    seen = set()
+    for _ in range(int(rng.integers(2, 7))):
+        w = tuple(int(x) for x in
+                  rng.integers(1, max(space, 2), int(rng.integers(1, 4))))
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    wv = len(words)
+    return WordNGramLM(
+        words, np.log(np.maximum(rng.random((wv, wv)), 1e-3)).astype(
+            np.float32),
+        rng.standard_normal(wv).astype(np.float32), space,
+        unk_logp=float(rng.uniform(-9, -3)))
+
+
+def chunked_round(rng, i):
+    """Single-chunk chunked-LM decode == no-LM kernel decode + exact
+    rescoring (the chunked path's exact limit, ops/beam_chunked.py), for a
+    random LM kind, random shapes, random alpha/beta."""
+    B = int(rng.integers(1, 4))
+    T = int(rng.integers(4, 16))
+    V = int(rng.integers(4, 9))
+    W = int(rng.integers(2, 9))
+    lm = _random_lm(rng, V)
+    alpha = float(rng.uniform(0.1, 1.6))
+    beta = float(rng.uniform(-0.5, 0.7))
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = rng.integers(1, T + 1, B).astype(np.int32)
+    cfg = (i, B, T, V, W, type(lm).__name__)
+    ct, cl, cs = [np.asarray(a) for a in beam_search_chunked_lm(
+        lp, il, beam_width=W, lm=lm, lm_alpha=alpha, lm_beta=beta,
+        chunk_t=T + 8)]
+    nt, nl, ns = beam_search_pallas(lp, il, beam_width=W)
+    rt, rl, rs = [np.asarray(a) for a in rescore_nbest(
+        nt, nl, ns, lm, lm_alpha=alpha, lm_beta=beta)]
+    for b in range(B):
+        got = {tuple(ct[b, w, : cl[b, w]].tolist()): cs[b, w]
+               for w in range(W) if np.isfinite(cs[b, w])}
+        want = {tuple(rt[b, w, : rl[b, w]].tolist()): rs[b, w]
+                for w in range(W) if np.isfinite(rs[b, w])}
+        assert set(got) == set(want), (cfg, b, set(got) ^ set(want))
+        for pref in want:
+            np.testing.assert_allclose(got[pref], want[pref], atol=2e-3,
+                                       rtol=2e-3, err_msg=str((cfg, b)))
+
+
+def prune_round(rng, i):
+    """Kernel-pruned decode == the XLA scan's candidate-only mode at the
+    same prune_k (identical documented semantics incl. the stay-term
+    prune) — the differential form of the repeat-prune contract."""
+    import jax.numpy as jnp
+
+    from end2end_tpu.ops.beam_search import beam_search_from_topk
+
+    B = int(rng.integers(1, 4))
+    T = int(rng.integers(4, 18))
+    V = int(rng.integers(6, 14))
+    W = int(rng.integers(2, 8))
+    K = int(rng.integers(2, V))
+    blank = 0
+    lp = lsm(rng.standard_normal((T, B, V)) *
+             float(rng.uniform(0.5, 2.5))).astype(np.float32)
+    il = rng.integers(1, T + 1, B).astype(np.int32)
+    cfg = (i, B, T, V, W, K)
+    pt, pl_, ps = [np.asarray(a) for a in beam_search_pallas(
+        lp, il, beam_width=W, prune_k=K)]
+    lpk, ck = jax.lax.top_k(jnp.asarray(lp), K)
+    xt, xl, xs = [np.asarray(a) for a in beam_search_from_topk(
+        lpk, ck, jnp.asarray(lp)[:, :, blank], il, beam_width=W,
+        blank=blank, max_symbols=min(T, 512))]
+    for b in range(B):
+        got = {tuple(pt[b, w, : pl_[b, w]].tolist()): ps[b, w]
+               for w in range(W) if np.isfinite(ps[b, w])}
+        want = {tuple(xt[b, w, : xl[b, w]].tolist()): xs[b, w]
+                for w in range(W) if np.isfinite(xs[b, w])}
+        assert set(got) == set(want), (cfg, b, set(got) ^ set(want))
+        for pref in want:
+            np.testing.assert_allclose(got[pref], want[pref], atol=2e-3,
+                                       rtol=2e-3, err_msg=str((cfg, b)))
+
+
+def time_parallel_round(rng, i):
+    """Time-sharded (SP) fused gradient == sequential custom-VJP gradient
+    on the virtual 8-device mesh, random shapes/lengths."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from end2end_tpu.ops.ctc_loss_xla import ctc_nll_xla
+    from end2end_tpu.parallel.time_parallel import ctc_nll_time_parallel
+
+    B = int(rng.integers(1, 4))
+    T = int(rng.integers(3, 13)) * 8  # multiple of the mesh size
+    S = int(rng.integers(1, 7))
+    V = int(rng.integers(4, 16))
+    lp = lsm(rng.standard_normal((T, B, V)) * 2).astype(np.float32)
+    tgt = rng.integers(1, V, (B, S)).astype(np.int32)
+    il = rng.integers(max(T // 2, 1), T + 1, B).astype(np.int32)
+    tl = np.minimum(rng.integers(1, S + 1, B),
+                    np.maximum(il // 3, 1)).astype(np.int32)
+    cfg = (i, B, T, S, V)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("time",))
+    w = rng.standard_normal(B).astype(np.float32)
+
+    def tp_loss(x):
+        return jnp.sum(
+            ctc_nll_time_parallel(x, tgt, il, tl, mesh=mesh) * w)
+
+    def seq_loss(x):
+        return jnp.sum(ctc_nll_xla(x, tgt, il, tl, 0) * w)
+
+    g_tp = np.asarray(jax.jit(jax.grad(tp_loss))(jnp.asarray(lp)))
+    g_seq = np.asarray(jax.jit(jax.grad(seq_loss))(jnp.asarray(lp)))
+    np.testing.assert_allclose(g_tp, g_seq, rtol=2e-3, atol=5e-4,
+                               err_msg=str(cfg))
+
+
 def main():
     rng = np.random.default_rng(SEED)
     for i in range(ROUNDS):
         loss_round(rng, i)
         beam_round(rng, i)
         lm_round(rng, i)
+        chunked_round(rng, i)
+        prune_round(rng, i)
+        if i % 5 == 0:  # costlier (mesh compiles); every 5th round
+            time_parallel_round(rng, i)
         if (i + 1) % 25 == 0:
             print(f"{i + 1}/{ROUNDS} rounds clean", flush=True)
     print(f"PASS: {ROUNDS} rounds x (loss-vs-torch + 3-way beam + LM "
-          "pallas==xla) all clean", flush=True)
+          "pallas==xla + chunked==rescore + prune-parity "
+          "+ time-parallel grad) all clean", flush=True)
 
 
 if __name__ == "__main__":
