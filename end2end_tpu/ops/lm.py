@@ -44,6 +44,33 @@ def _pow_table(base, n):
     return jnp.asarray(out)
 
 
+def _pow_bits(exp, base, n_max):
+    """base^exp (mod 2^32) for int32 exp in [0, n_max] — square-and-multiply
+    with per-bit selects.  Elementwise VPU work; a table GATHER here costs
+    ~1 ms per 131k elements on TPU (ops/indexing.py), the selects ~30 us."""
+    x = jnp.full(exp.shape, 1, jnp.uint32)
+    sq = np.uint32(base)
+    with np.errstate(over="ignore"):
+        for i in range(max(int(n_max).bit_length(), 1)):
+            x = jnp.where((exp >> i) & 1 == 1, x * sq, x)
+            sq = np.uint32(sq * sq)
+    return x
+
+
+def _at_last_flag(flag, vals):
+    """Per position j (inclusive): each val's value at the most recent
+    flagged position <= j (0 where none yet), plus the seen-flag — ONE
+    elementwise associative scan instead of cummax + per-row gathers."""
+    def comb(a, b):
+        return (a[0] | b[0],) + tuple(
+            jnp.where(b[0], y, x) for x, y in zip(a[1:], b[1:]))
+
+    init = (flag,) + tuple(jnp.where(flag, v, jnp.zeros_like(v))
+                           for v in vals)
+    out = jax.lax.associative_scan(comb, init, axis=1)
+    return out[0], out[1:]
+
+
 def _chunk_words(toks, space_id, curh, curlen, mult, seed):
     """Vectorized word segmentation of emitted-token chunks.
 
@@ -68,48 +95,47 @@ def _chunk_words(toks, space_id, curh, curlen, mult, seed):
       wvalid: (M, Wmax) bool; n_words: (M,) int32.
       new_curh / new_curlen: carried partial word after the chunk.
     """
+    from .indexing import compact_rows
+
     m, c = toks.shape
     w_max = c // 2 + 1  # a completed word needs >= 1 char + 1 space
-    pow_m = _pow_table(mult, c)
-    inv_m = _pow_table(_INV31 if mult == np.uint32(31) else
-                       np.uint32(pow(int(mult), -1, 1 << 32)), c)
+    inv = (_INV31 if mult == np.uint32(31)
+           else np.uint32(pow(int(mult), -1, 1 << 32)))
     valid = toks >= 0
     space = valid & (toks == space_id)
     char = valid & ~space
-    pos = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None], (m, c))
-
-    # position of the most recent space STRICTLY BEFORE each position
-    sp_pos = jnp.where(space, pos, -1)
-    last_sp_excl = jnp.concatenate(
-        [jnp.full((m, 1), -1, jnp.int32),
-         jax.lax.cummax(sp_pos, axis=1)[:, :-1]], axis=1)
-    seg0 = last_sp_excl < 0  # position belongs to the carried-word segment
 
     cc = jnp.cumsum(char.astype(jnp.int32), axis=1)  # chars so far (incl.)
-    # "value at the previous space" reads: ONE flat gather each (a
-    # take_along_axis here is ~30x slower on TPU — ops/indexing.py)
-    from .indexing import compact_rows, flat_take, take1d
+    # position-weighted terms u_j = (tok+1) * inv_m^(cc_j) — exponent
+    # relative to the CHUNK START; re-based per segment below (dividing by
+    # inv^cc_at_prev_space == multiplying by mult^(...), all mod 2^32).
+    u = (toks.astype(jnp.uint32) + 1) * _pow_bits(cc, inv, c)
+    # int32 cumsum, cast back: uint32 cumsum takes a ~10x slower TPU path,
+    # and two's-complement wraparound makes them bit-identical
+    cs = jnp.cumsum(
+        jnp.where(char, u, jnp.uint32(0)).astype(jnp.int32), axis=1
+    ).astype(jnp.uint32)
 
-    gather_at = lambda arr, idx: jnp.where(
-        idx >= 0, flat_take(arr, jnp.maximum(idx, 0)),
-        jnp.zeros_like(arr[:, :1]))
-    cc_prev_sp = gather_at(cc, last_sp_excl)
-    within = cc - 1 - cc_prev_sp  # char's 0-based index within its segment
+    # "value at the most recent space" for (cc, cs): one elementwise
+    # associative scan; exclusive via a 1-position shift.  (The previous
+    # cummax + per-row-gather form cost ~4 ms per call on TPU.)
+    sp_seen_inc, (cc_sp_inc, cs_sp_inc) = _at_last_flag(space, (cc, cs))
+    shift1 = lambda a: jnp.concatenate(
+        [jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
+    seg0 = ~shift1(sp_seen_inc)  # no space strictly before
+    cc_prev_sp = shift1(cc_sp_inc)
+    cs_prev_sp = shift1(cs_sp_inc)
 
-    # position-weighted terms u_j = (tok+1) * inv_m^(within+1)
-    u = (toks.astype(jnp.uint32) + 1) * take1d(
-        inv_m, jnp.clip(within + 1, 0, c).astype(jnp.int32))
-    cs = jnp.cumsum(jnp.where(char, u, jnp.uint32(0)), axis=1)
-    cs_prev_sp = gather_at(cs, last_sp_excl)
-
-    # completed word at each space position (chunk part + carried part)
+    # completed word at each space position (chunk part + carried part).
+    # Hash identity: with u_j scaled by inv^cc_j, the segment sum times
+    # mult^cc_at_space re-bases the polynomial so the word's chars carry
+    # powers mult^(L1-1-i) exactly; + base * mult^L1 prepends the carry.
     seg_len = cc - cc_prev_sp          # at a space: chars in the chunk part
     tot_len = seg_len + jnp.where(seg0, curlen[:, None], 0)
     is_word = space & (tot_len > 0)
     base = jnp.where(seg0, curh[:, None], jnp.uint32(seed))
-    u_sum = cs - cs_prev_sp
-    whash_at = take1d(pow_m, jnp.clip(seg_len, 0, c).astype(jnp.int32)) * (
-        base + u_sum)
+    whash_at = (_pow_bits(seg_len, mult, c) * base
+                + _pow_bits(cc, mult, c) * (cs - cs_prev_sp))
 
     # compact completed words left-justified (one stable sort, no scatter)
     n_words = jnp.sum(is_word.astype(jnp.int32), axis=1)
@@ -117,17 +143,16 @@ def _chunk_words(toks, space_id, curh, curlen, mult, seed):
                          fill=np.uint32(0), valid=is_word)[:, :w_max]
     wvalid = jnp.arange(w_max, dtype=jnp.int32)[None] < n_words[:, None]
 
-    # trailing partial word -> new carry
-    last_sp_all = jax.lax.cummax(sp_pos, axis=1)[:, -1]  # (M,)
-    any_sp = last_sp_all >= 0
+    # trailing partial word -> new carry (read the inclusive scan's last
+    # column — no gather)
+    any_sp = sp_seen_inc[:, -1]
     cc_end, cs_end = cc[:, -1], cs[:, -1]
-    cc_sp = jnp.where(any_sp, gather_at(cc, last_sp_all[:, None])[:, 0], 0)
-    cs_sp = jnp.where(any_sp, gather_at(cs, last_sp_all[:, None])[:, 0],
-                      jnp.uint32(0))
+    cc_sp = jnp.where(any_sp, cc_sp_inc[:, -1], 0)
+    cs_sp = jnp.where(any_sp, cs_sp_inc[:, -1], jnp.uint32(0))
     tl_chars = cc_end - cc_sp
     base_tr = jnp.where(any_sp, jnp.uint32(seed), curh)
-    new_curh = take1d(pow_m, jnp.clip(tl_chars, 0, c).astype(jnp.int32)) * (
-        base_tr + (cs_end - cs_sp))
+    new_curh = (_pow_bits(tl_chars, mult, c) * base_tr
+                + _pow_bits(cc_end, mult, c) * (cs_end - cs_sp))
     new_curlen = tl_chars + jnp.where(any_sp, 0, curlen)
     return dict(whash=whash, wvalid=wvalid, n_words=n_words,
                 new_curh=new_curh, new_curlen=new_curlen.astype(jnp.int32))
@@ -437,7 +462,10 @@ class _HashedNGramTables:
     _M2 = np.uint32(0x85EBCA6B)
     _SEED1 = np.uint32(0x9E3779B9)
     _SEED2 = np.uint32(0x85EBCA77)
-    _PROBES = 8
+    # 4 probes (the builder grows the table on window overflow): each probe
+    # is a packed-row gather at ~1 ms / 131k slots on TPU, so the probe
+    # count is the hashed-LM scoring cost's leading factor.
+    _PROBES = 4
 
     def __init__(self, order, ngrams, unk_logp=None):
         """ngrams: {k: [(ids_tuple, logp, backoff)], 'unk': logp|None} —

@@ -64,3 +64,26 @@ def test_batch_edit_distance_decode_pipeline(rng):
     ref = np.array([[1, 2, 3, 2]], np.int32)  # one substitution
     d = batch_edit_distance(toks, lens, ref, np.array([4], np.int32))
     assert int(d[0]) == 1
+
+
+def test_docs_site_builds(tmp_path):
+    """L5 docs-site artifact (SURVEY.md §2): the static generator renders
+    every page plus the docstring API reference without errors."""
+    import subprocess
+    import sys
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "site"
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "docs", "build_docs.py"),
+         str(out)],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    pages = {p.name for p in out.iterdir()}
+    assert {"index.html", "api.html", "ctc_math.html",
+            "parallelism.html", "perf_roofline.html"} <= pages
+    api = (out / "api.html").read_text()
+    assert "ctc_loss" in api and "beam_search_decode" in api
