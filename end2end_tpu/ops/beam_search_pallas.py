@@ -176,14 +176,27 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, *refs):
 
         # --- per-candidate LM increment: alpha*lm(ck|last) + beta ----------
         # lm_ref[tc] rows are context ids (row n_ctx-1 = start-of-sequence);
-        # each beam picks its row with a static select ladder (n_ctx <= 64).
+        # each beam picks its row with a select ladder over the <= 64 rows.
+        # Unrolled at narrow widths (fastest); at W > 16 the unrolled
+        # ladder's code size exceeds Mosaic's compile limits (the round-2
+        # W <= 16 LM cap), so wide beams run the same ladder as a
+        # fori_loop — constant code size, identical numerics.
         if n_ctx:
             ctx = jnp.where(last >= 0, last, n_ctx - 1)  # (W, b)
-            delta = jnp.zeros((K, W, b), jnp.float32)
-            for c in range(n_ctx):
-                delta = jnp.where(
-                    (ctx == c)[None], lm_ref[tc, c][:, None, :], delta
-                )
+            delta0 = jnp.zeros((K, W, b), jnp.float32)
+            if W <= 16:
+                delta = delta0
+                for c in range(n_ctx):
+                    delta = jnp.where(
+                        (ctx == c)[None], lm_ref[tc, c][:, None, :], delta
+                    )
+            else:
+                def lm_row(c, acc):
+                    return jnp.where(
+                        (ctx == c)[None], lm_ref[tc, c][:, None, :], acc
+                    )
+
+                delta = jax.lax.fori_loop(0, n_ctx, lm_row, delta0)
             lm_tot = lms[None] + delta  # (K, W, b) candidate total bonus
         elif track_lm:
             # resume/chunked mode without in-kernel increments: every
@@ -645,11 +658,11 @@ def beam_pallas_supported(t_max, v, beam_width, prune_k, lm,
             return False, (f"in-kernel LM fusion supports vocab + 1 <= "
                            f"{_LM_CTX_CAP} context rows (got {lm._v + 1}); "
                            "larger LMs use the XLA scan")
-        if beam_width > 16:
-            return False, ("in-kernel LM fusion supports beam_width <= 16 "
-                           "(the unrolled select ladder at W=32 exceeds "
-                           "Mosaic's compile limits); wide-beam LM decoding "
-                           "uses the XLA scan or no-LM decode + rescoring")
+        if beam_width > 32:
+            return False, ("in-kernel LM fusion supports beam_width <= 32 "
+                           "(wide widths run the context ladder as a "
+                           "fori_loop to stay within Mosaic's compile "
+                           "limits)")
         # VMEM budget for the per-frame LM increment block: even at tc=1
         # the double-buffered input blocks must fit scoped VMEM (advisor
         # finding, round 2 — within the current envelope this always holds,

@@ -239,72 +239,99 @@ def bigram_from_counts(counts, smoothing: float = 1.0):
     return np.log(probs).astype(np.float32)
 
 
+_BUCKET = 8  # entries per hash bucket (one gathered row)
+
+
+def _build_buckets(items, payload_width, on_dup="overwrite"):
+    """Bucketized hash table as ONE packed f32 array.
+
+    items: [(bucket_hash uint32, key uint32, payload float tuple)].
+    Returns (n_buckets, packed (n_buckets, _BUCKET, 2 + payload_width))
+    with per-entry rows [key bits, occupied, *payload].  A LOOKUP is then a
+    single row gather + _BUCKET compare-selects: on TPU every gather costs
+    ~10-20 ns per gathered ROW regardless of width (measured,
+    ops/indexing.py), so one 8-entry-bucket row beats 4-8 probe gathers
+    ~4-8x.  n_buckets >= len(items) keeps the expected bucket load at <= 1;
+    a bucket overflow grows the table and rebuilds.
+    """
+    n = max(len(items), 1)
+    m_b = 8
+    while m_b < n:
+        m_b *= 2
+    while True:
+        keys = np.zeros((m_b, _BUCKET), np.uint32)
+        occ = np.zeros((m_b, _BUCKET), bool)
+        pay = np.zeros((m_b, _BUCKET, payload_width), np.float32)
+        counts = np.zeros((m_b,), np.int32)
+        ok = True
+        for hidx, key, payload in items:
+            b = int(hidx) & (m_b - 1)
+            dup = next((s for s in range(counts[b]) if keys[b, s] == key),
+                       None)
+            if dup is not None:
+                if on_dup == "error":
+                    raise ValueError(f"hash collision for key {key:#x}")
+                pay[b, dup] = payload
+                continue
+            if counts[b] >= _BUCKET:
+                ok = False
+                break
+            s = counts[b]
+            keys[b, s] = key
+            occ[b, s] = True
+            pay[b, s] = payload
+            counts[b] += 1
+        if ok:
+            break
+        m_b *= 2
+    packed = np.zeros((m_b, _BUCKET, 2 + payload_width), np.float32)
+    packed[..., 0] = keys.view(np.float32).reshape(m_b, _BUCKET)
+    packed[..., 1] = occ
+    packed[..., 2:] = pay
+    return m_b, jnp.asarray(packed)
+
+
+def _bucket_lookup(packed, m_b, hidx, key):
+    """One gathered bucket row per query -> (hit, [payload columns]).
+
+    hidx/key: uint32 arrays (any shape).  At most one entry per bucket
+    carries a given key (the builder overwrites duplicates), so the masked
+    payload sums select exactly the matching entry.
+    """
+    rows = packed[(hidx & jnp.uint32(m_b - 1)).astype(jnp.int32)]
+    keys = jax.lax.bitcast_convert_type(rows[..., 0], jnp.uint32)
+    hit_s = (rows[..., 1] > 0.5) & (keys == key[..., None])
+    hit = jnp.any(hit_s, axis=-1)
+    pw = rows.shape[-1] - 2
+    outs = [jnp.sum(jnp.where(hit_s, rows[..., 2 + i], 0.0), axis=-1)
+            for i in range(pw)]
+    return hit, outs
+
+
 class _WordHash:
-    """Open-addressing spell-hash -> word-id table (device gathers + linear
-    probes); shared by the word-level LMs."""
+    """Spell-hash -> word-id table: bucketized device rows, one gather per
+    lookup (_build_buckets); shared by the word-level LMs."""
 
     _MULT = np.uint32(31)
     _SEED = np.uint32(5381)
-    _PROBES = 4
 
     def __init__(self, word_spellings, miss_value):
         self.miss = int(miss_value)
-        hashes = []
+        items = []
         with np.errstate(over="ignore"):
             for wid, spell in enumerate(word_spellings):
                 h = self._SEED
                 for c in spell:
                     h = h * self._MULT + np.uint32(int(c) + 1)
-                if h == 0:
-                    raise ValueError("degenerate word hash")
-                hashes.append(h)
-        m = 1
-        while m < 4 * max(len(word_spellings), 1):
-            m *= 2
-        while True:  # overfull probe window: grow and rebuild
-            keys = np.zeros((m,), np.uint32)
-            vals = np.full((m,), self.miss, np.int32)
-            ok = True
-            for wid, h in enumerate(hashes):
-                idx = int(h) & (m - 1)
-                for p in range(self._PROBES):
-                    j = (idx + p) & (m - 1)
-                    if keys[j] == 0:
-                        keys[j] = h
-                        vals[j] = wid
-                        break
-                    if keys[j] == h:
-                        raise ValueError(f"word hash collision for word {wid}")
-                else:
-                    ok = False
-                    break
-            if ok:
-                break
-            m *= 2
-        self._m = m
-        # Packed (m, 2) float32 rows [key bits, word id]: ONE f32 row
-        # gather per probe instead of two integer gathers — integer
-        # gathers take a ~30x slower TPU path (ops/indexing.py), and word
-        # ids are exact in f32 (< 2^24).
-        packed = np.empty((m, 2), np.float32)
-        packed[:, 0] = keys.view(np.float32)
-        packed[:, 1] = vals.astype(np.float32)
-        self._packed = jnp.asarray(packed)
+                items.append((h, h, (float(wid),)))
+        # duplicate full-hash spellings are REAL collisions -> error (word
+        # ids would be silently conflated)
+        self._m, self._packed = _build_buckets(items, 1, on_dup="error")
 
     def lookup(self, h):
         """uint32 spell-hashes (any shape) -> word ids (miss_value on miss)."""
-        import jax
-
-        idx0 = (h & jnp.uint32(self._m - 1)).astype(jnp.int32)
-        wid = jnp.full(h.shape, self.miss, jnp.int32)
-        found = jnp.zeros(h.shape, bool)
-        for p in range(self._PROBES):
-            row = self._packed[(idx0 + p) % self._m]  # (..., 2) f32
-            key = jax.lax.bitcast_convert_type(row[..., 0], jnp.uint32)
-            hit = (key == h) & ~found
-            wid = jnp.where(hit, row[..., 1].astype(jnp.int32), wid)
-            found = found | hit
-        return wid
+        hit, (wid,) = _bucket_lookup(self._packed, self._m, h, h)
+        return jnp.where(hit, wid.astype(jnp.int32), self.miss)
 
 
 class WordNGramLM:
@@ -448,24 +475,22 @@ class _HashedNGramTables:
     """Arbitrary-order n-gram score/backoff tables behind dual-hash
     open-addressing — the KenLM-parity core (SURVEY.md §3.1 N6).
 
-    One table per order k: slot index from hash-1, slot key = hash-2 with
-    an explicit occupancy bitmap (hash values must not be mangled to mark
-    empties: grams differing only in the last token hash 1 apart), payload
-    (logp, backoff).  Lookups are pure gathers +
-    linear probes, fully vectorized over (beam, candidate) — queryable from
-    inside a compiled scan.  The same fold recipe hashes a k-gram and serves
-    as the context prefix of a (k+1)-gram, so context hashes double as
-    context-gram lookups for the backoff chain.
+    One BUCKETIZED table per order k (_build_buckets): bucket index from
+    hash-1, entry key = hash-2 with an explicit occupancy flag (hash values
+    must not be mangled to mark empties: grams differing only in the last
+    token hash 1 apart), payload (logp, backoff).  A lookup is ONE gathered
+    bucket row + 8 compare-selects, fully vectorized over (beam, candidate)
+    — queryable from inside a compiled scan, and 4-8x cheaper than the
+    probe-loop form on TPU (gather cost is per gathered row).  The same
+    fold recipe hashes a k-gram and serves as the context prefix of a
+    (k+1)-gram, so context hashes double as context-gram lookups for the
+    backoff chain.
     """
 
     _M1 = np.uint32(2654435761)
     _M2 = np.uint32(0x85EBCA6B)
     _SEED1 = np.uint32(0x9E3779B9)
     _SEED2 = np.uint32(0x85EBCA77)
-    # 4 probes (the builder grows the table on window overflow): each probe
-    # is a packed-row gather at ~1 ms / 131k slots on TPU, so the probe
-    # count is the hashed-LM scoring cost's leading factor.
-    _PROBES = 4
 
     def __init__(self, order, ngrams, unk_logp=None):
         """ngrams: {k: [(ids_tuple, logp, backoff)], 'unk': logp|None} —
@@ -477,48 +502,14 @@ class _HashedNGramTables:
         )
         self._packed, self._ms = [], []
         for k in range(1, self.order + 1):
-            entries = ngrams.get(k, [])
-            m = 8
-            while m < 4 * max(len(entries), 1):
-                m *= 2
-            while True:
-                keys = np.zeros((m,), np.uint32)
-                occ = np.zeros((m,), bool)
-                lps = np.zeros((m,), np.float32)
-                bos = np.zeros((m,), np.float32)
-                ok = True
-                for ids, lp, bo in entries:
-                    h1, h2 = self._fold_np(ids)
-                    idx = int(h1) & (m - 1)
-                    for p in range(self._PROBES):
-                        j = (idx + p) & (m - 1)
-                        if not occ[j]:
-                            occ[j] = True
-                            keys[j] = h2
-                            lps[j] = lp
-                            bos[j] = bo
-                            break
-                        if keys[j] == h2:
-                            # exact (h1-window, h2) duplicate: overwrite
-                            lps[j] = lp
-                            bos[j] = bo
-                            break
-                    else:
-                        ok = False
-                        break
-                if ok:
-                    break
-                m *= 2  # overfull probe window: grow and rebuild
-            self._ms.append(m)
-            # Packed (m, 4) f32 rows [key bits, occupied, logp, backoff]:
-            # one f32 row gather per probe (integer/bool gathers are ~30x
-            # slower on TPU — ops/indexing.py).
-            packed = np.empty((m, 4), np.float32)
-            packed[:, 0] = keys.view(np.float32)
-            packed[:, 1] = occ.astype(np.float32)
-            packed[:, 2] = lps
-            packed[:, 3] = bos
-            self._packed.append(jnp.asarray(packed))
+            items = []
+            for ids, lp, bo in ngrams.get(k, []):
+                h1, h2 = self._fold_np(ids)
+                # exact (h1, h2) duplicates overwrite (re-listed grams)
+                items.append((h1, h2, (lp, bo)))
+            m_b, packed = _build_buckets(items, 2)
+            self._ms.append(m_b)
+            self._packed.append(packed)
 
     @classmethod
     def _fold_np(cls, ids):
@@ -536,22 +527,9 @@ class _HashedNGramTables:
 
     def _lookup(self, k, h1, h2):
         """k-gram lookup (1-based order).  h1/h2: raw uint32 fold hashes
-        (any shape).  Returns (logp, backoff, hit)."""
-        import jax
-
-        m = self._ms[k - 1]
-        packed = self._packed[k - 1]
-        idx0 = (h1 & jnp.uint32(m - 1)).astype(jnp.int32)
-        lp = jnp.zeros(h1.shape, jnp.float32)
-        bo = jnp.zeros(h1.shape, jnp.float32)
-        hit = jnp.zeros(h1.shape, bool)
-        for p in range(self._PROBES):
-            row = packed[(idx0 + p) % m]  # (..., 4) f32
-            key = jax.lax.bitcast_convert_type(row[..., 0], jnp.uint32)
-            h = (row[..., 1] > 0.5) & (key == h2) & ~hit
-            lp = jnp.where(h, row[..., 2], lp)
-            bo = jnp.where(h, row[..., 3], bo)
-            hit = hit | h
+        (any shape).  Returns (logp, backoff, hit) — one bucket-row gather."""
+        hit, (lp, bo) = _bucket_lookup(
+            self._packed[k - 1], self._ms[k - 1], h1, h2)
         return lp, bo, hit
 
     def ctx_hashes(self, window):

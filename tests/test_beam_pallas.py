@@ -344,3 +344,23 @@ def test_pallas_beam_lm_fusion_large_v_full_prune(rng):
         for pref in p[b]:
             np.testing.assert_allclose(p[b][pref], x[b][pref], atol=5e-4,
                                        rtol=2e-4)
+
+
+def test_pallas_beam_lm_fusion_width32(rng):
+    # round-3: the W <= 16 in-kernel LM cap is lifted — wide beams run the
+    # context select ladder as a fori_loop (constant Mosaic code size).
+    # Full-vocab prune -> exact: full beam-set parity with the XLA scan.
+    B, T, V, W = 2, 10, 6, 32
+    lm = _rand_bigram_lm(rng, V)
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    p = _beam_sets(*beam_search_decode(
+        lp, beam_width=W, lm=lm, lm_alpha=0.7, lm_beta=0.2,
+        implementation="pallas"), W)
+    x = _beam_sets(*beam_search_decode(
+        lp, beam_width=W, lm=lm, lm_alpha=0.7, lm_beta=0.2,
+        implementation="xla"), W)
+    for b in range(B):
+        assert set(p[b]) == set(x[b]), b
+        for pref in p[b]:
+            np.testing.assert_allclose(p[b][pref], x[b][pref], atol=5e-4,
+                                       rtol=2e-4)
