@@ -239,78 +239,151 @@ def bigram_from_counts(counts, smoothing: float = 1.0):
     return np.log(probs).astype(np.float32)
 
 
-_BUCKET = 8  # entries per hash bucket (one gathered row)
+_BUCKET = 8        # entries per hash bucket (one gathered row)
+_PROBE_MAX = 8192  # entry count below which the probe layout wins
 
 
-def _build_buckets(items, payload_width, on_dup="overwrite"):
-    """Bucketized hash table as ONE packed f32 array.
+class _FastTable:
+    """Device hash table with a TPU-cost-aware layout (two regimes,
+    measured on v5e — ops/indexing.py):
 
-    items: [(bucket_hash uint32, key uint32, payload float tuple)].
-    Returns (n_buckets, packed (n_buckets, _BUCKET, 2 + payload_width))
-    with per-entry rows [key bits, occupied, *payload].  A LOOKUP is then a
-    single row gather + _BUCKET compare-selects: on TPU every gather costs
-    ~10-20 ns per gathered ROW regardless of width (measured,
-    ops/indexing.py), so one 8-entry-bucket row beats 4-8 probe gathers
-    ~4-8x.  n_buckets >= len(items) keeps the expected bucket load at <= 1;
-    a bucket overflow grows the table and rebuilds.
+      * LARGE tables (HBM-resident): gather cost is per gathered ROW
+        (~10-20 ns each, width-insensitive), so entries pack into 8-entry
+        BUCKETS read as one wide row — one gather + 8 compare-selects per
+        lookup, ~4x cheaper than probing.
+      * SMALL tables (<= _PROBE_MAX entries, VMEM-resident): gathers are
+        bandwidth-bound, so narrow (2 + payload)-wide rows with 4 linear
+        probes move ~5x fewer bytes and win.
+
+    items: [(bucket_hash uint32, key uint32, payload float tuple)]; the
+    builder grows-and-rebuilds on overflow; `on_dup='error'` rejects
+    distinct items with identical (hash, key) (true collisions).
+    Payload floats must be exact in f32 (ids < 2^24, log-probs).
     """
-    n = max(len(items), 1)
-    m_b = 8
-    while m_b < n:
-        m_b *= 2
-    while True:
-        keys = np.zeros((m_b, _BUCKET), np.uint32)
-        occ = np.zeros((m_b, _BUCKET), bool)
-        pay = np.zeros((m_b, _BUCKET, payload_width), np.float32)
-        counts = np.zeros((m_b,), np.int32)
-        ok = True
-        for hidx, key, payload in items:
-            b = int(hidx) & (m_b - 1)
-            dup = next((s for s in range(counts[b]) if keys[b, s] == key),
-                       None)
-            if dup is not None:
-                if on_dup == "error":
-                    raise ValueError(f"hash collision for key {key:#x}")
-                pay[b, dup] = payload
-                continue
-            if counts[b] >= _BUCKET:
-                ok = False
+
+    _PROBES = 4
+
+    def __init__(self, items, payload_width, on_dup="overwrite"):
+        self._pw = payload_width
+        self._bucketed = len(items) > _PROBE_MAX
+        if self._bucketed:
+            self._m, self._packed = self._build(
+                items, payload_width, _BUCKET, len(items), on_dup)
+        else:
+            self._m, self._packed = self._build_probe(
+                items, payload_width, on_dup)
+
+    @staticmethod
+    def _build(items, pw, bucket, min_rows, on_dup):
+        m_b = 8
+        while m_b < max(min_rows, 1):
+            m_b *= 2
+        while True:
+            keys = np.zeros((m_b, bucket), np.uint32)
+            occ = np.zeros((m_b, bucket), bool)
+            pay = np.zeros((m_b, bucket, pw), np.float32)
+            counts = np.zeros((m_b,), np.int32)
+            ok = True
+            for hidx, key, payload in items:
+                b = int(hidx) & (m_b - 1)
+                dup = next(
+                    (s for s in range(counts[b]) if keys[b, s] == key), None)
+                if dup is not None:
+                    if on_dup == "error":
+                        raise ValueError(
+                            f"hash collision for key {int(key):#x}")
+                    pay[b, dup] = payload
+                    continue
+                if counts[b] >= bucket:
+                    ok = False
+                    break
+                s = counts[b]
+                keys[b, s] = key
+                occ[b, s] = True
+                pay[b, s] = payload
+                counts[b] += 1
+            if ok:
                 break
-            s = counts[b]
-            keys[b, s] = key
-            occ[b, s] = True
-            pay[b, s] = payload
-            counts[b] += 1
-        if ok:
-            break
-        m_b *= 2
-    packed = np.zeros((m_b, _BUCKET, 2 + payload_width), np.float32)
-    packed[..., 0] = keys.view(np.float32).reshape(m_b, _BUCKET)
-    packed[..., 1] = occ
-    packed[..., 2:] = pay
-    return m_b, jnp.asarray(packed)
+            m_b *= 2
+        packed = np.zeros((m_b, bucket, 2 + pw), np.float32)
+        packed[..., 0] = keys.view(np.float32).reshape(m_b, bucket)
+        packed[..., 1] = occ
+        packed[..., 2:] = pay
+        return m_b, jnp.asarray(packed)
 
+    @classmethod
+    def _build_probe(cls, items, pw, on_dup):
+        """Linear-probe layout: (m, 2 + pw) narrow rows, probe window 4 —
+        a 1-entry 'bucket' per row reusing the same builder via window
+        remapping is messier than just probing here."""
+        m = 8
+        while m < 4 * max(len(items), 1):
+            m *= 2
+        while True:
+            keys = np.zeros((m,), np.uint32)
+            occ = np.zeros((m,), bool)
+            pay = np.zeros((m, pw), np.float32)
+            ok = True
+            for hidx, key, payload in items:
+                idx = int(hidx) & (m - 1)
+                placed = False
+                for p in range(cls._PROBES):
+                    j = (idx + p) & (m - 1)
+                    if occ[j] and keys[j] == key:
+                        if on_dup == "error":
+                            raise ValueError(
+                                f"hash collision for key {int(key):#x}")
+                        pay[j] = payload
+                        placed = True
+                        break
+                    if not occ[j]:
+                        occ[j] = True
+                        keys[j] = key
+                        pay[j] = payload
+                        placed = True
+                        break
+                if not placed:
+                    ok = False
+                    break
+            if ok:
+                break
+            m *= 2
+        packed = np.zeros((m, 2 + pw), np.float32)
+        packed[:, 0] = keys.view(np.float32)
+        packed[:, 1] = occ
+        packed[:, 2:] = pay
+        return m, jnp.asarray(packed)
 
-def _bucket_lookup(packed, m_b, hidx, key):
-    """One gathered bucket row per query -> (hit, [payload columns]).
-
-    hidx/key: uint32 arrays (any shape).  At most one entry per bucket
-    carries a given key (the builder overwrites duplicates), so the masked
-    payload sums select exactly the matching entry.
-    """
-    rows = packed[(hidx & jnp.uint32(m_b - 1)).astype(jnp.int32)]
-    keys = jax.lax.bitcast_convert_type(rows[..., 0], jnp.uint32)
-    hit_s = (rows[..., 1] > 0.5) & (keys == key[..., None])
-    hit = jnp.any(hit_s, axis=-1)
-    pw = rows.shape[-1] - 2
-    outs = [jnp.sum(jnp.where(hit_s, rows[..., 2 + i], 0.0), axis=-1)
-            for i in range(pw)]
-    return hit, outs
+    def lookup(self, hidx, key):
+        """(hit, [payload columns]) for uint32 hash/key arrays (any shape).
+        At most one stored entry matches a key in its probe window/bucket,
+        so the masked payload sums select exactly the matching entry."""
+        pw = self._pw
+        if self._bucketed:
+            rows = self._packed[
+                (hidx & jnp.uint32(self._m - 1)).astype(jnp.int32)]
+            keys = jax.lax.bitcast_convert_type(rows[..., 0], jnp.uint32)
+            hit_s = (rows[..., 1] > 0.5) & (keys == key[..., None])
+            hit = jnp.any(hit_s, axis=-1)
+            outs = [jnp.sum(jnp.where(hit_s, rows[..., 2 + i], 0.0), axis=-1)
+                    for i in range(pw)]
+            return hit, outs
+        idx0 = (hidx & jnp.uint32(self._m - 1)).astype(jnp.int32)
+        hit = jnp.zeros(hidx.shape, bool)
+        outs = [jnp.zeros(hidx.shape, jnp.float32) for _ in range(pw)]
+        for p in range(self._PROBES):
+            row = self._packed[(idx0 + p) % self._m]
+            k = jax.lax.bitcast_convert_type(row[..., 0], jnp.uint32)
+            h = (row[..., 1] > 0.5) & (k == key) & ~hit
+            outs = [jnp.where(h, row[..., 2 + i], o)
+                    for i, o in enumerate(outs)]
+            hit = hit | h
+        return hit, outs
 
 
 class _WordHash:
-    """Spell-hash -> word-id table: bucketized device rows, one gather per
-    lookup (_build_buckets); shared by the word-level LMs."""
+    """Spell-hash -> word-id table (one _FastTable lookup per query);
+    shared by the word-level LMs."""
 
     _MULT = np.uint32(31)
     _SEED = np.uint32(5381)
@@ -326,11 +399,11 @@ class _WordHash:
                 items.append((h, h, (float(wid),)))
         # duplicate full-hash spellings are REAL collisions -> error (word
         # ids would be silently conflated)
-        self._m, self._packed = _build_buckets(items, 1, on_dup="error")
+        self._t = _FastTable(items, 1, on_dup="error")
 
     def lookup(self, h):
         """uint32 spell-hashes (any shape) -> word ids (miss_value on miss)."""
-        hit, (wid,) = _bucket_lookup(self._packed, self._m, h, h)
+        hit, (wid,) = self._t.lookup(h, h)
         return jnp.where(hit, wid.astype(jnp.int32), self.miss)
 
 
@@ -500,16 +573,14 @@ class _HashedNGramTables:
             unk_logp if unk_logp is not None
             else (ngrams.get("unk") if ngrams.get("unk") is not None else -23.0)
         )
-        self._packed, self._ms = [], []
+        self._tables = []
         for k in range(1, self.order + 1):
             items = []
             for ids, lp, bo in ngrams.get(k, []):
                 h1, h2 = self._fold_np(ids)
                 # exact (h1, h2) duplicates overwrite (re-listed grams)
                 items.append((h1, h2, (lp, bo)))
-            m_b, packed = _build_buckets(items, 2)
-            self._ms.append(m_b)
-            self._packed.append(packed)
+            self._tables.append(_FastTable(items, 2))
 
     @classmethod
     def _fold_np(cls, ids):
@@ -527,9 +598,8 @@ class _HashedNGramTables:
 
     def _lookup(self, k, h1, h2):
         """k-gram lookup (1-based order).  h1/h2: raw uint32 fold hashes
-        (any shape).  Returns (logp, backoff, hit) — one bucket-row gather."""
-        hit, (lp, bo) = _bucket_lookup(
-            self._packed[k - 1], self._ms[k - 1], h1, h2)
+        (any shape).  Returns (logp, backoff, hit)."""
+        hit, (lp, bo) = self._tables[k - 1].lookup(h1, h2)
         return lp, bo, hit
 
     def ctx_hashes(self, window):
