@@ -197,6 +197,55 @@ def bench_beam_lm(B, T, V, W, K, r_long=9):
     return dt, B / dt
 
 
+def bench_beam_word_lm(B, T, V, W, K, r_long=9, chunk_t=64):
+    """Word-TRIGRAM beam decode on the chunked kernel path — the
+    reference's KenLM regime (hashed arbitrary-order word LM, 2000 words).
+    Round 2 could only run this on the XLA scan (165 seq/s at this exact
+    workload); the chunked path steers at chunk granularity instead."""
+    from end2end_tpu.ops.beam_chunked import beam_search_chunked_lm
+    from end2end_tpu.ops.lm import HashedWordNGramLM
+
+    rng = np.random.default_rng(1)
+    spell = set()
+    while len(spell) < 2000:
+        ln = int(rng.integers(2, 9))
+        spell.add(tuple(int(x) for x in rng.integers(1, V - 1, ln)))
+    spellings = sorted(spell)
+    wv = len(spellings)
+    ngrams = {1: [], 2: [], 3: [], "unk": -6.0}
+    for w in range(wv):
+        ngrams[1].append(((w,), float(rng.uniform(-6, -1)),
+                          float(rng.uniform(-1, 0))))
+    for g in {tuple(int(x) for x in rng.integers(0, wv, 2))
+              for _ in range(6 * wv)}:
+        ngrams[2].append((g, float(rng.uniform(-4, -0.5)),
+                          float(rng.uniform(-1, 0))))
+    for g in {tuple(int(x) for x in rng.integers(0, wv, 3))
+              for _ in range(8 * wv)}:
+        ngrams[3].append((g, float(rng.uniform(-3, -0.3)), 0.0))
+    lm = HashedWordNGramLM(spellings, 3, ngrams, V - 1)
+    lp = make_lattice(B, T, V)
+    il = jnp.asarray(np.full(B, T, np.int32))
+
+    def make_run(r):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                toks, lens, scores = beam_search_chunked_lm(
+                    c, il, beam_width=W, prune_k=K, max_symbols=256,
+                    lm=lm, lm_alpha=0.8, lm_beta=0.4, chunk_t=chunk_t,
+                )
+                return c + 1e-6 * scores.sum(), scores[0, 0]
+
+            _, vs = jax.lax.scan(body, x, None, length=r)
+            return vs.sum()
+
+        return lambda: run(lp)
+
+    dt = chained_time(make_run, r_long)
+    return dt, B / dt
+
+
 def emit(metric, value, unit, baseline):
     """One JSON metric line on stdout (the driver parses the LAST line)."""
     print(json.dumps({
@@ -238,6 +287,9 @@ def main():
         dt, sps = bench_beam_lm(128, 1000, 29, 8, 16)
         emit("beam8+bigramLM_fused seq/s (B=128,T=1000,V=29)", sps, "seq/s",
              BASELINE_BEAM_SEQ_PER_S)
+        dt, sps = bench_beam_word_lm(128, 1000, 29, 8, 16)
+        emit("beam8+wordTRIGRAM_chunked seq/s (B=128,T=1000,V=29,2k words)",
+             sps, "seq/s", BASELINE_BEAM_SEQ_PER_S)
 
     # Headline LAST (the driver parses the final line).
     B, T, S, V, r = LOSS_CONFIGS["metric"]

@@ -61,6 +61,10 @@ def build_ctc_tables(
 # Above this many one-hot elements (N * L_padded * V) the dense matrix would
 # dominate HBM; fall back to the gather.  2^25 f32 elements = 128 MB.
 _ONEHOT_MAX_ELEMS = 1 << 25
+# The label-COMPACTED one-hot (N * (S+1) * V) is allowed larger: at
+# production vocabs it replaces a full-lattice transpose that costs more
+# HBM than the matrix.  2^27 f32 elements = 512 MB.
+_COMPACT_ONEHOT_MAX_ELEMS = 1 << 27
 
 
 def state_onehot(tables: CTCTables, num_classes: int, lanes: int | None = None,
@@ -74,6 +78,38 @@ def state_onehot(tables: CTCTables, num_classes: int, lanes: int | None = None,
                       constant_values=-1)
     v_iota = jnp.arange(num_classes, dtype=jnp.int32)
     return (ext[:, :, None] == v_iota).astype(dtype)
+
+
+def _lp_ext_compact(log_probs, tables: CTCTables, width: int):
+    """Production-vocab emission path (SURVEY.md §6.2 "unique"
+    optimization, label-compaction form): one-hot over the S TARGET slots
+    plus one blank slot instead of the 2S+1 states — even states all read
+    the blank column, so the matmul nearly halves and the L-state row is
+    two interleaved copies.  Avoids both the 2x-larger state one-hot and
+    the gather path's full-lattice transpose (the dominant HBM cost at
+    V=32k).  Bit-identical to the gather (one-hot 'highest' matmuls copy)."""
+    t_max, n, v = log_probs.shape
+    L = tables.ext_labels.shape[1]
+    s_max = (L - 1) // 2
+    lp32 = jnp.maximum(log_probs.astype(jnp.float32), LOG0)  # -inf-safe
+    # slot 0 = blank (state 0's label), slots 1..S = target labels
+    slots = jnp.concatenate(
+        [tables.ext_labels[:, :1], tables.ext_labels[:, 1::2]], axis=1)
+    m = (slots[:, :, None]
+         == jnp.arange(v, dtype=jnp.int32)).astype(jnp.float32)
+    lp_all = jnp.einsum("tbv,bsv->tbs", lp32, m,
+                        precision="highest")  # (T, N, S_max + 1)
+    lp_blank, lp_lab = lp_all[..., 0], lp_all[..., 1:]
+    pairs = jnp.stack(
+        [jnp.broadcast_to(lp_blank[:, :, None], (t_max, n, s_max)), lp_lab],
+        axis=-1,
+    ).reshape(t_max, n, 2 * s_max)  # states 0..2S-1: b l b l ...
+    lp_ext = jnp.concatenate([pairs, lp_blank[:, :, None]], axis=-1)
+    lp_ext = jnp.where(tables.valid[None], lp_ext, LOG0)
+    if width > L:
+        lp_ext = jnp.pad(lp_ext, ((0, 0), (0, 0), (0, width - L)),
+                         constant_values=LOG0)
+    return lp_ext
 
 
 def gather_lp_ext(log_probs: jnp.ndarray, tables: CTCTables,
@@ -93,12 +129,10 @@ def gather_lp_ext(log_probs: jnp.ndarray, tables: CTCTables,
     for huge N*L*V) it stays a major-axis gather.
     """
     n, L = tables.ext_labels.shape
+    v = log_probs.shape[-1]
     width = lanes or L
-    use_mxu = (
-        jax.default_backend() == "tpu"
-        and n * width * log_probs.shape[-1] <= _ONEHOT_MAX_ELEMS
-    )
-    if use_mxu:
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and n * width * v <= _ONEHOT_MAX_ELEMS:
         lp32 = jnp.maximum(log_probs.astype(jnp.float32), LOG0)  # -inf-safe
         m = state_onehot(tables, log_probs.shape[-1], lanes=width)
         lp_ext = jnp.einsum("tbv,blv->tbl", lp32, m, precision="highest")
@@ -107,6 +141,11 @@ def gather_lp_ext(log_probs: jnp.ndarray, tables: CTCTables,
             tables.valid, ((0, 0), (0, width - L))
         ) if width > L else tables.valid
         return jnp.where(live[None], lp_ext, LOG0).astype(log_probs.dtype)
+    s_max = (L - 1) // 2
+    if (on_tpu and s_max > 0
+            and n * (s_max + 1) * v <= _COMPACT_ONEHOT_MAX_ELEMS):
+        return _lp_ext_compact(log_probs, tables, width).astype(
+            log_probs.dtype)
     # The state->vocab index map is constant over time, so gather along the
     # MAJOR axis with T-contiguous rows (fast row-copy on TPU) instead of a
     # per-element minor-axis gather (~30x faster on v5e: 3ms vs 88ms at

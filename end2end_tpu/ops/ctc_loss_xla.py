@@ -227,10 +227,32 @@ def _posterior_matmul(gamma, targets, blank, num_classes):
 _POSTERIOR_MATMUL_MAX_ELEMS = 1 << 25
 
 
+def _posterior_matmul_compact(gamma, targets, blank, num_classes):
+    """Label-compacted posterior matmul for production vocabularies
+    (SURVEY.md §6.2's TPU 'unique' optimization, compaction form): only the
+    S odd (label) states enter the one-hot — the even states are all blank,
+    summed into one column add — so the matrix is (N, S, V) instead of
+    (N, 2S+1, V) and, unlike the scatter fallback, no (N, V, T) transpose
+    of the full lattice is materialized.  Duplicate labels accumulate in
+    the f32 MXU reduction exactly like the scatter-add."""
+    post_blank = jnp.sum(gamma[..., 0::2], axis=-1)  # (T, N)
+    m = (targets.astype(jnp.int32)[:, :, None]
+         == jnp.arange(num_classes, dtype=jnp.int32)).astype(gamma.dtype)
+    post = jnp.einsum("tbs,bsv->tbv", gamma[..., 1::2], m,
+                      precision="highest")
+    return post.at[..., blank].add(post_blank)
+
+
 def _posterior_to_vocab(gamma, targets, blank, num_classes):
+    from .ctc_common import _COMPACT_ONEHOT_MAX_ELEMS
+
     t_max, n, L = gamma.shape
     if n * L * num_classes <= _POSTERIOR_MATMUL_MAX_ELEMS:
         return _posterior_matmul(gamma, targets, blank, num_classes)
+    s_max = (L - 1) // 2
+    if (jax.default_backend() == "tpu" and s_max > 0
+            and n * s_max * num_classes <= _COMPACT_ONEHOT_MAX_ELEMS):
+        return _posterior_matmul_compact(gamma, targets, blank, num_classes)
     return _posterior_scatter(gamma, targets, blank, num_classes)
 
 

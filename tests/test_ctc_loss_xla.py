@@ -275,3 +275,37 @@ def test_fuzz_random_shapes_vs_torch(rng):
             j_grad, t_grad, rtol=1e-3, atol=3e-4,
             err_msg=f"trial {trial}: B={B},T={T},S={S},V={V},blank={blank}",
         )
+
+
+def test_compact_emission_and_posterior_match_reference_paths(rng):
+    """The production-vocab (label-compacted) one-hot paths — used on TPU
+    above the dense-one-hot size caps — must equal the gather / scatter
+    forms exactly, including duplicate labels and padded targets."""
+    import jax.numpy as jnp
+
+    from end2end_tpu.ops.ctc_common import (
+        _lp_ext_compact, build_ctc_tables, gather_lp_ext,
+    )
+    from end2end_tpu.ops.ctc_loss_xla import (
+        _posterior_matmul_compact, _posterior_scatter,
+    )
+
+    B, T, S, V, blank = 3, 12, 6, 11, 0
+    lp = rng.standard_normal((T, B, V)).astype(np.float32)
+    targets = rng.integers(1, V, (B, S)).astype(np.int32)
+    targets[0, 2] = targets[0, 1]  # duplicate labels must accumulate
+    tl = np.array([S, 3, 1], np.int32)
+    tables = build_ctc_tables(jnp.asarray(targets), jnp.asarray(tl), blank, V)
+
+    want = np.asarray(gather_lp_ext(jnp.asarray(lp), tables, lanes=128))
+    got = np.asarray(_lp_ext_compact(jnp.asarray(lp), tables, 128))
+    np.testing.assert_array_equal(got, want)
+
+    L = tables.ext_labels.shape[1]
+    gamma = rng.random((T, B, L)).astype(np.float32)
+    gamma = gamma * np.asarray(tables.valid, np.float32)[None]
+    want_p = np.asarray(_posterior_scatter(
+        jnp.asarray(gamma), jnp.asarray(targets), blank, V))
+    got_p = np.asarray(_posterior_matmul_compact(
+        jnp.asarray(gamma), jnp.asarray(targets), blank, V))
+    np.testing.assert_allclose(got_p, want_p, atol=1e-6, rtol=1e-6)
