@@ -101,7 +101,12 @@ def bench_loss_grad(B, T, S, V, implementation="auto", r_long=9):
                         implementation=implementation,
                     )
                 )(c)
-                return c + 1e-6 * g, v
+                # Chain iterations through a SCALAR of (loss, grad) into a
+                # one-element update: keeps true data dependence (no
+                # overlap/hoisting) without the full-lattice read+write the
+                # old `c + 1e-6*g` added per iteration (~3 extra HBM passes
+                # — 30% of the measurement at V=32k).
+                return c.at[0, 0, 0].add(1e-9 * (v + g.sum())), v
 
             _, vs = jax.lax.scan(body, x, None, length=r)
             return vs.sum()
@@ -121,7 +126,7 @@ def bench_greedy(B, T, V, r_long=17):
         def run(x):
             def body(c, _):
                 toks, lens, scores = greedy_decode(c, il)
-                return c + 1e-6 * scores.sum(), scores[0]
+                return c.at[0, 0, 0].add(1e-6 * scores.sum()), scores[0]
 
             _, vs = jax.lax.scan(body, x, None, length=r)
             return vs.sum()
@@ -158,7 +163,7 @@ def bench_beam(B, T, V, W, K, r_long=9, collapse=False, seed=0):
                 toks, lens, scores = beam_search_decode(
                     c, il, beam_width=W, prune_k=K, max_symbols=256
                 )
-                return c + 1e-6 * scores.sum(), scores[0, 0]
+                return c.at[0, 0, 0].add(1e-6 * scores.sum()), scores[0, 0]
 
             _, vs = jax.lax.scan(body, x, None, length=r)
             return vs.sum()
@@ -186,7 +191,7 @@ def bench_beam_lm(B, T, V, W, K, r_long=9):
                     c, il, beam_width=W, prune_k=K, max_symbols=256,
                     lm=lm, lm_alpha=0.6, lm_beta=0.3,
                 )
-                return c + 1e-6 * scores.sum(), scores[0, 0]
+                return c.at[0, 0, 0].add(1e-6 * scores.sum()), scores[0, 0]
 
             _, vs = jax.lax.scan(body, x, None, length=r)
             return vs.sum()
@@ -235,7 +240,7 @@ def bench_beam_word_lm(B, T, V, W, K, r_long=9, chunk_t=64):
                     c, il, beam_width=W, prune_k=K, max_symbols=256,
                     lm=lm, lm_alpha=0.8, lm_beta=0.4, chunk_t=chunk_t,
                 )
-                return c + 1e-6 * scores.sum(), scores[0, 0]
+                return c.at[0, 0, 0].add(1e-6 * scores.sum()), scores[0, 0]
 
             _, vs = jax.lax.scan(body, x, None, length=r)
             return vs.sum()

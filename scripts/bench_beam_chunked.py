@@ -144,3 +144,20 @@ if os.environ.get("SKIP_SCAN", "0") != "1":
         c, il, beam_width=W, prune_k=K, max_symbols=256, lm=word3,
         lm_alpha=0.8, lm_beta=0.4, implementation="xla"),
         "XLA scan word-TRIGRAM (the round-2 fallback)")
+
+
+# rescore_nbest throughput (VERDICT r2 weak #6): kernel no-LM decode +
+# exact word-trigram rescoring of the full N-best list
+from end2end_tpu import rescore_nbest  # noqa: E402
+from end2end_tpu.ops.beam_search_pallas import beam_search_pallas  # noqa: E402
+
+
+def bench_rescore():
+    def fn(c):
+        t, ln, s = beam_search_pallas(c, il, beam_width=W, prune_k=K,
+                                      max_symbols=256)
+        return rescore_nbest(t, ln, s, word3, lm_alpha=0.8, lm_beta=0.4)
+    bench(lambda c: fn(c), "no-LM kernel decode + word-TRIGRAM rescore_nbest")
+
+
+bench_rescore()
