@@ -33,17 +33,6 @@ import numpy as np
 _INV31 = np.uint32(pow(31, -1, 1 << 32))  # 31 is odd -> invertible mod 2^32
 
 
-def _pow_table(base, n):
-    """uint32 powers base^0..base^n (mod 2^32) as a device-gatherable table."""
-    out = np.empty(n + 1, np.uint32)
-    x = np.uint32(1)
-    with np.errstate(over="ignore"):
-        for i in range(n + 1):
-            out[i] = x
-            x = x * base
-    return jnp.asarray(out)
-
-
 def _pow_bits(exp, base, n_max):
     """base^exp (mod 2^32) for int32 exp in [0, n_max] — square-and-multiply
     with per-bit selects.  Elementwise VPU work; a table GATHER here costs
