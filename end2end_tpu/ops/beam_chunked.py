@@ -202,6 +202,8 @@ def beam_search_chunked_lm(log_probs, input_lengths=None, beam_width: int = 8,
     steering granularity against speed (see module docstring); the default
     128 re-ranks the beams every 128 frames.
     """
+    from .beam_search_pallas import beam_pallas_supported
+
     if lm is None:
         raise ValueError("beam_search_chunked_lm requires an lm; use "
                          "beam_search_pallas for no-LM decoding")
@@ -210,6 +212,10 @@ def beam_search_chunked_lm(log_probs, input_lengths=None, beam_width: int = 8,
                          "score_chunk")
     log_probs = jnp.asarray(log_probs, jnp.float32)
     t_max, n, v = log_probs.shape
+    ok, reason = beam_pallas_supported(t_max, v, int(beam_width), prune_k,
+                                       lm=None)
+    if not ok:  # the ACOUSTIC kernel envelope (the LM side is chunk-scored)
+        raise ValueError(f"beam_search_chunked_lm: {reason}")
     if input_lengths is None:
         input_lengths = np.full((n,), t_max, np.int32)
     W = int(beam_width)
