@@ -402,34 +402,41 @@ def beam_search_decode(
                 return_timestamps=return_timestamps,
             )
         # LM configs the fused kernel can't take (word-level / hashed /
-        # large-vocab LMs): the chunked kernel path, when the ACOUSTIC
-        # config is kernel-supported and the LM can chunk-score.
-        if lm is not None and hasattr(lm, "score_chunk"):
-            ok_nolm, _ = beam_pallas_supported(
+        # large-vocab LMs) can run on the CHUNKED kernel path — EXPLICIT
+        # opt-in only (implementation='chunked'): it changes LM steering
+        # from per-frame to per-chunk, and 'auto' never silently changes
+        # results (the repo's exactness-first convention).
+        if implementation == "chunked":
+            if lm is None or not hasattr(lm, "score_chunk"):
+                raise ValueError(
+                    "implementation='chunked' requires an lm with "
+                    "score_chunk")
+            ok_nolm, why = beam_pallas_supported(
                 t_max, v, beam_width, prune_k, lm=None,
                 dtype=log_probs.dtype)
-            if implementation == "chunked" and not ok_nolm:
+            if not ok_nolm:
                 raise ValueError(
-                    "implementation='chunked' unsupported: acoustic config "
-                    "outside the pallas kernel envelope")
-            if ok_nolm and (on_tpu or implementation == "chunked"):
-                from .beam_chunked import beam_search_chunked_lm
+                    f"implementation='chunked' unsupported: {why}")
+            from .beam_chunked import beam_search_chunked_lm
 
-                return beam_search_chunked_lm(
-                    log_probs, input_lengths, beam_width=beam_width,
-                    blank=blank, prune_k=prune_k, max_symbols=max_symbols,
-                    lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta,
-                    chunk_t=lm_chunk_t,
-                    return_timestamps=return_timestamps,
-                )
-        elif implementation == "chunked":
-            raise ValueError(
-                "implementation='chunked' requires an lm with score_chunk")
+            return beam_search_chunked_lm(
+                log_probs, input_lengths, beam_width=beam_width,
+                blank=blank, prune_k=prune_k, max_symbols=max_symbols,
+                lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta,
+                chunk_t=lm_chunk_t,
+                return_timestamps=return_timestamps,
+            )
         if implementation == "auto" and on_tpu and not ok:
             import logging
 
+            hint = (
+                "; implementation='chunked' runs this LM on the kernel at "
+                "~10-20x (chunk-granular steering, exact scores)"
+                if lm is not None and hasattr(lm, "score_chunk") else ""
+            )
             logging.getLogger(__name__).info(
-                "beam_search_decode: falling back to the XLA scan (%s)", reason
+                "beam_search_decode: falling back to the XLA scan (%s)%s",
+                reason, hint,
             )
     out = _beam_search_batched(
         log_probs,

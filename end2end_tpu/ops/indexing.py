@@ -24,47 +24,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
-_INT32S = (jnp.int32.dtype, jnp.uint32.dtype)
-
-
-def _as_gatherable(x):
-    """Bitcast 32-bit integer arrays to f32 for gathering.
-
-    Measured on v5e: the same 131k-element gather runs ~30x slower on
-    int32/uint32 operands than on float32 (1.2 ms vs 35 us) — XLA routes
-    integer gathers down a different path.  Bitcasting around the gather
-    is free and exact (gathers move bits, they don't compute).
-    """
-    if x.dtype in _INT32S:
-        return jax.lax.bitcast_convert_type(x, jnp.float32), x.dtype
-    return x, None
-
-
-def _from_gatherable(x, dtype):
-    return x if dtype is None else jax.lax.bitcast_convert_type(x, dtype)
-
-
 def take1d(table, idx):
-    """`table[idx]` for a 1-D table of any 32-bit dtype, on the fast
-    (float32) TPU gather path."""
-    t, dt = _as_gatherable(table)
-    return _from_gatherable(t[idx], dt)
+    """`table[idx]` for a 1-D table (kept for call-site uniformity with
+    flat_take; a plain 1-D gather is already the fast form).
+
+    NOTE (round-3 hard-won): do NOT bitcast integer operands to f32 around
+    gathers — small ints become f32 denormals, and somewhere in the fused
+    TPU gather pipelines denormals get flushed to zero, silently corrupting
+    the values (caught by the on-chip suite; CPU never flushes).  Measured
+    gather cost is dtype-insensitive anyway (~10-20 ns per gathered row).
+    """
+    return table[idx]
 
 
 def flat_take(arr, idx):
     """`jnp.take_along_axis(arr, idx, axis=-1)` via one flat 1-D gather.
 
     arr: (..., C); idx: (..., K) int32 row-wise indices into the last axis
-    (caller guarantees 0 <= idx < C).  ~30x faster than take_along_axis on
-    TPU for lane-wide trailing axes; integer operands are bitcast to f32
-    around the gather (another ~30x — see _as_gatherable).
+    (caller guarantees 0 <= idx < C).  Avoids take_along_axis's batched
+    lowering on lane-wide trailing axes.  Values pass through in their own
+    dtype — see take1d's note on why there is no f32 bitcast here.
     """
     c = arr.shape[-1]
     lead = arr.shape[:-1]
     rows = int(np.prod(lead)) if lead else 1
-    flat, dt = _as_gatherable(arr.reshape(rows * c))
+    flat = arr.reshape(rows * c)
     row_id = jnp.arange(rows, dtype=jnp.int32).reshape(lead + (1,))
-    return _from_gatherable(flat[row_id * c + idx], dt)
+    return flat[row_id * c + idx]
 
 
 def ladder_take(arr, idx):

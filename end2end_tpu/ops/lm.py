@@ -248,6 +248,11 @@ class _FastTable:
     builder grows-and-rebuilds on overflow; `on_dup='error'` rejects
     distinct items with identical (hash, key) (true collisions).
     Payload floats must be exact in f32 (ids < 2^24, log-probs).
+
+    Keys are stored as TWO exact 16-bit-valued floats (hi, lo), never as
+    f32 BITCASTS of the raw uint32: bitcast patterns land on denormals for
+    ~0.4% of hashes and TPU pipelines flush denormals to zero, silently
+    breaking those entries (caught by the on-chip suite, round 3).
     """
 
     _PROBES = 4
@@ -294,10 +299,11 @@ class _FastTable:
             if ok:
                 break
             m_b *= 2
-        packed = np.zeros((m_b, bucket, 2 + pw), np.float32)
-        packed[..., 0] = keys.view(np.float32).reshape(m_b, bucket)
-        packed[..., 1] = occ
-        packed[..., 2:] = pay
+        packed = np.zeros((m_b, bucket, 3 + pw), np.float32)
+        packed[..., 0] = (keys >> 16).astype(np.float32)
+        packed[..., 1] = (keys & 0xFFFF).astype(np.float32)
+        packed[..., 2] = occ
+        packed[..., 3:] = pay
         return m_b, jnp.asarray(packed)
 
     @classmethod
@@ -337,10 +343,11 @@ class _FastTable:
             if ok:
                 break
             m *= 2
-        packed = np.zeros((m, 2 + pw), np.float32)
-        packed[:, 0] = keys.view(np.float32)
-        packed[:, 1] = occ
-        packed[:, 2:] = pay
+        packed = np.zeros((m, 3 + pw), np.float32)
+        packed[:, 0] = (keys >> 16).astype(np.float32)
+        packed[:, 1] = (keys & 0xFFFF).astype(np.float32)
+        packed[:, 2] = occ
+        packed[:, 3:] = pay
         return m, jnp.asarray(packed)
 
     def lookup(self, hidx, key):
@@ -348,13 +355,17 @@ class _FastTable:
         At most one stored entry matches a key in its probe window/bucket,
         so the masked payload sums select exactly the matching entry."""
         pw = self._pw
+        # exact 16-bit halves of the query key as floats (see class doc)
+        khi = (key >> jnp.uint32(16)).astype(jnp.float32)
+        klo = (key & jnp.uint32(0xFFFF)).astype(jnp.float32)
         if self._bucketed:
             rows = self._packed[
                 (hidx & jnp.uint32(self._m - 1)).astype(jnp.int32)]
-            keys = jax.lax.bitcast_convert_type(rows[..., 0], jnp.uint32)
-            hit_s = (rows[..., 1] > 0.5) & (keys == key[..., None])
+            hit_s = ((rows[..., 2] > 0.5)
+                     & (rows[..., 0] == khi[..., None])
+                     & (rows[..., 1] == klo[..., None]))
             hit = jnp.any(hit_s, axis=-1)
-            outs = [jnp.sum(jnp.where(hit_s, rows[..., 2 + i], 0.0), axis=-1)
+            outs = [jnp.sum(jnp.where(hit_s, rows[..., 3 + i], 0.0), axis=-1)
                     for i in range(pw)]
             return hit, outs
         idx0 = (hidx & jnp.uint32(self._m - 1)).astype(jnp.int32)
@@ -362,9 +373,9 @@ class _FastTable:
         outs = [jnp.zeros(hidx.shape, jnp.float32) for _ in range(pw)]
         for p in range(self._PROBES):
             row = self._packed[(idx0 + p) % self._m]
-            k = jax.lax.bitcast_convert_type(row[..., 0], jnp.uint32)
-            h = (row[..., 1] > 0.5) & (k == key) & ~hit
-            outs = [jnp.where(h, row[..., 2 + i], o)
+            h = ((row[..., 2] > 0.5) & (row[..., 0] == khi)
+                 & (row[..., 1] == klo) & ~hit)
+            outs = [jnp.where(h, row[..., 3 + i], o)
                     for i, o in enumerate(outs)]
             hit = hit | h
         return hit, outs

@@ -211,3 +211,20 @@ def test_chunked_timestamps_align(rng):
         assert (tm >= 0).all() and (tm < T).all()
         assert (np.diff(tm) > 0).all()
         assert np.mean(tm == np.asarray(xtm)[b, 0, :n]) >= 0.7
+
+
+def test_chunked_via_beam_search_decode_routing(rng):
+    # implementation='chunked' through the public API == the direct call;
+    # 'chunked' without a chunk-scorable LM raises.
+    B, T, V, W = 2, 14, 5, 4
+    lm = NGramLM(bigram_from_counts(rng.integers(0, 20, (V, V))))
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    a = beam_search_decode(lp, beam_width=W, lm=lm, lm_alpha=0.6,
+                           lm_beta=0.2, implementation="chunked",
+                           lm_chunk_t=6)
+    b = beam_search_chunked_lm(lp, beam_width=W, lm=lm, lm_alpha=0.6,
+                               lm_beta=0.2, chunk_t=6)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    with pytest.raises(ValueError, match="score_chunk"):
+        beam_search_decode(lp, beam_width=W, implementation="chunked")
