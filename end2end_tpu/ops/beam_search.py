@@ -345,17 +345,17 @@ def beam_search_decode(
         replacement for the reference's KenLM hook (SURVEY.md §3.1 N6).
       approx_topk: use the TPU-native approximate top-k for the per-frame
         vocabulary prune (faster on large V; the prune is heuristic anyway).
-      implementation: 'auto' (Pallas kernel on TPU when it applies — with a
-        word-level / hashed n-gram LM this is the CHUNKED kernel path, see
-        below — else the XLA scan), 'pallas' (force the fused kernel;
-        raises if unsupported), 'chunked' (force the chunked-LM kernel
-        path), or 'xla' (the scan: exact per-frame LM fusion, any config).
+      implementation: 'auto' (Pallas kernel on TPU when it applies, else
+        the XLA scan — never changes results), 'pallas' (force the fused
+        kernel; raises if unsupported), 'chunked' (opt in to the chunked-LM
+        kernel path for word-level / hashed LMs, see below), or 'xla' (the
+        scan: exact per-frame LM fusion, any config).
       lm_chunk_t: steering granularity of the chunked LM path (frames per
         kernel chunk; the LM re-ranks beams at each boundary).  Chunked
         semantics (ops/beam_chunked.py): every hypothesis's score is exact,
         but the LM influences pruning once per chunk instead of per frame —
-        use implementation='xla' when exact per-frame fusion matters more
-        than the ~order-of-magnitude speed difference.
+        which is why 'auto' keeps these LMs on the exact scan and 'chunked'
+        is an explicit opt-in to the ~order-of-magnitude speedup.
       return_timestamps: also return per-token EMISSION FRAME indices —
         the frame at which each symbol joined the (surviving construction
         of the) prefix; the beam analog of greedy_decode_with_timestamps.
