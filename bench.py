@@ -7,7 +7,8 @@ S=100, V=1024; cells = B*T*(2S+1).  Baseline: measured PyTorch-CPU =
 6.4M cells/s (BASELINE.md); target >10x => >64M cells/s.  Earlier lines
 cover every other BASELINE.md workload: the four remaining loss configs,
 a production-vocab (V=32768) loss row, greedy decode, beam-8/beam-16
-decode, and the fused-LM beam rows.
+decode, the fused-LM / chunked-word-LM beam rows, and the N-best
+rescoring pipeline row.
 
 Methodology: the TPU here sits behind a tunnel whose dispatch/sync overhead
 dwarfs kernel time, so each measurement chains R data-dependent iterations
@@ -202,15 +203,11 @@ def bench_beam_lm(B, T, V, W, K, r_long=9):
     return dt, B / dt
 
 
-def bench_beam_word_lm(B, T, V, W, K, r_long=9, chunk_t=64):
-    """Word-TRIGRAM beam decode on the chunked kernel path — the
-    reference's KenLM regime (hashed arbitrary-order word LM, 2000 words).
-    Round 2 could only run this on the XLA scan (165 seq/s at this exact
-    workload); the chunked path steers at chunk granularity instead."""
-    from end2end_tpu.ops.beam_chunked import beam_search_chunked_lm
+def _word_trigram_lm(V, seed=1):
+    """2000-word hashed TRIGRAM word LM — the reference's KenLM regime."""
     from end2end_tpu.ops.lm import HashedWordNGramLM
 
-    rng = np.random.default_rng(1)
+    rng = np.random.default_rng(seed)
     spell = set()
     while len(spell) < 2000:
         ln = int(rng.integers(2, 9))
@@ -228,7 +225,16 @@ def bench_beam_word_lm(B, T, V, W, K, r_long=9, chunk_t=64):
     for g in {tuple(int(x) for x in rng.integers(0, wv, 3))
               for _ in range(8 * wv)}:
         ngrams[3].append((g, float(rng.uniform(-3, -0.3)), 0.0))
-    lm = HashedWordNGramLM(spellings, 3, ngrams, V - 1)
+    return HashedWordNGramLM(spellings, 3, ngrams, V - 1)
+
+
+def bench_beam_word_lm(B, T, V, W, K, r_long=9, chunk_t=64):
+    """Word-TRIGRAM beam decode on the chunked kernel path.  Round 2 could
+    only run this on the XLA scan (165 seq/s at this exact workload); the
+    chunked path steers at chunk granularity instead."""
+    from end2end_tpu.ops.beam_chunked import beam_search_chunked_lm
+
+    lm = _word_trigram_lm(V)
     lp = make_lattice(B, T, V)
     il = jnp.asarray(np.full(B, T, np.int32))
 
@@ -239,6 +245,38 @@ def bench_beam_word_lm(B, T, V, W, K, r_long=9, chunk_t=64):
                 toks, lens, scores = beam_search_chunked_lm(
                     c, il, beam_width=W, prune_k=K, max_symbols=256,
                     lm=lm, lm_alpha=0.8, lm_beta=0.4, chunk_t=chunk_t,
+                )
+                return c.at[0, 0, 0].add(1e-6 * scores.sum()), scores[0, 0]
+
+            _, vs = jax.lax.scan(body, x, None, length=r)
+            return vs.sum()
+
+        return lambda: run(lp)
+
+    dt = chained_time(make_run, r_long)
+    return dt, B / dt
+
+
+def bench_rescore(B, T, V, W, K, r_long=9, max_symbols=256):
+    """The other production word-LM pattern: no-LM decode on the Pallas
+    kernel, then EXACT shallow-fusion rescoring of all W surviving beams
+    (`rescore_nbest`, same word-trigram LM as the chunked row — the
+    fusion-vs-rescoring trade measured on the same workload)."""
+    from end2end_tpu.ops.rescore import rescore_nbest
+
+    lm = _word_trigram_lm(V)
+    lp = make_lattice(B, T, V)
+    il = jnp.asarray(np.full(B, T, np.int32))
+
+    def make_run(r):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                toks, lens, scores = beam_search_decode(
+                    c, il, beam_width=W, prune_k=K, max_symbols=max_symbols
+                )
+                toks, lens, scores = rescore_nbest(
+                    toks, lens, scores, lm, lm_alpha=0.8, lm_beta=0.4
                 )
                 return c.at[0, 0, 0].add(1e-6 * scores.sum()), scores[0, 0]
 
@@ -294,6 +332,9 @@ def main():
              BASELINE_BEAM_SEQ_PER_S)
         dt, sps = bench_beam_word_lm(128, 1000, 29, 8, 16)
         emit("beam8+wordTRIGRAM_chunked seq/s (B=128,T=1000,V=29,2k words)",
+             sps, "seq/s", BASELINE_BEAM_SEQ_PER_S)
+        dt, sps = bench_rescore(128, 1000, 29, 8, 16)
+        emit("beam8+wordTRIGRAM_rescore seq/s (B=128,T=1000,V=29,2k words)",
              sps, "seq/s", BASELINE_BEAM_SEQ_PER_S)
 
     # Headline LAST (the driver parses the final line).

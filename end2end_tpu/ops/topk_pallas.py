@@ -49,29 +49,45 @@ def topk_pallas_fits_vmem(b, v):
     return 3 * b_pad * v_pad * 4 <= (12 << 20)
 
 
+# Extractions per scratch round-trip: E-1 of the E masked blocks stay in
+# registers/VMEM temporaries inside one loop body, so the scratch is
+# read+written ceil(K/E) times instead of K.  (E live temporaries per body;
+# keep E small — a fully unrolled K-deep pure-value loop measured 22 MB of
+# scoped VMEM at K=16 with a 1 MB block, over the 16 MB limit.)  On-chip
+# sweep at the metric beam config (T=1000,B=32,V=1024,K=16): E=1 1.16 ms
+# standalone / 8.0k seq/s beam-8; E=2 1.16/8.5k; E=4 1.05/9.2k; E=8 1.01
+# standalone but 8.5k beam-8 (the extra live temporaries crowd the beam
+# kernel's other VMEM blocks) — so E=4.
+_EXTRACT_PER_PASS = 4
+
+
 def _topk_kernel(K, x_ref, val_ref, idx_ref, x_s):
-    # The K extraction passes MUTATE the block in a VMEM scratch: a fully
-    # unrolled pure-value loop keeps ~K live copies of the block in scoped
-    # VMEM (measured 22 MB scoped at K=16 with a 1 MB block, over the 16 MB
-    # limit), while the scratch+fori_loop form is flat in K.
+    # The extraction passes MUTATE the block in a VMEM scratch (flat in K);
+    # each pass extracts _EXTRACT_PER_PASS entries on in-register masked
+    # copies before writing the block back once.
     x_s[...] = x_ref[...]  # (tc, B, V)
     tc, b, v = x_s.shape
+    E = _EXTRACT_PER_PASS
     iota = jax.lax.broadcasted_iota(jnp.int32, (tc, b, v), 2)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, b, K), 2)
     vals0 = jnp.full((tc, b, K), _NEG_INF, jnp.float32)
     idxs0 = jnp.zeros((tc, b, K), jnp.int32)
 
-    def body(k, carry):
+    def body(p, carry):
         vals, idxs = carry
         x = x_s[...]
-        m = jnp.max(x, axis=-1, keepdims=True)  # (tc, b, 1)
-        sel = jnp.min(jnp.where(x >= m, iota, _BIG), axis=-1, keepdims=True)
-        vals = jnp.where(k_iota == k, m, vals)
-        idxs = jnp.where(k_iota == k, sel, idxs)
-        x_s[...] = jnp.where(iota == sel, _NEG_INF, x)
+        for e in range(E):
+            m = jnp.max(x, axis=-1, keepdims=True)  # (tc, b, 1)
+            sel = jnp.min(jnp.where(x >= m, iota, _BIG), axis=-1,
+                          keepdims=True)
+            x = jnp.where(iota == sel, _NEG_INF, x)
+            k = E * p + e
+            vals = jnp.where(k_iota == k, m, vals)
+            idxs = jnp.where(k_iota == k, sel, idxs)
+        x_s[...] = x
         return vals, idxs
 
-    vals, idxs = jax.lax.fori_loop(0, K, body, (vals0, idxs0))
+    vals, idxs = jax.lax.fori_loop(0, (K + E - 1) // E, body, (vals0, idxs0))
     val_ref[...] = vals
     idx_ref[...] = idxs
 
@@ -97,8 +113,8 @@ def topk_pallas(x, k: int, interpret: bool = False):
     v_pad = _pad_up(v, 128)
     # Block budget: the extraction loop runs in a VMEM scratch (scoped VMEM
     # flat in k — see _topk_kernel), so the block size is set purely by
-    # pipelining: ~1 MB measures fastest at the metric config (1.08 ms at
-    # T=1000,B=32,V=1024,K=16; 2 MB blocks were 3x slower).
+    # pipelining: ~1 MB measures fastest at the metric config (1.05 ms at
+    # T=1000,B=32,V=1024,K=16 with E=4; 2 MB blocks were 3x slower).
     budget = 1 << 20
     tc = max(1, min(t_max, budget // (b_pad * v_pad * 4)))
     t_pad = _pad_up(t_max, tc)

@@ -8,7 +8,11 @@ import jax.numpy as jnp
 from end2end_tpu.ops.topk_pallas import topk_pallas
 
 
-@pytest.mark.parametrize("T,B,V,K", [(7, 3, 40, 5), (33, 9, 130, 16), (4, 1, 8, 8)])
+@pytest.mark.parametrize(
+    "T,B,V,K",
+    # odd K and K=1 exercise the pair-extraction loop's half-pair tail
+    [(7, 3, 40, 5), (33, 9, 130, 16), (4, 1, 8, 8), (3, 2, 10, 1)],
+)
 def test_topk_matches_lax(rng, T, B, V, K):
     x = jnp.asarray(rng.standard_normal((T, B, V)).astype(np.float32))
     v0, i0 = jax.lax.top_k(x, K)
