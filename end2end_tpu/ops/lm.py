@@ -26,6 +26,8 @@ across calls or every new instance recompiles.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -230,6 +232,43 @@ def bigram_from_counts(counts, smoothing: float = 1.0):
 
 _BUCKET = 8        # entries per hash bucket (one gathered row)
 _PROBE_MAX = 8192  # entry count below which the probe layout wins
+
+# Word-level chunk replay scores completed words in data-adaptive ROUNDS of
+# this many positions (lax.while_loop) instead of all w_max = chunk_t/2+1
+# static columns: a chunk's word count is bounded by its SPACES, so typical
+# chunks complete 0-3 words per beam and one round (or zero) covers every
+# row, cutting the dominant hash-table gathers ~4x at chunk_t=64.  Rows
+# needing more words just run more rounds — exactness is data-independent.
+_WORD_ROUND = 8
+
+
+def _word_score_rounds(whash, n_words, carry0, round_fn):
+    """Drive `round_fn(carry, whash_slice (M, w_cap), nv (M,)) ->
+    (carry, lp (M,))` over left-compacted word hashes in rounds of
+    _WORD_ROUND until every row's `n_words` are consumed (zero rounds when
+    no row completed a word).  `nv` is each row's valid count within the
+    slice (0..w_cap); slots past it hold padding the round_fn must mask.
+    Returns (final carry, summed lp)."""
+    m, w_max = whash.shape
+    w_cap = min(_WORD_ROUND, w_max)
+    pad = -w_max % w_cap
+    if pad:
+        whash = jnp.pad(whash, ((0, 0), (0, pad)))
+    n_max = jnp.max(n_words) if m else jnp.int32(0)
+
+    def cond(c):
+        return c[0] * w_cap < n_max
+
+    def body(c):
+        r, carry, acc = c
+        sl = jax.lax.dynamic_slice_in_dim(whash, r * w_cap, w_cap, axis=1)
+        nv = jnp.clip(n_words - r * w_cap, 0, w_cap)
+        carry, lp = round_fn(carry, sl, nv)
+        return r + 1, carry, acc + lp
+
+    _, carry, lp_sum = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), carry0, jnp.zeros((m,), jnp.float32)))
+    return carry, lp_sum
 
 
 class _FastTable:
@@ -522,25 +561,34 @@ class WordNGramLM:
         ended = jnp.where(curlen > 0, wid, prev)
         return trailing + self._eos[jnp.minimum(ended, self._wv + 1)]
 
+    @partial(jax.jit, static_argnums=0)
     def score_chunk(self, state, toks):
         """Vectorized chunk replay (see NGramLM.score_chunk): words
         completed inside the chunk are segmented/hashed with _chunk_words,
-        resolved to ids in one batched table lookup, and bigram-scored with
-        a shifted context chain — no per-frame scan."""
+        then scored in data-adaptive ROUNDS (_word_score_rounds): spell
+        lookup + one flat bigram gather per position, only for word slots
+        each chunk actually completed — no per-frame scan."""
         prev, curh, curlen = state
         seg = _chunk_words(toks, self._space, curh, curlen,
                            self._MULT, self._SEED)
         from .indexing import flat_take
 
-        wid = self._wh.lookup(seg["whash"])  # (M, Wmax); miss -> _unk
-        ctx = jnp.concatenate([prev[:, None], wid[:, :-1]], axis=1)
         ncol = self._wv + 1
-        lp = self._table.reshape(-1)[ctx * ncol + jnp.minimum(wid, self._wv)]
-        lp = jnp.where(wid == self._unk, self._unk_logp, lp)
-        lp_sum = jnp.sum(jnp.where(seg["wvalid"], lp, 0.0), axis=1)
-        n_words = seg["n_words"]
-        last_wid = flat_take(wid, jnp.maximum(n_words - 1, 0)[:, None])[:, 0]
-        new_prev = jnp.where(n_words > 0, last_wid, prev).astype(jnp.int32)
+
+        def round_fn(prev_r, whash_sl, nv):
+            wid = self._wh.lookup(whash_sl)  # (M, w_cap); miss -> _unk
+            w_cap = wid.shape[1]
+            vmask = jnp.arange(w_cap, dtype=jnp.int32)[None] < nv[:, None]
+            ctx = jnp.concatenate([prev_r[:, None], wid[:, :-1]], axis=1)
+            lp = self._table.reshape(-1)[
+                ctx * ncol + jnp.minimum(wid, self._wv)]
+            lp = jnp.where(wid == self._unk, self._unk_logp, lp)
+            last = flat_take(wid, jnp.maximum(nv - 1, 0)[:, None])[:, 0]
+            new_prev = jnp.where(nv > 0, last, prev_r).astype(jnp.int32)
+            return new_prev, jnp.sum(jnp.where(vmask, lp, 0.0), axis=1)
+
+        new_prev, lp_sum = _word_score_rounds(
+            seg["whash"], seg["n_words"], prev, round_fn)
         return lp_sum, (new_prev, seg["new_curh"], seg["new_curlen"])
 
 
@@ -645,6 +693,51 @@ class _HashedNGramTables:
                 acc = acc + jnp.where(chit, cbo, 0.0)
         return jnp.where(found, res, self.unk_logp + acc)
 
+    def score_sequence(self, full, p):
+        """log p(full[j] | full[:j]) for the LAST p positions of `full`
+        ((..., n_hist + p) int32, oldest first; n_hist >= order-1) — the
+        vectorized-replay twin of `score` for chunk scoring.
+
+        Key saving vs p independent `score` calls: the backoff CONTEXT
+        gram of position j+1 IS the (k-1)-gram ending at position j, so
+        each (k, end-position) gram is hashed and looked up ONCE and
+        reused as both the scored gram of j and the context of j+1 —
+        `order` table gathers per position instead of 2*order-1.  Bitwise
+        identical to `score` per position (same folds, same lookups, same
+        accumulation order).
+        """
+        if p == 0:
+            return jnp.zeros(full.shape[:-1] + (0,), jnp.float32)
+        n_hist = full.shape[-1] - p
+        lead = full.shape[:-1]
+        grams = {}  # k -> (lp, bo, hit) at k-gram end offsets; length
+        #             p+1 for k < order (first entry ends at n_hist-1,
+        #             carrying position 0's contexts), p for k == order
+        for k in range(1, self.order + 1):
+            length = p if k == self.order else p + 1
+            e0 = n_hist if k == self.order else n_hist - 1
+            h1 = jnp.full(lead + (length,), self._SEED1, jnp.uint32)
+            h2 = jnp.full(lead + (length,), self._SEED2, jnp.uint32)
+            for i in range(k):
+                s = e0 - k + 1 + i
+                h1, h2 = self._fold1(h1, h2, full[..., s:s + length])
+            grams[k] = self._lookup(k, h1, h2)
+        shape = lead + (p,)
+        acc = jnp.zeros(shape, jnp.float32)
+        res = jnp.zeros(shape, jnp.float32)
+        found = jnp.zeros(shape, bool)
+        for k in range(self.order, 0, -1):
+            lp, _, hit = grams[k]
+            if k < self.order:
+                lp, hit = lp[..., 1:], hit[..., 1:]
+            res = jnp.where(~found & hit, lp + acc, res)
+            found = found | hit
+            if k > 1:
+                _, cbo, chit = grams[k - 1]
+                cbo, chit = cbo[..., :-1], chit[..., :-1]
+                acc = acc + jnp.where(chit, cbo, 0.0)
+        return jnp.where(found, res, self.unk_logp + acc)
+
 
 class HashedNGramLM:
     """Token-level n-gram LM of ANY order with KenLM backoff semantics,
@@ -710,19 +803,22 @@ class HashedNGramLM:
         w = jnp.full((state.shape[0],), self._eos, jnp.int32)
         return self._t.score(state, w)
 
+    @partial(jax.jit, static_argnums=0)
     def score_chunk(self, state, toks):
         """Vectorized chunk replay (see NGramLM.score_chunk): every emitted
-        token is scored against its (order-1)-token history, assembled by
-        shifted slices of state ++ toks — no sequential scan."""
+        token is scored against its (order-1)-token history via
+        `score_sequence` over state ++ toks (each (order, position) gram
+        looked up once, shared between scoring and backoff contexts) — no
+        sequential scan.  Jitted with `self` static (LM objects hash by
+        identity — module docstring) so eager callers don't re-trace the
+        round loop per call; under an outer jit it inlines."""
         m, c = toks.shape
         n_ctx = state.shape[1]
         valid = toks >= 0
         full = jnp.concatenate([state, toks], axis=1)  # (M, n_ctx + C)
-        win = jnp.stack([full[:, j:j + c] for j in range(n_ctx)],
-                        axis=-1)  # (M, C, n_ctx): history of position j
         from .indexing import flat_take
 
-        lp = self._t.score(win, toks)  # (M, C); invalid positions masked
+        lp = self._t.score_sequence(full, c)  # (M, C); invalid masked below
         lp_sum = jnp.sum(jnp.where(valid, lp, 0.0), axis=1)
         n_valid = valid.sum(axis=1)
         idx = n_valid[:, None] + jnp.arange(n_ctx, dtype=jnp.int32)[None]
@@ -833,25 +929,32 @@ class HashedWordNGramLM:
         eos = jnp.full((win.shape[0],), self._eos, jnp.int32)
         return trailing + self._t.score(ended, eos)
 
+    @partial(jax.jit, static_argnums=0)
     def score_chunk(self, state, toks):
         """Vectorized chunk replay (see NGramLM.score_chunk): chunk words
-        from _chunk_words, ids from one batched spell lookup, and each word
-        scored against its (order-1)-word history via shifted slices of
-        win ++ word-ids — no per-frame scan."""
+        from _chunk_words, then data-adaptive ROUNDS (_word_score_rounds)
+        of spell lookup + `score_sequence` over win ++ word-ids (each
+        (order, position) gram looked up once, shared between scoring and
+        backoff contexts) — no per-frame scan, and no lookups at all for
+        the (majority) word slots beyond each chunk's completed count."""
         win, curh, curlen = state
         seg = _chunk_words(toks, self._space, curh, curlen,
                            self._MULT, self._SEED)
-        wid = self._wh.lookup(seg["whash"])  # (M, Wmax); miss -> -2 (unk)
         n_ctx = win.shape[1]
-        w_max = wid.shape[1]
-        full = jnp.concatenate([win, wid], axis=1)
-        wwin = jnp.stack([full[:, j:j + w_max] for j in range(n_ctx)],
-                         axis=-1)  # (M, Wmax, n_ctx)
         from .indexing import flat_take
 
-        lp = self._t.score(wwin, wid)
-        lp_sum = jnp.sum(jnp.where(seg["wvalid"], lp, 0.0), axis=1)
-        idx = seg["n_words"][:, None] + jnp.arange(n_ctx,
-                                                   dtype=jnp.int32)[None]
-        new_win = flat_take(full, idx)
+        def round_fn(win_r, whash_sl, nv):
+            wid = self._wh.lookup(whash_sl)  # (M, w_cap); miss -> -2 (unk)
+            w_cap = wid.shape[1]
+            vmask = jnp.arange(w_cap, dtype=jnp.int32)[None] < nv[:, None]
+            fullr = jnp.concatenate([win_r, wid], axis=1)
+            lp = self._t.score_sequence(fullr, w_cap)
+            # advance the window past this round's nv valid words (junk
+            # slots past nv sit beyond the taken suffix)
+            idx = nv[:, None] + jnp.arange(n_ctx, dtype=jnp.int32)[None]
+            return (flat_take(fullr, idx),
+                    jnp.sum(jnp.where(vmask, lp, 0.0), axis=1))
+
+        new_win, lp_sum = _word_score_rounds(
+            seg["whash"], seg["n_words"], win, round_fn)
         return lp_sum, (new_win, seg["new_curh"], seg["new_curlen"])

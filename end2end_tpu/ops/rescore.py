@@ -12,10 +12,11 @@ so rescoring reproduces the fused decoder's SCORES exactly for every prefix
 the no-LM beam kept (what can differ is the candidate set itself, since the
 LM no longer steers the search — the usual fusion-vs-rescoring trade).
 
-Works with ANY ShallowFusionLM protocol object (lm.py): the per-position
-scoring runs the protocol with a single candidate per beam (vmapped over all
-N*W hypotheses, scanned over positions), so token-level, hashed
-arbitrary-order, and word-boundary LMs all rescore without special cases.
+Works with ANY ShallowFusionLM protocol object (lm.py): LMs exposing
+`score_chunk` are rescored in ONE vectorized chunk replay over all N*W
+hypotheses (no positional scan — word-level LMs touch their tables only at
+each hypothesis's actual word count); others fall back to the per-position
+protocol scan (single candidate per beam, vmapped over hypotheses).
 """
 
 from __future__ import annotations
@@ -53,6 +54,14 @@ def rescore_nbest(tokens, lengths, scores, lm, lm_alpha: float = 0.0,
     toks = tokens.reshape(nw, s_cap)
     state0 = lm.init_state(nw)
 
+    if hasattr(lm, "score_chunk"):
+        # One vectorized chunk replay over the whole hypothesis (every lm.py
+        # class; exactly equals the positional scan below — tests/
+        # test_lm_chunk.py) instead of s_cap sequential protocol steps.
+        lm_sum, state = lm.score_chunk(state0, toks)
+        return _finish(tokens, lengths, scores, lm, lm_alpha, lm_beta,
+                       resort, times, lm_sum, state)
+
     def step(state, tok):
         # tok: (nw,) this position's token per hypothesis (-1 = past end)
         valid = tok >= 0
@@ -78,6 +87,14 @@ def rescore_nbest(tokens, lengths, scores, lm, lm_alpha: float = 0.0,
 
     state, lm_lps = jax.lax.scan(step, state0, toks.T)  # scan over positions
     lm_sum = lm_lps.sum(axis=0)                          # (nw,)
+    return _finish(tokens, lengths, scores, lm, lm_alpha, lm_beta, resort,
+                   times, lm_sum, state)
+
+
+def _finish(tokens, lengths, scores, lm, lm_alpha, lm_beta, resort, times,
+            lm_sum, state):
+    n, w, _ = tokens.shape
+    nw = n * w
     bonus = (lm_alpha * (lm_sum + lm.final(state))
              + lm_beta * lengths.reshape(nw).astype(jnp.float32))
     new_scores = jnp.where(
