@@ -606,6 +606,12 @@ class _HashedNGramTables:
     fold recipe hashes a k-gram and serves as the context prefix of a
     (k+1)-gram, so context hashes double as context-gram lookups for the
     backoff chain.
+
+    LOW orders skip hashing entirely: unigrams always (a dense (lp, bo,
+    occ) row per token id — one gathered row, no probes), bigrams when the
+    id space is char-scale (dense (id1, id2)-indexed rows, <= ~800 KB).
+    Query ids are in hand at every call site, so these are exact drop-ins
+    for the hash lookups.
     """
 
     _M1 = np.uint32(2654435761)
@@ -621,14 +627,56 @@ class _HashedNGramTables:
             unk_logp if unk_logp is not None
             else (ngrams.get("unk") if ngrams.get("unk") is not None else -23.0)
         )
+        # Dense fast paths for the LOW orders, indexed by token id directly
+        # (ids are in hand at every query site): unigrams are always dense
+        # (one gathered row instead of a 4-probe hash lookup), bigrams too
+        # when the id space is char-scale.  Row layout (lp, bo, occ); row 0
+        # = id -2 (unk sentinel), row 1 = id -1 (empty), last row = out-of-
+        # range miss.  Exactly equivalent to the hash lookups (same ARPA
+        # entries, occ gates hits), minus their per-probe gathers.
+        max_id = -1
+        for k in range(1, self.order + 1):
+            for ids, _, _ in ngrams.get(k, []):
+                max_id = max(max_id, max(int(t) for t in ids))
+        self._max_id = max_id
+        n_ids = max_id + 4
+        uni = np.zeros((n_ids, 3), np.float32)
+        for ids, lp, bo in ngrams.get(1, []):
+            uni[int(ids[0]) + 2] = (lp, bo, 1.0)
+        self._uni = jnp.asarray(uni)
+        self._n_ids = n_ids
+        self._bi = None
+        if self.order >= 2 and n_ids <= 259:  # dense bigram: <= ~800 KB
+            bi = np.zeros((n_ids * n_ids, 3), np.float32)
+            for ids, lp, bo in ngrams.get(2, []):
+                bi[(int(ids[0]) + 2) * n_ids + int(ids[1]) + 2] = (
+                    lp, bo, 1.0)
+            self._bi = jnp.asarray(bi)
+
         self._tables = []
         for k in range(1, self.order + 1):
+            if k == 1 or (k == 2 and self._bi is not None):
+                self._tables.append(None)  # served by the dense path
+                continue
             items = []
             for ids, lp, bo in ngrams.get(k, []):
                 h1, h2 = self._fold_np(ids)
                 # exact (h1, h2) duplicates overwrite (re-listed grams)
                 items.append((h1, h2, (lp, bo)))
             self._tables.append(_FastTable(items, 2))
+
+    def _id_row(self, ids):
+        """Clamp token ids to dense-table rows (sentinels/-oob -> miss)."""
+        oob = (ids < -2) | (ids > self._max_id)
+        return jnp.where(oob, self._n_ids - 1, ids + 2).astype(jnp.int32)
+
+    def _dense1(self, ids):
+        rows = self._uni[self._id_row(ids)]
+        return rows[..., 0], rows[..., 1], rows[..., 2] > 0.5
+
+    def _dense2(self, a, b):
+        rows = self._bi[self._id_row(a) * self._n_ids + self._id_row(b)]
+        return rows[..., 0], rows[..., 1], rows[..., 2] > 0.5
 
     @classmethod
     def _fold_np(cls, ids):
@@ -676,20 +724,35 @@ class _HashedNGramTables:
         stored gram, so short histories back off naturally.
         """
         ctx = self.ctx_hashes(window)  # index = context length
+
+        def gram(k, last):
+            """(lp, bo, hit) of the k-gram ending in `last`: dense by ids
+            for the low orders, hashed otherwise.  last = None means the
+            gram ends at the window's last slot (a context gram)."""
+            if k == 1:
+                return self._dense1(window[..., -1] if last is None else last)
+            if k == 2 and self._bi is not None:
+                a = window[..., -2] if last is None else window[..., -1]
+                return self._dense2(a, window[..., -1] if last is None
+                                    else last)
+            if last is None:
+                h1, h2 = ctx[k - 1]
+            else:
+                h1, h2 = self._fold1(*ctx[k - 1], last)
+            return self._lookup(k, h1, h2)
+
         acc = jnp.zeros(jnp.broadcast_shapes(window.shape[:-1], w.shape),
                         jnp.float32)
         res = jnp.zeros_like(acc)
         found = jnp.zeros(acc.shape, bool)
         for k in range(self.order, 0, -1):
-            ch1, ch2 = ctx[k - 1]
-            g1, g2 = self._fold1(ch1, ch2, w)
-            lp, _, hit = self._lookup(k, g1, g2)
+            lp, _, hit = gram(k, w)
             res = jnp.where(~found & hit, lp + acc, res)
             found = found | hit
             if k > 1:
                 # backoff weight of the (k-1)-length context gram (0 if the
                 # context itself is unseen — standard ARPA semantics)
-                _, cbo, chit = self._lookup(k - 1, *ctx[k - 1])
+                _, cbo, chit = gram(k - 1, None)
                 acc = acc + jnp.where(chit, cbo, 0.0)
         return jnp.where(found, res, self.unk_logp + acc)
 
@@ -716,6 +779,13 @@ class _HashedNGramTables:
         for k in range(1, self.order + 1):
             length = p if k == self.order else p + 1
             e0 = n_hist if k == self.order else n_hist - 1
+            if k == 1:
+                grams[k] = self._dense1(full[..., e0:e0 + length])
+                continue
+            if k == 2 and self._bi is not None:
+                grams[k] = self._dense2(full[..., e0 - 1:e0 - 1 + length],
+                                        full[..., e0:e0 + length])
+                continue
             h1 = jnp.full(lead + (length,), self._SEED1, jnp.uint32)
             h2 = jnp.full(lead + (length,), self._SEED2, jnp.uint32)
             for i in range(k):
