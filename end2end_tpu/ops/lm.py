@@ -612,16 +612,31 @@ class _HashedNGramTables:
     id space is char-scale (dense (id1, id2)-indexed rows, <= ~800 KB).
     Query ids are in hand at every call site, so these are exact drop-ins
     for the hash lookups.
+
+    SMALL id spaces skip the backoff chain at query time entirely: when
+    n_ids**order fits _FULL_MAX entries (char-scale vocabs at order <= 3;
+    any vocab <= ~1400 at order 2), the WHOLE backoff recursion is
+    resolved at build time into a dense score table over (ctx window, w)
+    row tuples — log p(w | ctx) is a pure function of the last (order-1)
+    ids plus w, so one gathered f32 per scored position replaces the
+    chain's ~3-5 gathered rows (gather cost on TPU is per gathered row —
+    ops/indexing.py).  The build replays `score`'s f32 accumulation order
+    in NumPy, so scores are bitwise identical to the chain's.
     """
 
     _M1 = np.uint32(2654435761)
     _M2 = np.uint32(0x85EBCA6B)
     _SEED1 = np.uint32(0x9E3779B9)
     _SEED2 = np.uint32(0x85EBCA77)
+    _FULL_MAX = 1 << 21  # dense full-score entries cap (8 MB f32)
 
-    def __init__(self, order, ngrams, unk_logp=None):
+    def __init__(self, order, ngrams, unk_logp=None, dense_full=None):
         """ngrams: {k: [(ids_tuple, logp, backoff)], 'unk': logp|None} —
-        the output of utils.arpa.parse_arpa_order."""
+        the output of utils.arpa.parse_arpa_order.  dense_full: None =
+        build the fully-resolved score table when it fits _FULL_MAX
+        entries; False = never (forces the hashed/backoff query path —
+        the large-id-space code path, pinned by tests); True = require
+        it (raises if over the cap)."""
         self.order = int(order)
         self.unk_logp = float(
             unk_logp if unk_logp is not None
@@ -640,23 +655,34 @@ class _HashedNGramTables:
                 max_id = max(max_id, max(int(t) for t in ids))
         self._max_id = max_id
         n_ids = max_id + 4
-        uni = np.zeros((n_ids, 3), np.float32)
-        for ids, lp, bo in ngrams.get(1, []):
-            uni[int(ids[0]) + 2] = (lp, bo, 1.0)
-        self._uni = jnp.asarray(uni)
         self._n_ids = n_ids
+        fits = n_ids ** self.order <= self._FULL_MAX
+        if dense_full and not fits:
+            raise ValueError(
+                f"dense_full requested but {n_ids}**{self.order} exceeds "
+                f"the {self._FULL_MAX}-entry cap")
+        self._full = None
+        if fits and dense_full is not False:
+            self._full = jnp.asarray(self._build_full(ngrams, n_ids))
+        self._uni = None
         self._bi = None
-        if self.order >= 2 and n_ids <= 259:  # dense bigram: <= ~800 KB
-            bi = np.zeros((n_ids * n_ids, 3), np.float32)
-            for ids, lp, bo in ngrams.get(2, []):
-                bi[(int(ids[0]) + 2) * n_ids + int(ids[1]) + 2] = (
-                    lp, bo, 1.0)
-            self._bi = jnp.asarray(bi)
+        if self._full is None:
+            uni = np.zeros((n_ids, 3), np.float32)
+            for ids, lp, bo in ngrams.get(1, []):
+                uni[int(ids[0]) + 2] = (lp, bo, 1.0)
+            self._uni = jnp.asarray(uni)
+            if self.order >= 2 and n_ids <= 259:  # dense bigram <= ~800 KB
+                bi = np.zeros((n_ids * n_ids, 3), np.float32)
+                for ids, lp, bo in ngrams.get(2, []):
+                    bi[(int(ids[0]) + 2) * n_ids + int(ids[1]) + 2] = (
+                        lp, bo, 1.0)
+                self._bi = jnp.asarray(bi)
 
         self._tables = []
         for k in range(1, self.order + 1):
-            if k == 1 or (k == 2 and self._bi is not None):
-                self._tables.append(None)  # served by the dense path
+            if (self._full is not None or k == 1
+                    or (k == 2 and self._bi is not None)):
+                self._tables.append(None)  # served by a dense path
                 continue
             items = []
             for ids, lp, bo in ngrams.get(k, []):
@@ -664,6 +690,46 @@ class _HashedNGramTables:
                 # exact (h1, h2) duplicates overwrite (re-listed grams)
                 items.append((h1, h2, (lp, bo)))
             self._tables.append(_FastTable(items, 2))
+
+    def _build_full(self, ngrams, n):
+        """Resolve the whole backoff recursion into a flat (n**order,) f32
+        score table over row-index tuples (ctx oldest..newest, w) — exact
+        `score` semantics, f32 accumulation order replayed bitwise.
+        Sentinel rows (0 = unk id, 1 = empty slot, n-1 = out-of-range)
+        stay unoccupied in every per-order grid, so they miss all grams
+        and back off naturally, exactly like the hashed lookups."""
+        order = self.order
+        lps, bos, occs = [], [], []
+        for k in range(1, order + 1):
+            lp = np.zeros((n,) * k, np.float32)
+            bo = np.zeros((n,) * k, np.float32)
+            oc = np.zeros((n,) * k, bool)
+            for ids, l, b in ngrams.get(k, []):
+                idx = tuple(int(t) + 2 for t in ids)
+                lp[idx], bo[idx], oc[idx] = l, b, True
+            lps.append(lp); bos.append(bo); occs.append(oc)
+
+        def gram_w(k):  # k-gram ending in w: the last k grid axes
+            sh = (1,) * (order - k) + (n,) * k
+            return lps[k - 1].reshape(sh), occs[k - 1].reshape(sh)
+
+        def gram_ctx(k):  # k-gram ending at the last ctx slot
+            sh = (1,) * (order - 1 - k) + (n,) * k + (1,)
+            return bos[k - 1].reshape(sh), occs[k - 1].reshape(sh)
+
+        shape = (n,) * order
+        acc = np.zeros(shape, np.float32)
+        res = np.zeros(shape, np.float32)
+        found = np.zeros(shape, bool)
+        for k in range(order, 0, -1):
+            lp, hit = gram_w(k)
+            res = np.where(~found & hit, lp + acc, res)
+            found = found | hit
+            if k > 1:
+                cbo, chit = gram_ctx(k - 1)
+                acc = acc + np.where(chit, cbo, np.float32(0.0))
+        return np.where(
+            found, res, np.float32(self.unk_logp) + acc).reshape(-1)
 
     def _id_row(self, ids):
         """Clamp token ids to dense-table rows (sentinels/-oob -> miss)."""
@@ -723,6 +789,14 @@ class _HashedNGramTables:
         compatible int32 tokens.  A context slot holding -1 never matches any
         stored gram, so short histories back off naturally.
         """
+        if self._full is not None:  # one gather: chain resolved at build
+            n = self._n_ids
+            if self.order == 1:
+                return self._full[self._id_row(w)]
+            idx = self._id_row(window[..., -(self.order - 1)])
+            for i in range(-(self.order - 1) + 1, 0):
+                idx = idx * n + self._id_row(window[..., i])
+            return self._full[idx * n + self._id_row(w)]
         ctx = self.ctx_hashes(window)  # index = context length
 
         def gram(k, last):
@@ -771,6 +845,13 @@ class _HashedNGramTables:
         """
         if p == 0:
             return jnp.zeros(full.shape[:-1] + (0,), jnp.float32)
+        if self._full is not None:  # one gather per position (see `score`)
+            n = self._n_ids
+            s0 = full.shape[-1] - p - (self.order - 1)
+            idx = self._id_row(full[..., s0:s0 + p])
+            for i in range(1, self.order):
+                idx = idx * n + self._id_row(full[..., s0 + i:s0 + i + p])
+            return self._full[idx]
         n_hist = full.shape[-1] - p
         lead = full.shape[:-1]
         grams = {}  # k -> (lp, bo, hit) at k-gram end offsets; length
@@ -812,7 +893,11 @@ class _HashedNGramTables:
 class HashedNGramLM:
     """Token-level n-gram LM of ANY order with KenLM backoff semantics,
     implementing the ShallowFusionLM protocol.  Per-beam state is the last
-    (order-1) token ids; scoring is O(order) hashed lookups per candidate.
+    (order-1) token ids; scoring is ONE gathered f32 per candidate when
+    the id space is small enough for the build-time-resolved dense score
+    table (char-scale vocabs at order <= 3 — see _HashedNGramTables), and
+    O(order) hashed lookups otherwise.  `dense_full=False` forces the
+    hashed path; None (default) auto-selects.
 
     Build from an ARPA file with `from_arpa` (any order), or pass the parsed
     ngrams dict directly.  <s> conditions the first tokens; `final()` adds
@@ -820,8 +905,8 @@ class HashedNGramLM:
     """
 
     def __init__(self, order, ngrams, vocab_size, unk_logp=None,
-                 use_eos=True):
-        self._t = _HashedNGramTables(order, ngrams, unk_logp)
+                 use_eos=True, dense_full=None):
+        self._t = _HashedNGramTables(order, ngrams, unk_logp, dense_full)
         self.order = self._t.order
         self._v = int(vocab_size)
         self._bos = self._v       # parse_arpa_order's <s> id
@@ -916,14 +1001,14 @@ class HashedWordNGramLM:
     _SEED = np.uint32(5381)
 
     def __init__(self, word_spellings, order, ngrams, space_id,
-                 unk_logp=None):
+                 unk_logp=None, dense_full=None):
         wv = len(word_spellings)
         self._wv = wv
         self._space = int(space_id)
         self._bos = wv       # parse_arpa_order's <s> id
         self._eos = wv + 1
         self._unk_word = -2  # history sentinel: matches no stored gram
-        self._t = _HashedNGramTables(order, ngrams, unk_logp)
+        self._t = _HashedNGramTables(order, ngrams, unk_logp, dense_full)
         self.order = self._t.order
         self._wh = _WordHash(word_spellings, self._unk_word)
 

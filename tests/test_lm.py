@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from end2end_tpu import beam_search_decode
 from end2end_tpu.ops.lm import NGramLM, UniformLM, bigram_from_counts
@@ -233,16 +234,21 @@ def test_arpa_scorer_hand_values(tmp_path):
     )
 
 
-def test_hashed_tables_match_scorer_exhaustive(tmp_path):
-    """Device hashed tables == dict oracle on EVERY (context, token) pair
-    reachable with histories up to length 3 (incl. bos and empty slots)."""
+@pytest.mark.parametrize("dense_full", [None, False])
+def test_hashed_tables_match_scorer_exhaustive(tmp_path, dense_full):
+    """Device tables == dict oracle on EVERY (context, token) pair
+    reachable with histories up to length 3 (incl. bos and empty slots) —
+    on BOTH query paths: the build-time-resolved dense score table
+    (dense_full=None auto-builds it at this vocab size) and the hashed
+    backoff chain (dense_full=False, the large-id-space path)."""
     import itertools
 
     from end2end_tpu.ops.lm import HashedNGramLM
     from end2end_tpu.utils.arpa import ArpaScorer
 
     path = _write_arpa(tmp_path)
-    lm = HashedNGramLM.from_arpa(path, _VOCAB)
+    lm = HashedNGramLM.from_arpa(path, _VOCAB, dense_full=dense_full)
+    assert (lm._t._full is not None) == (dense_full is None)
     sc = ArpaScorer.from_file(path, _VOCAB)
     assert lm.order == 3
     toks = [_A, _B, _C]
@@ -293,6 +299,45 @@ def test_trigram_beam_fusion_matches_numpy_oracle(tmp_path, rng):
         assert set(got) == set(want), (b, set(got) ^ set(want))
         for pref, s in got.items():
             np.testing.assert_allclose(s, want[pref], rtol=1e-4, atol=5e-4)
+
+
+def test_dense_full_table_matches_hashed_bitwise(tmp_path, rng):
+    """The dense full-score table (backoff chain resolved at BUILD time, one
+    gather per query) is BITWISE identical to the hashed chain on score()
+    and score_sequence(), exhaustively over windows that include the
+    sentinel ids (-2 unk, -1 empty, bos) and out-of-range ids."""
+    import itertools
+
+    from end2end_tpu.ops.lm import HashedNGramLM
+
+    V = 7
+    ngrams = {1: [], 2: [], 3: [], "unk": -8.0}
+    for a in range(V + 2):
+        ngrams[1].append(((a,), float(rng.uniform(-4, -1)),
+                          float(rng.uniform(-1, 0))))
+    for _ in range(40):
+        g = tuple(int(x) for x in rng.integers(0, V + 2, 2))
+        ngrams[2].append((g, float(rng.uniform(-3, -0.5)),
+                          float(rng.uniform(-1, 0))))
+    for _ in range(120):
+        g = tuple(int(x) for x in rng.integers(0, V + 2, 3))
+        ngrams[3].append((g, float(rng.uniform(-2, -0.3)), 0.0))
+    lm_f = HashedNGramLM(3, ngrams, V)
+    lm_h = HashedNGramLM(3, ngrams, V, dense_full=False)
+    assert lm_f._t._full is not None and lm_h._t._full is None
+
+    ids = list(range(-2, V + 2)) + [99]  # 99 = out-of-range -> miss row
+    wins = jnp.asarray(
+        np.array(list(itertools.product(ids, ids)), np.int32))
+    ws = jnp.asarray(np.array(ids, np.int32))
+    sf = np.asarray(lm_f._t.score(wins[:, None, :], ws[None, :]))
+    sh = np.asarray(lm_h._t.score(wins[:, None, :], ws[None, :]))
+    np.testing.assert_array_equal(sf, sh)
+
+    full = rng.integers(-1, V + 2, (32, 11)).astype(np.int32)
+    qf = np.asarray(lm_f._t.score_sequence(jnp.asarray(full), 8))
+    qh = np.asarray(lm_h._t.score_sequence(jnp.asarray(full), 8))
+    np.testing.assert_array_equal(qf, qh)
 
 
 def test_fourgram_tables(tmp_path):
