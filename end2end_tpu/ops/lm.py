@@ -242,15 +242,15 @@ _PROBE_MAX = 8192  # entry count below which the probe layout wins
 _WORD_ROUND = 8
 
 
-def _word_score_rounds(whash, n_words, carry0, round_fn):
+def _word_score_rounds(whash, n_words, carry0, round_fn, round_cap=None):
     """Drive `round_fn(carry, whash_slice (M, w_cap), nv (M,)) ->
     (carry, lp (M,))` over left-compacted word hashes in rounds of
-    _WORD_ROUND until every row's `n_words` are consumed (zero rounds when
-    no row completed a word).  `nv` is each row's valid count within the
-    slice (0..w_cap); slots past it hold padding the round_fn must mask.
-    Returns (final carry, summed lp)."""
+    `round_cap` (default _WORD_ROUND) until every row's `n_words` are
+    consumed (zero rounds when no row completed a word).  `nv` is each
+    row's valid count within the slice (0..w_cap); slots past it hold
+    padding the round_fn must mask.  Returns (final carry, summed lp)."""
     m, w_max = whash.shape
-    w_cap = min(_WORD_ROUND, w_max)
+    w_cap = min(round_cap or _WORD_ROUND, w_max)
     pad = -w_max % w_cap
     if pad:
         whash = jnp.pad(whash, ((0, 0), (0, pad)))
@@ -958,26 +958,39 @@ class HashedNGramLM:
         w = jnp.full((state.shape[0],), self._eos, jnp.int32)
         return self._t.score(state, w)
 
+    _TOKEN_ROUND = 16
+
     @partial(jax.jit, static_argnums=0)
     def score_chunk(self, state, toks):
         """Vectorized chunk replay (see NGramLM.score_chunk): every emitted
         token is scored against its (order-1)-token history via
-        `score_sequence` over state ++ toks (each (order, position) gram
-        looked up once, shared between scoring and backoff contexts) — no
-        sequential scan.  Jitted with `self` static (LM objects hash by
-        identity — module docstring) so eager callers don't re-trace the
-        round loop per call; under an outer jit it inlines."""
-        m, c = toks.shape
+        `score_sequence` (each (order, position) gram looked up once,
+        shared between scoring and backoff contexts) — no sequential scan.
+        Positions run in data-adaptive ROUNDS of _TOKEN_ROUND columns
+        (the emitted tokens are a left-compacted prefix of `toks`): table
+        gathers cover ceil(max_emitted / 16) * 16 position slots instead
+        of the full chunk capacity, which on peaked lattices is most of
+        the capacity saved.  Jitted with `self` static (LM objects hash
+        by identity — module docstring) so eager callers don't re-trace
+        the round loop per call; under an outer jit it inlines."""
         n_ctx = state.shape[1]
-        valid = toks >= 0
-        full = jnp.concatenate([state, toks], axis=1)  # (M, n_ctx + C)
         from .indexing import flat_take
 
-        lp = self._t.score_sequence(full, c)  # (M, C); invalid masked below
-        lp_sum = jnp.sum(jnp.where(valid, lp, 0.0), axis=1)
-        n_valid = valid.sum(axis=1)
-        idx = n_valid[:, None] + jnp.arange(n_ctx, dtype=jnp.int32)[None]
-        return lp_sum, flat_take(full, idx)
+        n_valid = jnp.sum(toks >= 0, axis=1).astype(jnp.int32)
+
+        def round_fn(win_r, tok_sl, nv):
+            p = tok_sl.shape[1]
+            vmask = jnp.arange(p, dtype=jnp.int32)[None] < nv[:, None]
+            fullr = jnp.concatenate(
+                [win_r, tok_sl.astype(jnp.int32)], axis=1)
+            lp = self._t.score_sequence(fullr, p)
+            idx = nv[:, None] + jnp.arange(n_ctx, dtype=jnp.int32)[None]
+            return (flat_take(fullr, idx),
+                    jnp.sum(jnp.where(vmask, lp, 0.0), axis=1))
+
+        new_win, lp_sum = _word_score_rounds(
+            toks, n_valid, state, round_fn, round_cap=self._TOKEN_ROUND)
+        return lp_sum, new_win
 
 
 class HashedWordNGramLM:
