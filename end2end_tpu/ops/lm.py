@@ -149,6 +149,82 @@ def _chunk_words(toks, space_id, curh, curlen, mult, seed):
                 new_curh=new_curh, new_curlen=new_curlen.astype(jnp.int32))
 
 
+_VSEP = 1 << 30  # virtual separator id for prefix-boundary interleaving
+
+
+def _prefix_to_separator(toks, is_bnd):
+    """Reduce prefix-boundary (BPE-style) word segmentation to separator
+    segmentation: insert a VIRTUAL separator before each boundary token.
+    Boundary tokens stay in the stream (they are part of their own word's
+    spelling, unlike a space); the virtual id never appears in real data,
+    so the separator machinery (_chunk_words) applies unchanged.
+    (M, C) -> (M, 2C); -1 slots are invalid and ignored downstream."""
+    m, c = toks.shape
+    sep = jnp.where(is_bnd, jnp.int32(_VSEP), jnp.int32(-1))
+    return jnp.stack([sep, toks], axis=2).reshape(m, 2 * c)
+
+
+class _WordBoundaryMode:
+    """Shared boundary handling for the word-level LMs: 'separator' (a
+    dedicated token, e.g. space, ends the word and belongs to none) or
+    'prefix' (BPE/SentencePiece-style: tokens marked as word-starters,
+    e.g. '▁the', BEGIN a new word and are part of it — the
+    pyctcdecode-compatible regime for subword CTC models).  Pass
+    `boundary_ids` (iterable of token ids that start words) to select
+    prefix mode; `space_id` must then be None."""
+
+    def _init_boundary(self, space_id, boundary_ids):
+        if (space_id is None) == (boundary_ids is None):
+            raise ValueError(
+                "exactly one of space_id (separator mode) and "
+                "boundary_ids (prefix/BPE mode) must be given")
+        # -10: matches no candidate id, including the -1 padding slots
+        self._space = -10 if space_id is None else int(space_id)
+        self._bnd = None
+        if boundary_ids is not None:
+            ids = sorted(int(i) for i in boundary_ids)
+            if not ids or ids[0] < 0:
+                raise ValueError("boundary_ids must be non-negative")
+            mask = np.zeros(ids[-1] + 1, bool)
+            mask[ids] = True
+            self._bnd = jnp.asarray(mask)
+
+    def _cand_boundary(self, ck):
+        """(..., ) bool: does candidate token ck start/end a word?"""
+        if self._bnd is None:
+            return ck == self._space
+        n = self._bnd.shape[0]
+        return self._bnd[jnp.clip(ck, 0, n - 1)] & (ck >= 0) & (ck < n)
+
+    def _advance_word_hash(self, is_b, curh, curlen, ck):
+        """Per-candidate rolling-hash/length advance: (W, K) new hash and
+        length given boundary flags is_b (W, K) or (1, K).  In separator
+        mode a boundary resets to an empty word; in prefix mode it starts
+        a new word CONTAINING the boundary token."""
+        cku = ck.astype(jnp.uint32) + 1
+        cont_h = curh[:, None] * self._MULT + cku[None, :]
+        if self._bnd is None:
+            new_h = jnp.where(is_b, jnp.uint32(self._SEED), cont_h)
+            new_len = jnp.where(is_b, 0, curlen[:, None] + 1)
+        else:
+            restart = jnp.uint32(self._SEED) * self._MULT + cku  # (K,)
+            new_h = jnp.where(is_b, restart[None, :], cont_h)
+            new_len = jnp.where(is_b, 1, curlen[:, None] + 1)
+        return new_h, new_len.astype(jnp.int32)
+
+    def _segment_chunk(self, toks, curh, curlen):
+        """_chunk_words under the configured boundary mode (prefix mode
+        goes through the virtual-separator interleave)."""
+        if self._bnd is None:
+            return _chunk_words(toks, self._space, curh, curlen,
+                                self._MULT, self._SEED)
+        n = self._bnd.shape[0]
+        is_b = ((toks >= 0) & (toks < n)
+                & self._bnd[jnp.clip(toks, 0, n - 1)])
+        return _chunk_words(_prefix_to_separator(toks, is_b), _VSEP,
+                            curh, curlen, self._MULT, self._SEED)
+
+
 class NGramLM:
     """Token-level n-gram LM with dense tables (n = 1 or 2).
 
@@ -446,11 +522,14 @@ class _WordHash:
         return jnp.where(hit, wid.astype(jnp.int32), self.miss)
 
 
-class WordNGramLM:
+class WordNGramLM(_WordBoundaryMode):
     """Word-level shallow fusion — the reference's KenLM behavior: hypotheses
-    are scored with a WORD bigram each time a word completes (at the space
-    token and at end of utterance), not per character (SURVEY.md §3.1 N6,
-    §4.4 "[KenLM: on word boundary, add alpha*lm_logp + beta]").
+    are scored with a WORD bigram each time a word completes (at the word
+    boundary and at end of utterance), not per character (SURVEY.md §3.1 N6,
+    §4.4 "[KenLM: on word boundary, add alpha*lm_logp + beta]").  Boundaries
+    are either a separator token (space — char CTC) or prefix-marked
+    word-starter tokens (BPE '▁…' — pass `boundary_ids`), see
+    _WordBoundaryMode.
 
     TPU-native mechanics: per-beam state is (previous word id, rolling hash
     of the word being typed, its length); completed words resolve to word
@@ -468,13 +547,16 @@ class WordNGramLM:
     _PROBES = 4
 
     def __init__(self, word_spellings, bigram_logp, start_logp, space_id,
-                 unigram_logp=None, eos_logp=None, unk_logp=-13.8):
-        """word_spellings: list of tuples of CHAR ids (the label alphabet's
-        ids) for each word; bigram_logp (Wv, Wv); start_logp (Wv,);
-        eos_logp (Wv,) optional; space_id: the word-separator label id."""
+                 unigram_logp=None, eos_logp=None, unk_logp=-13.8,
+                 boundary_ids=None):
+        """word_spellings: list of tuples of token ids (the label
+        alphabet's) for each word — in prefix mode each starts with its
+        boundary token; bigram_logp (Wv, Wv); start_logp (Wv,); eos_logp
+        (Wv,) optional; space_id: the word-separator label id (or None
+        with `boundary_ids` for prefix/BPE mode)."""
         wv = len(word_spellings)
         self._wv = wv
-        self._space = int(space_id)
+        self._init_boundary(space_id, boundary_ids)
         self._unk = wv + 1  # context row for unknown words; wv = <s>
         bigram_logp = np.asarray(bigram_logp, np.float32)
         start_logp = np.asarray(start_logp, np.float32)
@@ -500,15 +582,21 @@ class WordNGramLM:
         self._unk_logp = float(unk_logp)
 
     @classmethod
-    def from_arpa(cls, path, words, alphabet, space_symbol=" ", **kw):
-        """words: list of word strings; alphabet: utils.text.Alphabet."""
+    def from_arpa(cls, path, words, alphabet=None, space_symbol=" ",
+                  spellings=None, boundary_ids=None, **kw):
+        """words: list of word strings; alphabet: utils.text.Alphabet.
+        For subword (BPE) models pass `spellings` (token-id tuples per
+        word, each starting with its boundary token) and `boundary_ids`
+        instead of an alphabet."""
         from ..utils.arpa import load_arpa
 
         uni, bigram, start, eos = load_arpa(path, list(words))
-        spellings = [tuple(alphabet.encode(w)) for w in words]
-        space_id = alphabet.encode(space_symbol)[0]
-        return cls(spellings, bigram, start, space_id,
-                   unigram_logp=uni, eos_logp=eos, **kw)
+        if spellings is None:
+            spellings = [tuple(alphabet.encode(w)) for w in words]
+        space_id = (None if boundary_ids is not None
+                    else alphabet.encode(space_symbol)[0])
+        return cls(spellings, bigram, start, space_id, unigram_logp=uni,
+                   eos_logp=eos, boundary_ids=boundary_ids, **kw)
 
     def _lookup(self, h):
         return self._wh.lookup(h)
@@ -523,26 +611,19 @@ class WordNGramLM:
 
     def score(self, state, ck):
         prev, curh, curlen = state
-        w = prev.shape[0]
-        k = ck.shape[0]
-        is_space = (ck == self._space)[None, :]  # (1, K)
-        wid = self._lookup(curh)  # (W,) word completed by a space now
+        is_b = self._cand_boundary(ck)[None, :]  # (1, K)
+        wid = self._lookup(curh)  # (W,) word completed by a boundary now
         # completed-word score; empty words (double space) score 0
         complete_lp = self._table[prev, jnp.minimum(wid, self._wv)]
         complete_lp = jnp.where(wid == self._unk, self._unk_logp, complete_lp)
         complete_lp = jnp.where(curlen > 0, complete_lp, 0.0)  # (W,)
-        lm_lp = jnp.where(is_space, complete_lp[:, None], 0.0)  # (W, K)
+        lm_lp = jnp.where(is_b, complete_lp[:, None], 0.0)  # (W, K)
 
         new_prev = jnp.where(
-            is_space, jnp.where(curlen > 0, wid, prev)[:, None],
+            is_b, jnp.where(curlen > 0, wid, prev)[:, None],
             prev[:, None],
         ).astype(jnp.int32)
-        cku = ck.astype(jnp.uint32) + 1
-        new_hash = jnp.where(
-            is_space, jnp.uint32(self._SEED),
-            curh[:, None] * self._MULT + cku[None, :],
-        )
-        new_len = jnp.where(is_space, 0, curlen[:, None] + 1).astype(jnp.int32)
+        new_hash, new_len = self._advance_word_hash(is_b, curh, curlen, ck)
         return lm_lp, (new_prev, new_hash, new_len)
 
     def select(self, state, state_ext, parent, kk, is_stay):
@@ -569,8 +650,7 @@ class WordNGramLM:
         lookup + one flat bigram gather per position, only for word slots
         each chunk actually completed — no per-frame scan."""
         prev, curh, curlen = state
-        seg = _chunk_words(toks, self._space, curh, curlen,
-                           self._MULT, self._SEED)
+        seg = self._segment_chunk(toks, curh, curlen)
         from .indexing import flat_take
 
         ncol = self._wv + 1
@@ -993,11 +1073,13 @@ class HashedNGramLM:
         return lp_sum, new_win
 
 
-class HashedWordNGramLM:
+class HashedWordNGramLM(_WordBoundaryMode):
     """Word-level shallow fusion at ANY n-gram order — full KenLM parity for
     the reference's word-LM behavior (SURVEY.md §3.1 N6): hypotheses are
-    scored each time a word completes (at the space token and at end of
+    scored each time a word completes (at the word boundary and at end of
     utterance), with arbitrary-order backoff over the word history.
+    Boundary modes: separator token (space — char CTC) or prefix-marked
+    word starters (BPE '▁…' via `boundary_ids`), see _WordBoundaryMode.
 
     Per-beam state: (word-history window (order-1), rolling spell-hash of
     the word being typed, its length).  Completed words resolve to word ids
@@ -1014,10 +1096,10 @@ class HashedWordNGramLM:
     _SEED = np.uint32(5381)
 
     def __init__(self, word_spellings, order, ngrams, space_id,
-                 unk_logp=None, dense_full=None):
+                 unk_logp=None, dense_full=None, boundary_ids=None):
         wv = len(word_spellings)
         self._wv = wv
-        self._space = int(space_id)
+        self._init_boundary(space_id, boundary_ids)
         self._bos = wv       # parse_arpa_order's <s> id
         self._eos = wv + 1
         self._unk_word = -2  # history sentinel: matches no stored gram
@@ -1026,14 +1108,21 @@ class HashedWordNGramLM:
         self._wh = _WordHash(word_spellings, self._unk_word)
 
     @classmethod
-    def from_arpa(cls, path, words, alphabet, space_symbol=" ", **kw):
-        """words: list of word strings; alphabet: utils.text.Alphabet."""
+    def from_arpa(cls, path, words, alphabet=None, space_symbol=" ",
+                  spellings=None, boundary_ids=None, **kw):
+        """words: list of word strings; alphabet: utils.text.Alphabet.
+        For subword (BPE) models pass `spellings` (token-id tuples per
+        word, each starting with its boundary token) and `boundary_ids`
+        instead of an alphabet."""
         from ..utils.arpa import parse_arpa_order
 
         order, ngrams = parse_arpa_order(path, list(words))
-        spellings = [tuple(alphabet.encode(w)) for w in words]
-        space_id = alphabet.encode(space_symbol)[0]
-        return cls(spellings, order, ngrams, space_id, **kw)
+        if spellings is None:
+            spellings = [tuple(alphabet.encode(w)) for w in words]
+        space_id = (None if boundary_ids is not None
+                    else alphabet.encode(space_symbol)[0])
+        return cls(spellings, order, ngrams, space_id,
+                   boundary_ids=boundary_ids, **kw)
 
     # -- ShallowFusionLM protocol -------------------------------------------
     def init_state(self, w):
@@ -1054,25 +1143,20 @@ class HashedWordNGramLM:
 
     def score(self, state, ck):
         win, curh, curlen = state
-        is_space = (ck == self._space)[None, :]  # (1, K)
-        wid = self._wh.lookup(curh)  # (W,) word completed by a space now
+        is_b = self._cand_boundary(ck)[None, :]  # (1, K)
+        wid = self._wh.lookup(curh)  # (W,) word completed by a boundary now
         complete_lp = self._t.score(win, wid)  # unk wid -> unk + backoffs
         complete_lp = jnp.where(curlen > 0, complete_lp, 0.0)  # (W,)
-        lm_lp = jnp.where(is_space, complete_lp[:, None], 0.0)  # (W, K)
+        lm_lp = jnp.where(is_b, complete_lp[:, None], 0.0)  # (W, K)
 
         k = ck.shape[0]
         w = win.shape[0]
         win_b = jnp.broadcast_to(win[:, None, :], (w, k, win.shape[-1]))
         advanced = self._shift(win_b, jnp.broadcast_to(wid[:, None], (w, k)))
         new_win = jnp.where(
-            (is_space & (curlen > 0)[:, None])[..., None], advanced, win_b
+            (is_b & (curlen > 0)[:, None])[..., None], advanced, win_b
         )
-        cku = ck.astype(jnp.uint32) + 1
-        new_hash = jnp.where(
-            is_space, jnp.uint32(self._SEED),
-            curh[:, None] * self._MULT + cku[None, :],
-        )
-        new_len = jnp.where(is_space, 0, curlen[:, None] + 1).astype(jnp.int32)
+        new_hash, new_len = self._advance_word_hash(is_b, curh, curlen, ck)
         return lm_lp, (new_win, new_hash, new_len)
 
     def select(self, state, state_ext, parent, kk, is_stay):
@@ -1106,8 +1190,7 @@ class HashedWordNGramLM:
         backoff contexts) — no per-frame scan, and no lookups at all for
         the (majority) word slots beyond each chunk's completed count."""
         win, curh, curlen = state
-        seg = _chunk_words(toks, self._space, curh, curlen,
-                           self._MULT, self._SEED)
+        seg = self._segment_chunk(toks, curh, curlen)
         n_ctx = win.shape[1]
         from .indexing import flat_take
 

@@ -181,7 +181,11 @@ def _random_lm(rng, V):
                 seen.add(g)
                 ngrams[o].append((g, float(rng.uniform(-3, -0.3)),
                                   float(rng.uniform(-1, 0))))
-        return HashedNGramLM(3, ngrams, V)
+        # half the rounds pin the hashed backoff chain (dense_full=False),
+        # half take the auto dense full-score table — both query paths
+        # stay under the sweep's differential oracles
+        return HashedNGramLM(3, ngrams, V,
+                             dense_full=False if rng.integers(2) else None)
     words, space = [], V - 1
     seen = set()
     for _ in range(int(rng.integers(2, 7))):

@@ -95,6 +95,19 @@ def _word_bigram_lm(rng, space=3):
                        unk_logp=-3.0)
 
 
+def _bpe_word_lm(rng):
+    """Prefix-boundary (BPE-style) word bigram over token ids 0..4:
+    boundary tokens {1, 3} start words; spellings include them."""
+    words = [(1, 2), (3,), (1, 4), (3, 2, 2)]
+    wv = len(words)
+    bigram = np.log(np.maximum(rng.random((wv, wv)).astype(np.float32), 0.05))
+    return WordNGramLM(words, bigram,
+                       rng.standard_normal(wv).astype(np.float32), None,
+                       unigram_logp=rng.standard_normal(wv).astype(np.float32),
+                       eos_logp=rng.standard_normal(wv).astype(np.float32),
+                       unk_logp=-3.0, boundary_ids=[1, 3])
+
+
 def _lms(rng, tmp_path, V):
     f = tmp_path / "lm.arpa"
     f.write_text(_TRIGRAM_ARPA)
@@ -105,10 +118,11 @@ def _lms(rng, tmp_path, V):
         "hashed3": HashedNGramLM.from_arpa(
             str(f), ["_", "a", "b", "c"] + [f"x{i}" for i in range(V - 4)]),
         "word2": _word_bigram_lm(rng),
+        "wordbpe": _bpe_word_lm(rng),
     }
 
 
-@pytest.mark.parametrize("name", ["bigram", "hashed3", "word2"])
+@pytest.mark.parametrize("name", ["bigram", "hashed3", "word2", "wordbpe"])
 def test_single_chunk_equals_rescored_nolm_decode(rng, tmp_path, name):
     B, T, V, W = 3, 18, 5, 8
     lm = _lms(rng, tmp_path, V)[name]
@@ -130,7 +144,8 @@ def test_single_chunk_equals_rescored_nolm_decode(rng, tmp_path, name):
 
 @pytest.mark.parametrize("name,chunk", [("bigram", 4), ("bigram", 7),
                                         ("hashed3", 5), ("word2", 4),
-                                        ("word2", 9)])
+                                        ("word2", 9), ("wordbpe", 4),
+                                        ("wordbpe", 9)])
 def test_chunked_matches_fused_scan_on_peaked(rng, tmp_path, name, chunk):
     B, T, V, W = 4, 30, 5, 8
     lm = _lms(rng, tmp_path, V)[name]

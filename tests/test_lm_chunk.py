@@ -195,3 +195,83 @@ def test_hashed_word_lm_chunk_matches_sequential(rng, tmp_path, chunk):
     streams += _word_streams(rng, space, chars)
     for stream in streams:
         _check(lm, stream, chunk)
+
+
+# --- prefix-boundary (BPE-style) word LMs --------------------------------
+# Subword vocab: ids 0 '▁ca', 1 't', 2 '▁d', 3 'og', 4 '▁ox', 5 'x';
+# boundary (word-starter) tokens = {0, 2, 4}; spellings include them.
+_BPE_BND = [0, 2, 4]
+_BPE_SPELL = [(0, 1), (2, 3), (4,)]  # cat, dog, ox
+
+
+def _bpe_streams(rng, n=12, max_len=24):
+    streams = [[], [1], [0, 1], [0, 1, 2, 3, 4],   # cat dog ox
+               [4, 4, 4], [1, 5, 0, 1],            # unmarked lead word
+               [0, 1, 1, 2, 3]]                    # unknown 'catt'
+    for _ in range(n):
+        ln = int(rng.integers(1, max_len))
+        streams.append([int(x) for x in rng.integers(0, 6, ln)])
+    return streams
+
+
+@pytest.mark.parametrize("chunk", [1, 4, 9])
+def test_prefix_hashed_word_lm_chunk_matches_sequential(
+        rng, tmp_path, chunk):
+    f = tmp_path / "words.arpa"
+    f.write_text(_WORD_TRIGRAM_ARPA)
+    lm = HashedWordNGramLM.from_arpa(
+        str(f), ["cat", "dog", "ox"], spellings=_BPE_SPELL,
+        boundary_ids=_BPE_BND)
+    for stream in _bpe_streams(rng):
+        _check(lm, stream, chunk)
+
+
+@pytest.mark.parametrize("chunk", [1, 4, 9])
+def test_prefix_word_bigram_chunk_matches_sequential(rng, chunk):
+    wv = len(_BPE_SPELL)
+    bigram = np.log(np.maximum(
+        rng.random((wv, wv)).astype(np.float32), 1e-3))
+    lm = WordNGramLM(_BPE_SPELL, bigram,
+                     rng.standard_normal(wv).astype(np.float32), None,
+                     unigram_logp=rng.standard_normal(wv).astype(np.float32),
+                     eos_logp=rng.standard_normal(wv).astype(np.float32),
+                     unk_logp=-11.0, boundary_ids=_BPE_BND)
+    for stream in _bpe_streams(rng):
+        _check(lm, stream, chunk)
+
+
+def test_prefix_mode_equals_separator_twin(rng, tmp_path):
+    """Oracle: prefix-boundary segmentation == a separator-mode twin of
+    the SAME LM decoding the stream with an explicit separator inserted
+    before every boundary token (word spellings unchanged — in prefix
+    mode the boundary token is part of its word)."""
+    f = tmp_path / "words.arpa"
+    f.write_text(_WORD_TRIGRAM_ARPA)
+    sep = 9  # unused token id
+    lm_p = HashedWordNGramLM.from_arpa(
+        str(f), ["cat", "dog", "ox"], spellings=_BPE_SPELL,
+        boundary_ids=_BPE_BND)
+    from end2end_tpu.utils.arpa import parse_arpa_order
+
+    order, ngrams = parse_arpa_order(str(f), ["cat", "dog", "ox"])
+    lm_s = HashedWordNGramLM(_BPE_SPELL, order, ngrams, sep)
+    for stream in _bpe_streams(rng, n=8):
+        t_p, s_p = _sequential_replay(lm_p, stream)
+        twin = []
+        for t in stream:
+            if t in _BPE_BND:
+                twin.append(sep)
+            twin.append(t)
+        t_s, s_s = _sequential_replay(lm_s, twin)
+        np.testing.assert_allclose(t_p, t_s, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(lm_p.final(s_p)), np.asarray(lm_s.final(s_s)),
+            atol=1e-6)
+
+
+def test_boundary_mode_arg_validation():
+    with pytest.raises(ValueError):
+        HashedWordNGramLM([(0,)], 1, {1: [((0,), -1.0, 0.0)]}, 3,
+                          boundary_ids=[0])
+    with pytest.raises(ValueError):
+        HashedWordNGramLM([(0,)], 1, {1: [((0,), -1.0, 0.0)]}, None)
