@@ -16,7 +16,14 @@ from .ops.ctc_loss import CTCLoss, ctc_loss, ctc_loss_jit, ctc_nll
 from .ops.greedy import GreedyCTCDecoder, greedy_decode, greedy_decode_with_timestamps
 from .ops.beam_search import BeamSearchCTCDecoder, beam_search_decode
 from .ops.beam_chunked import beam_search_chunked_lm
-from .ops.lm import HashedNGramLM, HashedWordNGramLM, NGramLM, WordNGramLM
+from .ops.lm import (
+    CompositeLM,
+    HashedNGramLM,
+    HashedWordNGramLM,
+    HotwordBoostLM,
+    NGramLM,
+    WordNGramLM,
+)
 from .ops.rescore import rescore_nbest
 from .ops.streaming_decode import StreamingBeamDecoder, StreamingGreedyDecoder
 
@@ -39,6 +46,8 @@ __all__ = [
     "WordNGramLM",
     "HashedNGramLM",
     "HashedWordNGramLM",
+    "HotwordBoostLM",
+    "CompositeLM",
     "rescore_nbest",
     "StreamingGreedyDecoder",
     "StreamingBeamDecoder",

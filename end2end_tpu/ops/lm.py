@@ -1209,3 +1209,176 @@ class HashedWordNGramLM(_WordBoundaryMode):
         new_win, lp_sum = _word_score_rounds(
             seg["whash"], seg["n_words"], win, round_fn)
         return lp_sum, (new_win, seg["new_curh"], seg["new_curlen"])
+
+
+class HotwordBoostLM:
+    """Hotword / phrase boosting (pyctcdecode's `hotwords` feature): adds
+    `weight` for every emitted token that CONTINUES some hotword phrase
+    (the emitted suffix matches one of its prefixes), plus
+    `complete_bonus` each time a full phrase completes.  A protocol LM
+    carrying no probabilities — stack it on a real LM with `CompositeLM`,
+    or use it alone (the decoder's lm_alpha scales the boost).
+
+    Matching is longest-suffix against the hashed prefix set of all
+    phrases: per-beam state is the last (max_len - 1) token ids, so the
+    match state is a pure function of the token window — Aho-Corasick-
+    style suffix recovery comes for free ("a b c d" re-enters phrase
+    "b c d" at 'd' even though the "a b c…" match just failed), and
+    chunk replay (`score_chunk`) vectorizes exactly like the n-gram LMs
+    (ops/beam_chunked.py).  `phrases` are tuples of token ids (encode
+    words/phrases with your alphabet or tokenizer first).
+    """
+
+    def __init__(self, phrases, weight=1.0, complete_bonus=0.0):
+        phrases = [tuple(int(t) for t in p) for p in phrases]
+        if not phrases or any(len(p) == 0 for p in phrases):
+            raise ValueError("phrases must be non-empty token sequences")
+        if any(t < 0 for p in phrases for t in p):
+            raise ValueError("phrase token ids must be non-negative")
+        self._L = max(len(p) for p in phrases)
+        complete = set(phrases)
+        prefixes = {}
+        for p in phrases:
+            for l in range(1, len(p) + 1):
+                pre = p[:l]
+                prefixes[pre] = prefixes.get(pre, False) or (pre in complete)
+        items = []
+        for pre, comp in prefixes.items():
+            h1, h2 = _HashedNGramTables._fold_np(pre)
+            items.append((h1, h2, (float(comp),)))
+        # distinct prefixes sharing (h1, h2) would conflate matches
+        self._t = _FastTable(items, 1, on_dup="error")
+        self._w = float(weight)
+        self._cb = float(complete_bonus)
+
+    def _bonus(self, window, w):
+        """Boost for appending token(s) w to window(s) (..., n_ctx)."""
+        n_ctx = window.shape[-1]
+        h = _HashedNGramTables
+        matched = jnp.zeros(
+            jnp.broadcast_shapes(window.shape[:-1], w.shape), bool)
+        complete = jnp.zeros(matched.shape, bool)
+        for l in range(1, self._L + 1):  # suffix of length l ends in w
+            h1 = jnp.full(window.shape[:-1], h._SEED1, jnp.uint32)
+            h2 = jnp.full(window.shape[:-1], h._SEED2, jnp.uint32)
+            for i in range(n_ctx - (l - 1), n_ctx):
+                h1, h2 = h._fold1(h1, h2, window[..., i])
+            g1, g2 = h._fold1(h1, h2, w)
+            hit, (comp,) = self._t.lookup(g1, g2)
+            matched = matched | hit
+            complete = complete | (hit & (comp > 0.5))
+        return (self._w * matched.astype(jnp.float32)
+                + self._cb * complete.astype(jnp.float32))
+
+    # -- ShallowFusionLM protocol -------------------------------------------
+    def init_state(self, w):
+        return jnp.full((w, max(self._L - 1, 1)), -1, jnp.int32)
+
+    def score(self, state, ck):
+        cki = ck.astype(jnp.int32)
+        lm_lp = self._bonus(state[:, None, :], cki[None, :])  # (W, K)
+        w, k = lm_lp.shape
+        if state.shape[1] > 1:
+            new_win = jnp.concatenate(
+                [jnp.broadcast_to(state[:, None, 1:],
+                                  (w, k, state.shape[1] - 1)),
+                 jnp.broadcast_to(cki[None, :, None], (w, k, 1))], axis=-1)
+        else:
+            new_win = jnp.broadcast_to(cki[None, :, None], (w, k, 1))
+        return lm_lp, new_win
+
+    def select(self, state, state_ext, parent, kk, is_stay):
+        return jnp.where(
+            is_stay[:, None], state[parent], state_ext[parent, kk])
+
+    def final(self, state):
+        return jnp.zeros((state.shape[0],), jnp.float32)
+
+    @partial(jax.jit, static_argnums=0)
+    def score_chunk(self, state, toks):
+        """Vectorized chunk replay: each position's boost is a pure
+        function of the sliding token window, evaluated with the same
+        suffix-hash lookups as `score` — data-adaptive rounds like the
+        n-gram LMs (no sequential scan)."""
+        n_ctx = state.shape[1]
+        from .indexing import flat_take
+
+        n_valid = jnp.sum(toks >= 0, axis=1).astype(jnp.int32)
+        h = _HashedNGramTables
+
+        def round_fn(win_r, tok_sl, nv):
+            p = tok_sl.shape[1]
+            vmask = jnp.arange(p, dtype=jnp.int32)[None] < nv[:, None]
+            fullr = jnp.concatenate(
+                [win_r, tok_sl.astype(jnp.int32)], axis=1)
+            lead = fullr.shape[:-1]
+            matched = jnp.zeros(lead + (p,), bool)
+            complete = jnp.zeros(lead + (p,), bool)
+            for l in range(1, self._L + 1):
+                h1 = jnp.full(lead + (p,), h._SEED1, jnp.uint32)
+                h2 = jnp.full(lead + (p,), h._SEED2, jnp.uint32)
+                for i in range(l):
+                    s = n_ctx - l + 1 + i
+                    h1, h2 = h._fold1(h1, h2, fullr[..., s:s + p])
+                hit, (comp,) = self._t.lookup(h1, h2)
+                matched = matched | hit
+                complete = complete | (hit & (comp > 0.5))
+            lp = (self._w * matched.astype(jnp.float32)
+                  + self._cb * complete.astype(jnp.float32))
+            idx = nv[:, None] + jnp.arange(n_ctx, dtype=jnp.int32)[None]
+            return (flat_take(fullr, idx),
+                    jnp.sum(jnp.where(vmask, lp, 0.0), axis=1))
+
+        new_win, lp_sum = _word_score_rounds(
+            toks, n_valid, state, round_fn,
+            round_cap=HashedNGramLM._TOKEN_ROUND)
+        return lp_sum, new_win
+
+
+class CompositeLM:
+    """Weighted sum of protocol LMs sharing one decode — e.g. a word-level
+    KenLM plus a `HotwordBoostLM` (pyctcdecode's hotwords setup), or a
+    token LM plus a word LM.  State is the tuple of member states, so
+    every decode path (fused scan, chunked kernel, streaming, N-best
+    rescoring) works unchanged.  The decoder's `lm_alpha`/`lm_beta` apply
+    on top of the per-member `weights`."""
+
+    def __init__(self, lms, weights=None):
+        self._lms = tuple(lms)
+        if not self._lms:
+            raise ValueError("CompositeLM needs at least one member LM")
+        self._w = tuple(float(x) for x in (
+            weights if weights is not None else (1.0,) * len(self._lms)))
+        if len(self._w) != len(self._lms):
+            raise ValueError("weights must match the number of LMs")
+
+    def init_state(self, w):
+        return tuple(lm.init_state(w) for lm in self._lms)
+
+    def score(self, state, ck):
+        tot, exts = None, []
+        for lm, wt, st in zip(self._lms, self._w, state):
+            lp, ext = lm.score(st, ck)
+            tot = wt * lp if tot is None else tot + wt * lp
+            exts.append(ext)
+        return tot, tuple(exts)
+
+    def select(self, state, state_ext, parent, kk, is_stay):
+        return tuple(
+            lm.select(st, ext, parent, kk, is_stay)
+            for lm, st, ext in zip(self._lms, state, state_ext))
+
+    def final(self, state):
+        tot = None
+        for lm, wt, st in zip(self._lms, self._w, state):
+            f = wt * lm.final(st)
+            tot = f if tot is None else tot + f
+        return tot
+
+    def score_chunk(self, state, toks):
+        tot, new = None, []
+        for lm, wt, st in zip(self._lms, self._w, state):
+            lp, ns = lm.score_chunk(st, toks)
+            tot = wt * lp if tot is None else tot + wt * lp
+            new.append(ns)
+        return tot, tuple(new)
