@@ -6,7 +6,9 @@ use it with a char-CTC lattice (the reference's KenLM workflow, SURVEY.md
 
   1. shallow fusion during beam search (word-boundary scoring, any order),
   2. fast no-LM decode + exact N-best rescoring (`rescore_nbest`),
-  3. streaming decode with the LM state carried across lattice chunks.
+  3. streaming decode with the LM state carried across lattice chunks,
+  4. hotword boosting stacked on the word LM (`HotwordBoostLM` +
+     `CompositeLM` — pyctcdecode's hotwords setup).
 
 A char bigram `NGramLM` is also fitted from the corpus — on TPU that one
 fuses INSIDE the Pallas beam kernel (beam_search_pallas.py).
@@ -146,6 +148,25 @@ def main():
                          np.clip(il - lo, 0, hi - lo).astype(np.int32))
     st, sl, ss = dec.finish(state)
     show("streaming beam + char LM (16f)", st, sl)
+
+    # 4. hotword boosting stacked on the word LM: make the last word
+    # acoustically ambiguous ('mat' barely ahead of 'hat'), then a modest
+    # phrase boost flips it — pyctcdecode's hotwords setup
+    m_id = alphabet.encode("m")[0]
+    h_id = alphabet.encode("h")[0]
+    amb = np.asarray(lp).copy()
+    m_frames = np.where(np.argmax(amb[:, 0], -1) == m_id)[0]
+    amb[m_frames[-2:], 0, h_id] = amb[m_frames[-2:], 0, m_id] - 0.3
+    amb -= np.log(np.sum(np.exp(amb), -1, keepdims=True))
+    plain = e2e.beam_search_decode(amb, il, beam_width=8, lm=wlm,
+                                   lm_alpha=1.0, lm_beta=0.0)
+    show("ambiguous lattice, no hotword", plain[0], plain[1])
+    hot = e2e.HotwordBoostLM([tuple(alphabet.encode("hat"))], weight=0.4,
+                             complete_bonus=1.0)
+    stack = e2e.CompositeLM([wlm, hot], weights=[1.0, 1.0])
+    hw = e2e.beam_search_decode(amb, il, beam_width=8, lm=stack,
+                                lm_alpha=1.0, lm_beta=0.0)
+    show('        + hotword "hat" boost', hw[0], hw[1])
 
 
 if __name__ == "__main__":
