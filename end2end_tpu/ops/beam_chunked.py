@@ -100,10 +100,12 @@ def _chunk_emissions(bp_c, ck_c, W, K, chunk_t):
 @partial(
     jax.jit,
     static_argnames=("W", "K", "s_cap", "blank", "interpret", "chunk_t",
-                     "t_max", "n", "v", "lm", "lm_alpha", "lm_beta"),
+                     "t_max", "n", "v", "lm", "lm_alpha", "lm_beta",
+                     "token_min_logp"),
 )
 def _beam_chunked_jit(log_probs, il, W, K, s_cap, blank, interpret, chunk_t,
-                      t_max, n, v, lm, lm_alpha, lm_beta):
+                      t_max, n, v, lm, lm_alpha, lm_beta,
+                      token_min_logp=None):
     from .topk_pallas import topk_pallas, topk_pallas_fits_vmem
 
     # --- full-lattice top-K prep (identical routing to the no-LM kernel) --
@@ -111,6 +113,9 @@ def _beam_chunked_jit(log_probs, il, W, K, s_cap, blank, interpret, chunk_t,
         lpk, ck = jax.lax.top_k(log_probs, K)
     else:
         lpk, ck = topk_pallas(log_probs, K)
+    from .beam_search import apply_token_min_logp
+
+    lpk, ck = apply_token_min_logp(lpk, ck, token_min_logp)
     ck = ck.astype(jnp.int32)
     lpb = log_probs[:, :, blank]
 
@@ -194,7 +199,8 @@ def beam_search_chunked_lm(log_probs, input_lengths=None, beam_width: int = 8,
                            max_symbols: int | None = None, lm=None,
                            lm_alpha: float = 0.0, lm_beta: float = 0.0,
                            chunk_t: int = 128, interpret=None,
-                           return_timestamps: bool = False):
+                           return_timestamps: bool = False,
+                           token_min_logp: float | None = None):
     """Kernel-speed beam search with chunk-granular LM steering.
 
     Same returns as `beam_search_decode`; `lm` must implement the
@@ -228,5 +234,7 @@ def beam_search_chunked_lm(log_probs, input_lengths=None, beam_width: int = 8,
         log_probs, jnp.asarray(input_lengths, jnp.int32), W, K, s_cap,
         int(blank), bool(interpret), chunk_t, t_max, n, v, lm,
         float(lm_alpha), float(lm_beta),
+        token_min_logp=(None if token_min_logp is None
+                        else float(token_min_logp)),
     )
     return out if return_timestamps else out[:3]

@@ -90,7 +90,7 @@ def _beam_init_state(W, s_cap, lm=None, dtype=jnp.float32):
 
 def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
                         lm_alpha=0.0, lm_beta=0.0, state0=None, lpb=None,
-                        t0=0):
+                        t0=0, stay_from_topk=False):
     """Beam search for ONE sample (or one streaming chunk of one sample).
 
     lp: (T, V); lpk/ck_all: (T, K) per-frame top-K values/ids precomputed
@@ -129,7 +129,19 @@ def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
             )
             blank_lp = lpb_t
         else:
-            lp_last = lp_t[jnp.clip(last, 0, v - 1)]
+            if stay_from_topk:
+                # token_min_logp active: a below-threshold token is banned
+                # as a REPEAT too (pyctcdecode semantics — the repeat is a
+                # token proposal), so read the stay term from the masked
+                # candidate set like the kernel does
+                ck_i = ck.astype(jnp.int32)
+                lp_last = jnp.max(
+                    jnp.where(ck_i[None, :] == last[:, None],
+                              lpk_t[None, :], LOG0),
+                    axis=1,
+                )
+            else:
+                lp_last = lp_t[jnp.clip(last, 0, v - 1)]
             blank_lp = lp_t[blank]
         pb_stay = total + blank_lp
         pnb_stay = jnp.where(last >= 0, pnb + lp_last, LOG0)
@@ -140,7 +152,8 @@ def _beam_search_single(lp, lpk, ck_all, il, W, K, s_cap, blank, lm=None,
         same = ck[None, :] == last[:, None]  # (W, K)
         base = jnp.where(same, pb[:, None], total[:, None])
         pnb_ext = base + lpk[None, :]
-        invalid = (ck[None, :] == blank) | (lens[:, None] >= s_cap)
+        invalid = ((ck[None, :] == blank) | (lens[:, None] >= s_cap)
+                   | (ck[None, :] < 0))  # -1 = token_min_logp-masked slot
         pnb_ext = jnp.where(invalid, LOG0, pnb_ext)
         cku = ck.astype(jnp.uint32) + 1
         h1e = h1[:, None] * _M1 + cku[None, :]
@@ -278,16 +291,31 @@ def beam_search_from_topk(lpk, ck, lpb, input_lengths, beam_width, blank,
     return out if return_timestamps else out[:3]
 
 
+def apply_token_min_logp(lpk, ck, token_min_logp):
+    """pyctcdecode-style absolute candidate pruning (`token_min_logp`):
+    drop top-K slots whose log-prob is below the threshold, always
+    keeping each frame's best token (slot 0 — candidates are sorted
+    descending).  Dropped slots become ck = -1 / lp = LOG0, which every
+    implementation (XLA scan, Pallas kernel, chunked) already treats as
+    'no candidate', so the paths stay in exact agreement."""
+    if token_min_logp is None:
+        return lpk, ck
+    keep = lpk >= token_min_logp
+    keep = keep.at[..., 0].set(True)
+    return (jnp.where(keep, lpk, LOG0),
+            jnp.where(keep, ck, -1).astype(ck.dtype))
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "beam_width", "blank", "prune_k", "max_symbols", "lm", "lm_alpha",
-        "lm_beta", "approx_topk",
+        "lm_beta", "approx_topk", "token_min_logp",
     ),
 )
 def _beam_search_batched(
     log_probs, input_lengths, beam_width, blank, prune_k, max_symbols, lm,
-    lm_alpha, lm_beta, approx_topk=False,
+    lm_alpha, lm_beta, approx_topk=False, token_min_logp=None,
 ):
     t_max, n, v = log_probs.shape
     # Hoist the per-frame vocabulary prune out of the scan: one batched
@@ -296,6 +324,7 @@ def _beam_search_batched(
         lpk, ck = jax.lax.approx_max_k(log_probs, prune_k)
     else:
         lpk, ck = jax.lax.top_k(log_probs, prune_k)  # (T, N, K)
+    lpk, ck = apply_token_min_logp(lpk, ck, token_min_logp)
     fn = partial(
         _beam_search_single,
         W=beam_width,
@@ -305,6 +334,7 @@ def _beam_search_batched(
         lm=lm,
         lm_alpha=lm_alpha,
         lm_beta=lm_beta,
+        stay_from_topk=token_min_logp is not None,
     )
     state = jax.vmap(fn, in_axes=(1, 1, 1, 0))(
         log_probs, lpk, ck.astype(jnp.int32), input_lengths
@@ -327,6 +357,7 @@ def beam_search_decode(
     implementation: str = "auto",
     lm_chunk_t: int = 128,
     return_timestamps: bool = False,
+    token_min_logp: float | None = None,
 ):
     """Batched CTC prefix beam search.
 
@@ -359,6 +390,12 @@ def beam_search_decode(
       return_timestamps: also return per-token EMISSION FRAME indices —
         the frame at which each symbol joined the (surviving construction
         of the) prefix; the beam analog of greedy_decode_with_timestamps.
+      token_min_logp: absolute per-frame candidate threshold
+        (pyctcdecode's knob, e.g. -5.0): tokens with log p below it are
+        never proposed as extensions, except each frame's single best
+        token, which is always kept.  Applied identically on every
+        implementation (the dropped slots simply leave the candidate
+        set), composing with prune_k.
 
     Returns:
       tokens: (N, W, max_symbols) int32, -1 padded, best beam first.
@@ -400,6 +437,7 @@ def beam_search_decode(
                 approx_topk=approx_topk,
                 lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta,
                 return_timestamps=return_timestamps,
+                token_min_logp=token_min_logp,
             )
         # LM configs the fused kernel can't take (word-level / hashed /
         # large-vocab LMs) can run on the CHUNKED kernel path — EXPLICIT
@@ -425,6 +463,7 @@ def beam_search_decode(
                 lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta,
                 chunk_t=lm_chunk_t,
                 return_timestamps=return_timestamps,
+                token_min_logp=token_min_logp,
             )
         if implementation == "auto" and on_tpu and not ok:
             import logging
@@ -449,6 +488,7 @@ def beam_search_decode(
         float(lm_alpha),
         float(lm_beta),
         bool(approx_topk),
+        None if token_min_logp is None else float(token_min_logp),
     )
     return out if return_timestamps else out[:3]
 
@@ -470,6 +510,7 @@ class BeamSearchCTCDecoder:
         lm_beta: float = 0.0,
         implementation: str = "auto",
         lm_chunk_t: int = 128,
+        token_min_logp: float | None = None,
     ):
         self.beam_width = beam_width
         self.blank = blank
@@ -481,6 +522,7 @@ class BeamSearchCTCDecoder:
         self.lm_beta = lm_beta
         self.implementation = implementation
         self.lm_chunk_t = lm_chunk_t
+        self.token_min_logp = token_min_logp
 
     def _to_text(self, ids):
         return "".join(self.labels[c] for c in ids) if self.labels else ids
@@ -505,6 +547,7 @@ class BeamSearchCTCDecoder:
                 implementation=self.implementation,
                 lm_chunk_t=self.lm_chunk_t,
                 return_timestamps=return_timestamps,
+                token_min_logp=self.token_min_logp,
             )
         )
         tokens, lengths, scores = out[:3]

@@ -453,12 +453,12 @@ def _backtrace(bp, ck, scores, W, K, s_cap, t_max, n):
     jax.jit,
     static_argnames=(
         "W", "K", "s_cap", "blank", "interpret", "approx_topk",
-        "t_max", "n", "v", "lm_alpha", "lm_beta",
+        "t_max", "n", "v", "lm_alpha", "lm_beta", "token_min_logp",
     ),
 )
 def _beam_pallas_jit(log_probs, il, W, K, s_cap, blank, interpret,
                      approx_topk, t_max, n, v, lm_table=None, lm_eos=None,
-                     lm_alpha=0.0, lm_beta=0.0):
+                     lm_alpha=0.0, lm_beta=0.0, token_min_logp=None):
     """Full decode: top-K prep -> pallas scan kernel -> XLA backtrace."""
     # Full-vocab top-K (blank included, masked in-kernel): candidate K-slot
     # ordering — and therefore tie-breaking — matches the XLA scan exactly.
@@ -479,6 +479,9 @@ def _beam_pallas_jit(log_probs, il, W, K, s_cap, blank, interpret,
         lpk, ck = jax.lax.top_k(log_probs, K)  # (T, N, K)
     else:
         lpk, ck = topk_pallas(log_probs, K)
+    from .beam_search import apply_token_min_logp
+
+    lpk, ck = apply_token_min_logp(lpk, ck, token_min_logp)
     lpb = log_probs[:, :, blank]  # (T, N)
     return _beam_pallas_from_topk_jit(
         lpk, ck, lpb, il, W, K, s_cap, blank, interpret, t_max, n, v,
@@ -686,7 +689,8 @@ def beam_search_pallas(log_probs, input_lengths=None, beam_width: int = 8,
                        max_symbols: int | None = None,
                        approx_topk: bool = False, interpret=None,
                        lm=None, lm_alpha: float = 0.0, lm_beta: float = 0.0,
-                       return_timestamps: bool = False):
+                       return_timestamps: bool = False,
+                       token_min_logp: float | None = None):
     """Pallas-kernel beam search; same returns as beam_search_decode.
 
     Jittable end to end (device arrays out).  float32 only;
@@ -713,6 +717,8 @@ def beam_search_pallas(log_probs, input_lengths=None, beam_width: int = 8,
         bool(approx_topk), t_max, n, v,
         lm_table=lm_table, lm_eos=lm_eos,
         lm_alpha=float(lm_alpha), lm_beta=float(lm_beta),
+        token_min_logp=(None if token_min_logp is None
+                        else float(token_min_logp)),
     )
     return out if return_timestamps else out[:3]
 

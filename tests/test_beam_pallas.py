@@ -364,3 +364,67 @@ def test_pallas_beam_lm_fusion_width32(rng):
         for pref in p[b]:
             np.testing.assert_allclose(p[b][pref], x[b][pref], atol=5e-4,
                                        rtol=2e-4)
+
+
+@pytest.mark.parametrize("thresh", [-2.0, -0.7])
+def test_token_min_logp_pallas_matches_xla(rng, thresh):
+    """token_min_logp masks candidates identically on both paths (incl.
+    the stay/repeat term), so kernel and scan must agree exactly."""
+    B, T, V, W = 3, 14, 6, 4
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = rng.integers(T // 2, T + 1, B).astype(np.int32)
+    p = _beam_sets(*beam_search_pallas(lp, il, beam_width=W,
+                                       token_min_logp=thresh), W)
+    x = _beam_sets(*beam_search_decode(lp, il, beam_width=W,
+                                       implementation="xla",
+                                       token_min_logp=thresh), W)
+    for b in range(B):
+        assert set(p[b]) == set(x[b]), (b, set(p[b]) ^ set(x[b]))
+        for pref in p[b]:
+            np.testing.assert_allclose(p[b][pref], x[b][pref], atol=5e-4,
+                                       rtol=2e-4)
+
+
+def test_token_min_logp_semantics(rng):
+    """Below-threshold tokens never decode (except each frame's best);
+    an ineffective threshold changes nothing."""
+    B, T, V, W = 2, 16, 7, 4
+    lp = lsm(rng.standard_normal((T, B, V)) * 2.0).astype(np.float32)
+    il = np.full(B, T, np.int32)
+    base = beam_search_decode(lp, il, beam_width=W, implementation="xla")
+    loose = beam_search_decode(lp, il, beam_width=W, implementation="xla",
+                               token_min_logp=-1e9)
+    for a, b in zip(base, loose):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # impossible-high threshold: only frame argmaxes remain as candidates
+    tt, tl, _ = beam_search_decode(lp, il, beam_width=W,
+                                   implementation="xla",
+                                   token_min_logp=0.0)
+    argmaxes = {(b, int(c)) for b in range(B) for c in np.argmax(lp[:, b], -1)}
+    for b in range(B):
+        for w in range(W):
+            for c in np.asarray(tt)[b, w, : int(tl[b, w])]:
+                assert (b, int(c)) in argmaxes
+
+
+def test_token_min_logp_bans_below_threshold_repeat(rng):
+    """A frame where the last token's prob is under the threshold (and not
+    the frame's best) must not extend via the repeat/stay path either —
+    pyctcdecode semantics, same on both implementations."""
+    V = 4
+    lp = np.full((3, 1, V), -9.0, np.float32)
+    lp[0, 0, 1] = -0.01          # clear '1'
+    lp[1, 0, 2] = -0.1           # best is '2'; '1' repeat is weak
+    lp[1, 0, 1] = -3.0
+    lp[2, 0, 0] = -0.01          # blank
+    lp = lsm(lp.astype(np.float64)).astype(np.float32)
+    for impl in ("xla", "pallas"):
+        fn = (beam_search_pallas if impl == "pallas"
+              else lambda *a, **k: beam_search_decode(
+                  *a, implementation="xla", **k))
+        tk, ln, sc = fn(lp, beam_width=4, token_min_logp=-2.0)
+        sets = _beam_sets(tk, ln, sc, 4)[0]
+        # '1 1' requires the banned weak repeat of '1' at frame 1
+        assert (1, 1) not in sets, impl
+        assert (1,) in sets or (1, 2) in sets, impl

@@ -112,11 +112,15 @@ def test_composite_single_member_equals_bare_lm(rng):
     lp = jnp.asarray(np.log(
         rng.dirichlet(np.ones(v), size=(12, 3)).astype(np.float32)))
     il = jnp.asarray([12, 9, 11], jnp.int32)
+    # pin both to the scan: on TPU a bare NGramLM routes to the in-kernel
+    # fused path while CompositeLM falls back, and the two differ by f32
+    # rounding — this test is about the CompositeLM identity, not parity
     t1, l1, s1 = beam_search_decode(lp, il, beam_width=4, lm=lm,
-                                    lm_alpha=0.6, lm_beta=0.2)
+                                    lm_alpha=0.6, lm_beta=0.2,
+                                    implementation="xla")
     t2, l2, s2 = beam_search_decode(lp, il, beam_width=4,
                                     lm=CompositeLM([lm]), lm_alpha=0.6,
-                                    lm_beta=0.2)
+                                    lm_beta=0.2, implementation="xla")
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
