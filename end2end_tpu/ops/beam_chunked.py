@@ -51,10 +51,10 @@ from .beam_search_pallas import (
 )
 
 
-def _chunk_tc(chunk_t, K):
+def _chunk_tc(chunk_t, K, c_pad=0):
     """Inner kernel time-chunk: the largest divisor of chunk_t within the
     VMEM-budget cap (grid steps must tile the chunk exactly)."""
-    cap = min(chunk_t, _input_tc(K, 0))
+    cap = min(chunk_t, _input_tc(K, c_pad))
     while chunk_t % cap:
         cap -= 1
     return cap
@@ -105,7 +105,7 @@ def _chunk_emissions(bp_c, ck_c, W, K, chunk_t):
 )
 def _beam_chunked_jit(log_probs, il, W, K, s_cap, blank, interpret, chunk_t,
                       t_max, n, v, lm, lm_alpha, lm_beta,
-                      token_min_logp=None):
+                      token_min_logp=None, guide_table=None):
     from .topk_pallas import topk_pallas, topk_pallas_fits_vmem
 
     # --- full-lattice top-K prep (identical routing to the no-LM kernel) --
@@ -122,7 +122,9 @@ def _beam_chunked_jit(log_probs, il, W, K, s_cap, blank, interpret, chunk_t,
     b_pad = _pad_up(max(n, 1), _LANES)
     t_pad = _pad_up(t_max, chunk_t)
     n_chunks = t_pad // chunk_t
-    tc = _chunk_tc(chunk_t, K)
+    n_ctx = v + 1 if guide_table is not None else 0
+    c_pad = _pad_up(n_ctx, 8) if n_ctx else 0
+    tc = _chunk_tc(chunk_t, K, c_pad)
 
     lpk_full = jnp.full((t_pad, K, b_pad), LOG0, jnp.float32)
     lpk_full = lpk_full.at[:t_max, :, :n].set(jnp.moveaxis(lpk, 2, 1))
@@ -138,6 +140,9 @@ def _beam_chunked_jit(log_probs, il, W, K, s_cap, blank, interpret, chunk_t,
         ((tc, 1, _LANES), lambda bt, i: (i, 0, bt)),
         ((1, _LANES), lambda bt, i: (0, bt)),
     ]
+    if n_ctx:
+        in_specs_shapes.append(
+            ((tc, c_pad, K, _LANES), lambda bt, i: (i, 0, 0, bt)))
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -154,14 +159,32 @@ def _beam_chunked_jit(log_probs, il, W, K, s_cap, blank, interpret, chunk_t,
         lpb_full.reshape(n_chunks, chunk_t, 1, b_pad),
         jnp.arange(n_chunks, dtype=jnp.int32),
     )
+    if n_ctx:
+        # per-frame GUIDE increments alpha*guide(ck | last) + beta in the
+        # kernel's layout (same one-hot MXU emission as the fused path —
+        # beam_search_pallas._beam_pallas_from_topk_jit).  The guide only
+        # STEERS mid-chunk pruning; its accumulated bonus is replaced by
+        # the exact `lm` replay bonus at every chunk boundary.
+        oh = jax.nn.one_hot(jnp.clip(ck, 0, v - 1), v, dtype=jnp.float32)
+        col = jnp.einsum("tnkv,cv->tckn", oh, guide_table,
+                         precision=jax.lax.Precision.HIGHEST)
+        col = lm_alpha * col + lm_beta
+        lm_full = jnp.zeros((t_pad, c_pad, K, b_pad), jnp.float32)
+        lm_full = lm_full.at[:t_max, :n_ctx, :, :n].set(col)
+        xs = xs + (lm_full.reshape(n_chunks, chunk_t, c_pad, K, b_pad),)
 
     def body(carry, x):
         kstate, lm_state = carry
-        lpk_c, ck_c, lpb_c, ci = x
+        if n_ctx:
+            lpk_c, ck_c, lpb_c, ci, lm_c = x
+        else:
+            lpk_c, ck_c, lpb_c, ci = x
+        pre_bonus = kstate[8]  # exact replay bonus up to this chunk
         il_c = il_full - ci * chunk_t
+        kin = [lpk_c, ck_c, lpb_c, il_c] + ([lm_c] if n_ctx else [])
         bp_c, _, _, kstate = _run_beam_kernel(
-            [lpk_c, ck_c, lpb_c, il_c], in_specs, chunk_t, tc, b_pad,
-            W, K, s_cap, blank, 0, interpret, state_in=kstate,
+            kin, in_specs, chunk_t, tc, b_pad,
+            W, K, s_cap, blank, n_ctx, interpret, state_in=kstate,
         )
         lane0, toks, n_emit = _chunk_emissions(bp_c, ck_c, W, K, chunk_t)
         # re-home LM state: end-of-chunk lane w descends from lane0[b, w].
@@ -183,7 +206,15 @@ def _beam_chunked_jit(log_probs, il, W, K, s_cap, blank, interpret, chunk_t,
         delta, lm_state = lm.score_chunk(lm_state, toks_m)
         bonus = (lm_alpha * delta.reshape(W, b_pad)
                  + lm_beta * jnp.moveaxis(n_emit, 0, 1).astype(jnp.float32))
-        kstate = kstate[:8] + (kstate[8] + bonus,)
+        if n_ctx:
+            # discard the kernel-accumulated GUIDE bonus: re-home the
+            # exact pre-chunk replay bonus to the surviving beams and add
+            # this chunk's exact replay bonus — final scores carry only
+            # the true `lm` fusion, the guide having steered pruning
+            base8 = rehome(pre_bonus.reshape(m_rows)).reshape(W, b_pad)
+        else:
+            base8 = kstate[8]
+        kstate = kstate[:8] + (base8 + bonus,)
         return (kstate, lm_state), bp_c
 
     (kstate, lm_state), bp = jax.lax.scan(body, (state0, lm_state0), xs)
@@ -200,13 +231,23 @@ def beam_search_chunked_lm(log_probs, input_lengths=None, beam_width: int = 8,
                            lm_alpha: float = 0.0, lm_beta: float = 0.0,
                            chunk_t: int = 128, interpret=None,
                            return_timestamps: bool = False,
-                           token_min_logp: float | None = None):
+                           token_min_logp: float | None = None,
+                           guide_lm=None):
     """Kernel-speed beam search with chunk-granular LM steering.
 
     Same returns as `beam_search_decode`; `lm` must implement the
     `score_chunk` protocol (all lm.py classes do).  `chunk_t` trades
     steering granularity against speed (see module docstring); the default
     128 re-ranks the beams every 128 frames.
+
+    `guide_lm` (optional): a dense `NGramLM` fused IN-KERNEL purely to
+    steer pruning PER FRAME between chunk boundaries (e.g. a char bigram
+    approximating the word LM) — its accumulated bonus is replaced by the
+    exact `lm` replay bonus at every boundary, so returned scores are
+    exactly the `lm`-fused scores; only which beams survive mid-chunk
+    pruning improves.  Must satisfy the in-kernel fusion envelope
+    (vocab + 1 <= 64 context rows); steered with the same
+    lm_alpha/lm_beta.
     """
     from .beam_search_pallas import beam_pallas_supported
 
@@ -222,6 +263,19 @@ def beam_search_chunked_lm(log_probs, input_lengths=None, beam_width: int = 8,
                                        lm=None)
     if not ok:  # the ACOUSTIC kernel envelope (the LM side is chunk-scored)
         raise ValueError(f"beam_search_chunked_lm: {reason}")
+    guide_table = None
+    if guide_lm is not None:
+        from .lm import NGramLM
+
+        if not isinstance(guide_lm, NGramLM):
+            raise ValueError("guide_lm must be a dense NGramLM (it is "
+                             "fused in-kernel)")
+        ok_g, why = beam_pallas_supported(t_max, v, int(beam_width),
+                                          prune_k, lm=guide_lm)
+        if not ok_g:
+            raise ValueError(f"guide_lm outside the fused-kernel "
+                             f"envelope: {why}")
+        guide_table = guide_lm._table
     if input_lengths is None:
         input_lengths = np.full((n,), t_max, np.int32)
     W = int(beam_width)
@@ -236,5 +290,6 @@ def beam_search_chunked_lm(log_probs, input_lengths=None, beam_width: int = 8,
         float(lm_alpha), float(lm_beta),
         token_min_logp=(None if token_min_logp is None
                         else float(token_min_logp)),
+        guide_table=guide_table,
     )
     return out if return_timestamps else out[:3]

@@ -243,3 +243,103 @@ def test_chunked_via_beam_search_decode_routing(rng):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     with pytest.raises(ValueError, match="score_chunk"):
         beam_search_decode(lp, beam_width=W, implementation="chunked")
+
+
+def test_guided_chunked_equals_fused_when_guide_is_lm(rng):
+    """guide_lm == lm (dense bigram): per-frame steering is then identical
+    to the fused kernel and the replay bonus equals the in-kernel bonus,
+    so guided chunked decode == the fused pallas decode exactly."""
+    from end2end_tpu.ops.lm import NGramLM
+
+    B, T, V, W = 3, 40, 5, 6
+    lm = NGramLM(bigram_from_counts(rng.integers(0, 20, (V, V))),
+                 start_logp=rng.standard_normal(V).astype(np.float32),
+                 eos_logp=rng.standard_normal(V).astype(np.float32))
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = rng.integers(T // 2, T + 1, B).astype(np.int32)
+    a, b_ = 0.8, 0.3
+    gt, gl, gs = beam_search_chunked_lm(lp, il, beam_width=W, lm=lm,
+                                        lm_alpha=a, lm_beta=b_, chunk_t=8,
+                                        guide_lm=lm)
+    ft, fl, fs = beam_search_pallas(lp, il, beam_width=W, lm=lm,
+                                    lm_alpha=a, lm_beta=b_)
+    g_sets = _beam_sets(gt, gl, gs, W)
+    f_sets = _beam_sets(ft, fl, fs, W)
+    for i in range(B):
+        assert set(g_sets[i]) == set(f_sets[i]), (
+            i, set(g_sets[i]) ^ set(f_sets[i]))
+        for p in g_sets[i]:
+            np.testing.assert_allclose(g_sets[i][p], f_sets[i][p],
+                                       atol=5e-4, rtol=2e-4)
+
+
+def test_guide_lm_recovers_scan_result_lost_by_chunk_steering():
+    """The guide's whole point: a narrow beam drops the LM-favored path
+    mid-chunk without per-frame signal; with a guide the chunked decode
+    recovers the exact fused scan's answer."""
+    from end2end_tpu.ops.lm import NGramLM
+
+    V, T = 3, 24
+    big = np.full((V, V), -6.0, np.float32)
+    big[:, 1] = -0.1   # the LM strongly prefers token 1...
+    big[:, 2] = -4.0
+    lm = NGramLM(big, start_logp=np.array([-6, -0.1, -4], np.float32))
+    lp = np.full((T, 1, V), -6.0, np.float32)
+    for t in range(T):
+        if t % 3 == 2:
+            lp[t, 0, 0] = -0.05
+        else:
+            lp[t, 0, 2] = -0.6   # ...while acoustics mildly prefer 2
+            lp[t, 0, 1] = -1.0
+    lp = lsm(lp.astype(np.float64)).astype(np.float32)
+    il = np.array([T], np.int32)
+    kw = dict(beam_width=2, prune_k=2, lm=lm, lm_alpha=1.2, lm_beta=0.0)
+    st, sl, _ = beam_search_decode(lp, il, implementation="xla", **kw)
+    ut, ul, _ = beam_search_chunked_lm(lp, il, chunk_t=24, **kw)
+    gt, gl, _ = beam_search_chunked_lm(lp, il, chunk_t=24, guide_lm=lm,
+                                       **kw)
+    top = lambda tk, ln: np.asarray(tk)[0, 0, : int(ln[0, 0])].tolist()
+    assert top(st, sl) == [1] * 8
+    assert top(ut, ul) == [2] * 8      # chunk-only steering loses the path
+    assert top(gt, gl) == top(st, sl)  # the guide recovers it
+
+
+def test_guided_chunked_word_lm_peaked_matches_scan(rng, tmp_path):
+    """Guide (char bigram) + word LM: on peaked lattices the guided
+    chunked decode still matches the fused scan top-1 exactly (scores
+    included) — the guide must not perturb exact configurations."""
+    from end2end_tpu.ops.lm import NGramLM
+
+    B, T, V, W = 4, 30, 5, 8
+    lm = _lms(rng, tmp_path, V)["word2"]
+    guide = NGramLM(bigram_from_counts(rng.integers(0, 20, (V, V))))
+    lp = _peaked_lattice(rng, B, T, V)
+    il = rng.integers(T - 6, T + 1, B).astype(np.int32)
+    a, b_ = 0.7, 0.2
+    ct, cl, cs = beam_search_chunked_lm(lp, il, beam_width=W, lm=lm,
+                                        lm_alpha=a, lm_beta=b_, chunk_t=7,
+                                        guide_lm=guide)
+    xt, xl, xs = beam_search_decode(lp, il, beam_width=W, lm=lm,
+                                    lm_alpha=a, lm_beta=b_,
+                                    implementation="xla")
+    for i in range(B):
+        top_c = np.asarray(ct)[i, 0, : int(cl[i, 0])].tolist()
+        top_x = np.asarray(xt)[i, 0, : int(xl[i, 0])].tolist()
+        assert top_c == top_x, i
+        np.testing.assert_allclose(float(cs[i, 0]), float(xs[i, 0]),
+                                   atol=2e-3, rtol=1e-4)
+
+
+def test_guide_lm_validation(rng, tmp_path):
+    lp = lsm(rng.standard_normal((10, 1, 5)) * 1.5).astype(np.float32)
+    il = np.array([10], np.int32)
+    word = _lms(rng, tmp_path, 5)["word2"]
+    with pytest.raises(ValueError, match="dense NGramLM"):
+        beam_search_chunked_lm(lp, il, lm=word, lm_alpha=0.5,
+                               guide_lm=word)
+    from end2end_tpu.ops.lm import NGramLM
+
+    bad_v = NGramLM(bigram_from_counts(rng.integers(0, 9, (7, 7))))
+    with pytest.raises(ValueError, match="envelope"):
+        beam_search_chunked_lm(lp, il, lm=word, lm_alpha=0.5,
+                               guide_lm=bad_v)
