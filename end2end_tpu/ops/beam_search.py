@@ -358,6 +358,7 @@ def beam_search_decode(
     lm_chunk_t: int = 128,
     return_timestamps: bool = False,
     token_min_logp: float | None = None,
+    guide_lm=None,
 ):
     """Batched CTC prefix beam search.
 
@@ -396,6 +397,10 @@ def beam_search_decode(
         token, which is always kept.  Applied identically on every
         implementation (the dropped slots simply leave the candidate
         set), composing with prune_k.
+      guide_lm: only with implementation='chunked' — a dense `NGramLM`
+        fused in-kernel purely to steer per-frame pruning between chunk
+        boundaries (scores stay exactly the `lm`-fused scores; see
+        beam_search_chunked_lm).
 
     Returns:
       tokens: (N, W, max_symbols) int32, -1 padded, best beam first.
@@ -421,6 +426,10 @@ def beam_search_decode(
         max_symbols = min(t_max, 512)
     if implementation not in ("auto", "pallas", "chunked", "xla"):
         raise ValueError(f"invalid implementation {implementation!r}")
+    if guide_lm is not None and implementation != "chunked":
+        raise ValueError("guide_lm is only meaningful with "
+                         "implementation='chunked' (it steers between "
+                         "chunk boundaries)")
     if implementation != "xla":
         from .beam_search_pallas import beam_pallas_supported, beam_search_pallas
 
@@ -464,6 +473,7 @@ def beam_search_decode(
                 chunk_t=lm_chunk_t,
                 return_timestamps=return_timestamps,
                 token_min_logp=token_min_logp,
+                guide_lm=guide_lm,
             )
         if implementation == "auto" and on_tpu and not ok:
             import logging
