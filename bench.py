@@ -299,6 +299,33 @@ def emit(metric, value, unit, baseline):
     }), flush=True)
 
 
+def _tunnel_watchdog(timeout_s=600):
+    """Fail fast instead of hanging forever if the TPU tunnel is dead.
+
+    The tunneled chip occasionally wedges (stale claim on the relay —
+    observed round 3): every device op then blocks indefinitely, which
+    would hang the driver's bench run.  Probe with one trivial op on a
+    watchdog timer; legitimate first-compiles take 20-60 s (Pallas cold
+    compile up to ~240 s), so the bound is generous.  On timeout, exit
+    nonzero with a diagnostic — an honest infra failure beats a hang."""
+    import os
+    import threading
+
+    timeout_s = float(os.environ.get("E2E_BENCH_WATCHDOG_S", timeout_s))
+    done = threading.Event()
+
+    def arm():
+        if not done.wait(timeout_s):
+            print(f"bench: TPU tunnel unresponsive after {timeout_s}s — "
+                  "aborting (no metrics emitted)", file=sys.stderr,
+                  flush=True)
+            os._exit(3)
+
+    threading.Thread(target=arm, daemon=True).start()
+    jnp.ones((8,)).sum().block_until_ready()
+    done.set()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -308,6 +335,8 @@ def main():
                          "the default)")
     ap.add_argument("--impl", default="auto")
     args = ap.parse_args()
+
+    _tunnel_watchdog()
 
     if not args.quick:
         # The four non-headline loss configs + the production-vocab row.

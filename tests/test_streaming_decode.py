@@ -126,6 +126,39 @@ def test_streaming_beam_with_hashed_lm(rng):
     _beam_eq(dec.finish(state), want, W)
 
 
+def test_streaming_beam_with_composite_hotword_lm(rng):
+    """Streaming == one-shot with a stacked LM (bigram + hotwords +
+    prefix-boundary word LM) — the composite's tuple state must ride the
+    stream carry like any other protocol state."""
+    from end2end_tpu.ops.lm import (
+        CompositeLM, HotwordBoostLM, NGramLM, WordNGramLM,
+        bigram_from_counts,
+    )
+
+    V, W = 5, 4
+    wv_spell = [(1, 2), (3,), (1, 4)]
+    word = WordNGramLM(
+        wv_spell,
+        np.log(np.maximum(rng.random((3, 3)).astype(np.float32), 0.05)),
+        rng.standard_normal(3).astype(np.float32), None,
+        unigram_logp=rng.standard_normal(3).astype(np.float32),
+        unk_logp=-4.0, boundary_ids=[1, 3])
+    lm = CompositeLM(
+        [NGramLM(bigram_from_counts(rng.integers(0, 20, (V, V)))),
+         HotwordBoostLM([(1, 2), (3, 2)], weight=0.6, complete_bonus=0.4),
+         word],
+        weights=[1.0, 1.0, 0.8])
+    T, B = 12, 3
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = np.array([12, 9, 11], np.int32)
+    kw = dict(beam_width=W, lm=lm, lm_alpha=0.7, lm_beta=0.15)
+    want = beam_search_decode(lp, il, max_symbols=16,
+                              implementation="xla", **kw)
+    dec = StreamingBeamDecoder(max_symbols=16, **kw)
+    state = _stream(dec, lp, il, [4, 9, 12])
+    _beam_eq(dec.finish(state), want, W)
+
+
 def test_streaming_beam_partial_finish_is_pure(rng):
     T, B, V, W = 12, 2, 5, 4
     lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
