@@ -333,7 +333,7 @@ def beam_search_decode_vocab_parallel(
     blank: int = 0, prune_k: int | None = None, max_symbols: int | None = None,
     lm=None, lm_alpha: float = 0.0, lm_beta: float = 0.0,
     vocab_axis: str = "model", implementation: str = "auto",
-    return_timestamps: bool = False,
+    return_timestamps: bool = False, token_min_logp: float | None = None,
 ):
     """`beam_search_decode` with the VOCAB axis sharded over the mesh.
 
@@ -359,6 +359,12 @@ def beam_search_decode_vocab_parallel(
     lpk, ck, lpb = beam_topk_prep_vocab_parallel(
         log_probs, mesh, k, blank=blank, vocab_axis=vocab_axis
     )
+    if token_min_logp is not None:
+        # same mask as the single-device paths (applied to the MERGED
+        # global candidates, so sharded == unsharded exactly)
+        from ..ops.beam_search import apply_token_min_logp
+
+        lpk, ck = apply_token_min_logp(lpk, ck, float(token_min_logp))
     if implementation not in ("auto", "pallas", "xla"):
         raise ValueError(f"invalid implementation {implementation!r}")
     if implementation != "xla":

@@ -339,6 +339,32 @@ def test_vocab_parallel_beam_matches_candidate_decode(rng):
 
 
 @needs_devices
+def test_vocab_parallel_beam_token_min_logp_matches_unsharded(rng):
+    """token_min_logp applied to the MERGED global candidates: the
+    vocab-sharded decode equals the unsharded decode with the same
+    threshold exactly (same masked candidate set, same stay semantics)."""
+    from end2end_tpu.ops.beam_search import beam_search_decode
+    from end2end_tpu.parallel.vocab_parallel import (
+        beam_search_decode_vocab_parallel,
+    )
+
+    B, T, V, W = 3, 14, 16, 6
+    lp, _, _, _ = random_ctc_problem(rng, B, T, 3, V)
+    lp = np.asarray(lp, np.float32)
+    il = np.array([14, 9, 12], np.int32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("model",))
+    got = beam_search_decode_vocab_parallel(
+        jnp.asarray(lp), il, mesh=mesh, beam_width=W, max_symbols=16,
+        token_min_logp=-2.5,
+    )
+    want = beam_search_decode(lp, il, beam_width=W, max_symbols=16,
+                              implementation="xla", token_min_logp=-2.5)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-6)
+
+
+@needs_devices
 def test_vocab_parallel_beam_with_lm(rng):
     """LM fusion over the vocab-sharded decode (tables replicated; scoring
     touches only the merged candidates) == unsharded XLA scan at K = V."""
