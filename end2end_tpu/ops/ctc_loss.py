@@ -108,7 +108,14 @@ def ctc_loss(
     checkpoint_every: int = 0,
 ):
     """CTC loss with torch.nn.CTCLoss-compatible semantics.  Jit-friendly:
-    all options are static; lengths are data (no recompiles across lengths)."""
+    all options are static; lengths are data (no recompiles across lengths).
+
+    Infeasible samples (target cannot fit in input_length frames) score
+    +inf like torch.  One deliberate divergence: with zero_infinity=False
+    their GRADIENTS stay finite here (the fused exp(lp + alpha + beta -
+    loss) backward underflows against loss = inf), where torch propagates
+    NaN through inf.backward().  Both are conventions over an undefined
+    quantity; finite grads never poison the rest of the batch."""
     if reduction not in ("none", "mean", "sum"):
         raise ValueError(f"invalid reduction {reduction!r}")
     log_probs = jnp.asarray(log_probs)
