@@ -52,16 +52,28 @@ def ocr_alphabet() -> Alphabet:
     return Alphabet(OCR_CHARS)
 
 
-def word_spans(ids, times, space_id, alphabet: Alphabet | None = None):
+def word_spans(ids, times, space_id=None, alphabet: Alphabet | None = None,
+               boundary_ids=None):
     """Word-level timings from decoded tokens + per-token emission frames.
 
     ids/times: one hypothesis's token ids and frame indices, as returned by
     `greedy_decode_with_timestamps` or `beam_search_decode(...,
     return_timestamps=True)` (trim to the decoded length first).
-    Splits on `space_id`; each word's span is [first token's frame, last
-    token's frame].  Returns a list of (word, start_frame, end_frame) with
-    `word` a string when an alphabet is given, else a list of ids.
+    Words are delimited by exactly one of the two regimes the word-level
+    LMs support (ops/lm.py):
+
+      * `space_id`: separator token (space, char CTC) — the separator is
+        dropped and splits words;
+      * `boundary_ids`: word-STARTER token set (BPE '▁...'-style prefix
+        marking) — a token in the set opens a new word and belongs to it.
+
+    Each word's span is [first token's frame, last token's frame].
+    Returns a list of (word, start_frame, end_frame) with `word` a string
+    when an alphabet is given, else a list of ids.
     """
+    if (space_id is None) == (boundary_ids is None):
+        raise ValueError("pass exactly one of space_id / boundary_ids")
+    boundary = frozenset(int(b) for b in boundary_ids or ())
     out = []
     cur_ids, cur_times = [], []
 
@@ -75,10 +87,12 @@ def word_spans(ids, times, space_id, alphabet: Alphabet | None = None):
 
     for c, t in zip(ids, times):
         c = int(c)
-        if c == space_id:
+        if space_id is not None and c == space_id:
             flush()
-        else:
-            cur_ids.append(c)
-            cur_times.append(t)
+            continue
+        if c in boundary:
+            flush()
+        cur_ids.append(c)
+        cur_times.append(t)
     flush()
     return out

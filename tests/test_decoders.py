@@ -203,3 +203,27 @@ def test_word_spans_from_beam_timestamps(rng):
                        np.asarray(times)[0, 0, :n], space_id, alphabet)
     # chars emit at frames 0,2,4,6,8 -> "hi"=[0,2], "me"=[6,8]
     assert spans == [("hi", 0, 2), ("me", 6, 8)], spans
+
+
+def test_word_spans_boundary_regime():
+    """BPE prefix-boundary word segmentation (boundary tokens START a new
+    word and belong to it) — the word-span analog of the word LMs'
+    boundary_ids regime."""
+    from end2end_tpu.utils.text import word_spans
+
+    # ids 5 and 7 are word starters ('▁x'-style); others continue a word
+    ids = [5, 2, 3, 7, 1, 5, 4]
+    times = [0, 3, 4, 9, 11, 20, 22]
+    spans = word_spans(ids, times, boundary_ids=[5, 7])
+    assert spans == [([5, 2, 3], 0, 4), ([7, 1], 9, 11), ([5, 4], 20, 22)], (
+        spans)
+    # a leading non-boundary fragment still forms a (partial) word
+    spans = word_spans([2, 5, 1], [1, 2, 3], boundary_ids=[5])
+    assert spans == [([2], 1, 1), ([5, 1], 2, 3)], spans
+    # exactly one regime must be chosen
+    import pytest
+
+    with pytest.raises(ValueError):
+        word_spans(ids, times)
+    with pytest.raises(ValueError):
+        word_spans(ids, times, space_id=1, boundary_ids=[5])
