@@ -24,6 +24,7 @@ from .ops.lm import (
     NGramLM,
     WordNGramLM,
 )
+from .ops.neural_lm import NeuralLM
 from .ops.rescore import rescore_nbest
 from .ops.streaming_decode import StreamingBeamDecoder, StreamingGreedyDecoder
 
@@ -48,6 +49,7 @@ __all__ = [
     "HashedWordNGramLM",
     "HotwordBoostLM",
     "CompositeLM",
+    "NeuralLM",
     "rescore_nbest",
     "StreamingGreedyDecoder",
     "StreamingBeamDecoder",

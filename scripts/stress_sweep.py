@@ -189,8 +189,16 @@ def lm_round(rng, i):
 def _random_lm(rng, V):
     """A random LM of a random kind (token bigram / hashed token trigram /
     dense word bigram / BPE prefix-boundary word bigram / composite
-    bigram+hotwords)."""
-    kind = int(rng.integers(5))
+    bigram+hotwords / GRU NeuralLM)."""
+    kind = int(rng.integers(6))
+    if kind == 5:  # neural GRU LM (round-3 feature, ops/neural_lm.py)
+        from end2end_tpu import NeuralLM
+        from end2end_tpu.ops.neural_lm import random_gru_params
+
+        return NeuralLM.gru(
+            random_gru_params(rng, V, emb_dim=int(rng.integers(3, 9)),
+                              hidden_dim=int(rng.integers(4, 13))),
+            eos_id=int(rng.integers(0, V)) if rng.integers(2) else None)
     if kind == 3:  # BPE prefix-boundary word LM (round-3 feature)
         from end2end_tpu.ops.lm import WordNGramLM as _W
 
@@ -465,10 +473,10 @@ def main():
         batch += 1
         print(f"{done}/{ROUNDS} rounds clean", flush=True)
     print(f"PASS: {ROUNDS} rounds x (loss-vs-torch + 3-way beam + LM "
-          "pallas==xla + chunked==rescore (5 LM kinds incl. BPE-boundary "
-          "and composite+hotwords) + prune-parity + token_min_logp parity "
-          "+ guided-chunked==fused + time-parallel grad) all clean",
-          flush=True)
+          "pallas==xla + chunked==rescore (6 LM kinds incl. BPE-boundary, "
+          "composite+hotwords, and GRU NeuralLM) + prune-parity + "
+          "token_min_logp parity + guided-chunked==fused + time-parallel "
+          "grad) all clean", flush=True)
 
 
 if __name__ == "__main__":
