@@ -161,3 +161,31 @@ def bench_rescore():
 
 
 bench_rescore()
+
+# neural-LM fusion (ops/neural_lm.py): GRU char LM at a production-ish
+# size; chunked kernel path, rescoring pattern, and (unless skipped) the
+# exact per-frame scan fusion
+from end2end_tpu import NeuralLM  # noqa: E402
+from end2end_tpu.ops.neural_lm import random_gru_params  # noqa: E402
+
+gru = NeuralLM.gru(random_gru_params(rng, V, emb_dim=64, hidden_dim=256))
+bench(lambda c: beam_search_chunked_lm(
+    c, il, beam_width=W, prune_k=K, max_symbols=256, lm=gru,
+    lm_alpha=0.8, lm_beta=0.4, chunk_t=128),
+    "chunked GRU NeuralLM (H=256, chunk_t=128)")
+
+
+def bench_gru_rescore():
+    def fn(c):
+        t, ln, s = beam_search_pallas(c, il, beam_width=W, prune_k=K,
+                                      max_symbols=256)
+        return rescore_nbest(t, ln, s, gru, lm_alpha=0.8, lm_beta=0.4)
+    bench(lambda c: fn(c), "no-LM kernel decode + GRU NeuralLM rescore_nbest")
+
+
+bench_gru_rescore()
+if os.environ.get("SKIP_SCAN", "0") != "1":
+    bench(lambda c: beam_search_decode(
+        c, il, beam_width=W, prune_k=K, max_symbols=256, lm=gru,
+        lm_alpha=0.8, lm_beta=0.4, implementation="xla"),
+        "XLA scan GRU NeuralLM (exact per-frame fusion)")
