@@ -224,3 +224,81 @@ def test_rescore_nbest_with_gru_matches_manual(rng):
     got = np.asarray(rs).reshape(-1)
     fin = np.isfinite(got)
     np.testing.assert_allclose(got[fin], want[fin], atol=1e-4)
+
+
+def _tiny_transformer_lm(rng, V, d=8, l_max=32):
+    """1-layer causal-attention decoder LM with a KV-CACHE pytree state —
+    exercises NeuralLM with a structured (multi-leaf, mixed-dtype) hidden:
+    state = (K cache (L, d), V cache (L, d), last-token embedding (d,),
+    position scalar).  BOS is baked into init_hidden via one step."""
+    def w(*shape):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32)
+                           / np.sqrt(shape[0]))
+
+    emb, wq, wk, wv, wo = w(V + 1, d), w(d, d), w(d, d), w(d, d), w(d, V)
+
+    def step(h, tok):
+        ck, cv, _, pos = h
+        x = emb[tok]
+        p = jnp.minimum(pos, l_max - 1)
+        ck = jax.lax.dynamic_update_index_in_dim(ck, x @ wk, p, 0)
+        cv = jax.lax.dynamic_update_index_in_dim(cv, x @ wv, p, 0)
+        return ck, cv, x, pos + 1
+
+    def logp(h):
+        ck, cv, x, pos = h
+        q = x @ wq
+        att = ck @ q / np.sqrt(d)
+        att = jnp.where(jnp.arange(l_max) < pos, att, -1e30)
+        ctx = jax.nn.softmax(att) @ cv
+        return ctx @ wo
+
+    empty = (jnp.zeros((l_max, d), jnp.float32),
+             jnp.zeros((l_max, d), jnp.float32),
+             jnp.zeros((d,), jnp.float32), jnp.int32(0))
+    return NeuralLM(step, logp, step(empty, jnp.int32(V)), V)
+
+
+def test_transformer_kv_cache_lm_score_chunk_equals_fold(rng):
+    V, M, C = 6, 4, 7
+    lm = _tiny_transformer_lm(rng, V)
+    toks = rng.integers(0, V, (M, C)).astype(np.int32)
+    nv = rng.integers(0, C + 1, M)
+    for i in range(M):
+        toks[i, nv[i]:] = -1
+    lp_chunk, st_chunk = lm.score_chunk(lm.init_state(M), jnp.asarray(toks))
+    st = lm.init_state(M)
+    rows = jnp.arange(M, dtype=jnp.int32)
+    acc = np.zeros(M, np.float64)
+    for c in range(C):
+        col = jnp.asarray(toks[:, c])
+        lm_lp, ext = lm.score(st, col)
+        st = lm.select(st, ext, rows, rows, col < 0)
+        acc += np.where(np.asarray(col) < 0, 0.0,
+                        np.asarray(lm_lp)[np.arange(M), np.arange(M)])
+    np.testing.assert_allclose(np.asarray(lp_chunk), acc, atol=1e-5)
+    ck = jnp.arange(V, dtype=jnp.int32)
+    np.testing.assert_allclose(np.asarray(lm.score(st_chunk, ck)[0]),
+                               np.asarray(lm.score(st, ck)[0]), atol=1e-6)
+
+
+def test_transformer_kv_cache_lm_decodes_on_every_path(rng):
+    B, T, V, W = 2, 14, 6, 4
+    lm = _tiny_transformer_lm(rng, V)
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = np.full(B, T, np.int32)
+    a, b_ = 0.7, 0.2
+    xt, xl, xs = beam_search_decode(lp, il, beam_width=W, lm=lm, lm_alpha=a,
+                                    lm_beta=b_, implementation="xla")
+    assert np.isfinite(np.asarray(xs)[:, 0]).all()
+    # single-chunk chunked == no-LM decode + exact rescoring
+    ct, cl, cs = beam_search_chunked_lm(lp, il, beam_width=W, lm=lm,
+                                        lm_alpha=a, lm_beta=b_, chunk_t=64)
+    nt, nl, ns = beam_search_pallas(lp, il, beam_width=W)
+    rt, rl, rs = rescore_nbest(nt, nl, ns, lm, lm_alpha=a, lm_beta=b_)
+    c_sets, r_sets = _beam_sets(ct, cl, cs, W), _beam_sets(rt, rl, rs, W)
+    for i in range(B):
+        assert set(c_sets[i]) == set(r_sets[i]), i
+        for pref in c_sets[i]:
+            np.testing.assert_allclose(c_sets[i][pref], r_sets[i][pref],
+                                       atol=5e-4, rtol=2e-4)
