@@ -459,3 +459,40 @@ def test_streaming_state_shards_over_batch(rng):
                     got[0][b, w, : got[1][b, w]],
                     want[0][b, w, : want[1][b, w]],
                 )
+
+
+@needs_devices
+def test_vocab_parallel_beam_with_neural_lm_matches_unsharded(rng):
+    """Protocol LMs ride the vocab-sharded decode unchanged (the scan runs
+    on the merged replicated candidates): a GRU NeuralLM decode sharded
+    over the vocab axis == the unsharded exact-fusion scan."""
+    from end2end_tpu import NeuralLM
+    from end2end_tpu.ops.beam_search import beam_search_decode
+    from end2end_tpu.ops.neural_lm import random_gru_params
+    from end2end_tpu.parallel.vocab_parallel import (
+        beam_search_decode_vocab_parallel,
+    )
+
+    B, T, V, W = 3, 12, 16, 4
+    lm = NeuralLM.gru(random_gru_params(rng, V, emb_dim=6, hidden_dim=8),
+                      eos_id=2)
+    lp, _, _, _ = random_ctc_problem(rng, B, T, 3, V)
+    lp = np.asarray(lp, np.float32)
+    il = np.array([12, 8, 10], np.int32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("model",))
+    got = beam_search_decode_vocab_parallel(
+        jnp.asarray(lp), il, mesh=mesh, beam_width=W, max_symbols=12,
+        lm=lm, lm_alpha=0.8, lm_beta=0.3,
+    )
+    want = beam_search_decode(lp, il, beam_width=W, max_symbols=12, lm=lm,
+                              lm_alpha=0.8, lm_beta=0.3,
+                              implementation="xla")
+    gt, gl, gs = [np.asarray(a) for a in got]
+    wt, wl, ws = [np.asarray(a) for a in want]
+    np.testing.assert_array_equal(gl, wl)
+    np.testing.assert_allclose(gs, ws, atol=1e-5, rtol=1e-6)
+    for b in range(B):
+        for w in range(W):
+            if np.isfinite(ws[b, w]):
+                np.testing.assert_array_equal(gt[b, w, : gl[b, w]],
+                                              wt[b, w, : wl[b, w]])
