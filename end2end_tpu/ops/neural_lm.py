@@ -38,6 +38,8 @@ instance across calls or every new instance recompiles.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -150,12 +152,10 @@ class NeuralLM:
 
     @classmethod
     def gru(cls, params, eos_id=None, normalize=True, precision=None):
-        """A single-layer GRU LM from a dict of arrays (no framework dep):
-
-          emb (V, E) token embeddings;
-          wz, wr, wh (E + H, H); bz, br, bh (H,)  gate/candidate weights
-            applied to concat([x, h]);
-          wo (H, V); bo (V,)  output projection.
+        """A single-layer GRU LM from a dict of arrays (no framework dep);
+        see `gru_step`/`gru_logits` for the layout — those are module-level
+        FUNCTIONAL forms so the same cell is trainable with jax.grad
+        (examples/lm_decode_demo.py trains one and fuses it here).
 
         hidden0 = zeros(H).  `precision` feeds every dot (None = default
         TPU bf16 MXU pass; use jax.lax.Precision.HIGHEST for
@@ -164,24 +164,35 @@ class NeuralLM:
         p = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
         h_dim = p["wz"].shape[1]
         v = p["emb"].shape[0]
-
-        def step(h, tok):
-            x = p["emb"][tok]
-            xh = jnp.concatenate([x, h])
-            z = jax.nn.sigmoid(jnp.dot(xh, p["wz"], precision=precision)
-                               + p["bz"])
-            r = jax.nn.sigmoid(jnp.dot(xh, p["wr"], precision=precision)
-                               + p["br"])
-            xrh = jnp.concatenate([x, r * h])
-            cand = jnp.tanh(jnp.dot(xrh, p["wh"], precision=precision)
-                            + p["bh"])
-            return (1.0 - z) * h + z * cand
-
-        def logp(h):
-            return jnp.dot(h, p["wo"], precision=precision) + p["bo"]
-
-        return cls(step, logp, jnp.zeros((h_dim,), jnp.float32), v,
+        return cls(partial(gru_step, p, precision=precision),
+                   partial(gru_logits, p, precision=precision),
+                   jnp.zeros((h_dim,), jnp.float32), v,
                    eos_id=eos_id, normalize=normalize)
+
+
+def gru_step(params, h, tok, precision=None):
+    """One GRU step: consume token id `tok` from hidden `h` (H,).
+
+    params: emb (V, E) token embeddings; wz, wr, wh (E + H, H) and
+    bz, br, bh (H,) gate/candidate weights applied to concat([x, h]);
+    wo (H, V), bo (V,) output projection (used by `gru_logits`).
+    Functional (params first) so the cell trains with jax.grad.
+    """
+    x = params["emb"][tok]
+    xh = jnp.concatenate([x, h])
+    z = jax.nn.sigmoid(jnp.dot(xh, params["wz"], precision=precision)
+                       + params["bz"])
+    r = jax.nn.sigmoid(jnp.dot(xh, params["wr"], precision=precision)
+                       + params["br"])
+    xrh = jnp.concatenate([x, r * h])
+    cand = jnp.tanh(jnp.dot(xrh, params["wh"], precision=precision)
+                    + params["bh"])
+    return (1.0 - z) * h + z * cand
+
+
+def gru_logits(params, h, precision=None):
+    """Next-token logits (V,) from hidden `h` (H,)."""
+    return jnp.dot(h, params["wo"], precision=precision) + params["bo"]
 
 
 def random_gru_params(rng, vocab_size, emb_dim=32, hidden_dim=64,

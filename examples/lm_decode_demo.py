@@ -168,6 +168,52 @@ def main():
                                 lm_alpha=1.0, lm_beta=0.0)
     show('        + hotword "hat" boost', hw[0], hw[1])
 
+    # 5. NEURAL shallow fusion: train a tiny char GRU LM on the corpus
+    # with jax.grad (the cell is functional — ops/neural_lm.py), wrap it
+    # in NeuralLM, and fuse it into the same beam search
+    from end2end_tpu.ops.neural_lm import (
+        gru_logits, gru_step, random_gru_params,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    V = len(alphabet)
+    params = jax.tree.map(jnp.asarray,
+                          random_gru_params(rng, V, emb_dim=16,
+                                            hidden_dim=48))
+    seqs = np.full((len(CORPUS), max(len(s) for s in CORPUS)), -1, np.int32)
+    for i, s in enumerate(CORPUS):
+        seqs[i, : len(s)] = alphabet.encode(s)
+    seqs = jnp.asarray(seqs)
+
+    def nll(p):
+        h0 = jnp.zeros((seqs.shape[0], p["wz"].shape[1]), jnp.float32)
+
+        def body(h, tok):
+            lp_tok = jax.nn.log_softmax(jax.vmap(gru_logits, (None, 0))(p, h))
+            valid = tok >= 0
+            loss = jnp.where(
+                valid,
+                -lp_tok[jnp.arange(h.shape[0]), jnp.maximum(tok, 0)], 0.0)
+            h = jnp.where(valid[:, None],
+                          jax.vmap(gru_step, (None, 0, 0))(p, h,
+                                                           jnp.maximum(tok, 0)),
+                          h)
+            return h, loss.sum()
+
+        return jax.lax.scan(body, h0, seqs.T)[1].sum() / seqs.shape[0]
+
+    train = jax.jit(lambda p: jax.tree.map(
+        lambda w, g: w - 0.15 * g, p, jax.grad(nll)(p)))
+    for step_i in range(300):
+        params = train(params)
+    print(f"char GRU LM trained: corpus NLL {float(nll(params)):.2f}")
+    gru = e2e.NeuralLM.gru(params)
+    nf = e2e.beam_search_decode(lp, il, beam_width=8, lm=gru,
+                                lm_alpha=0.8, lm_beta=0.3,
+                                implementation="xla")
+    show("beam-8 + trained GRU fusion", nf[0], nf[1])
+
 
 if __name__ == "__main__":
     main()
