@@ -302,3 +302,29 @@ def test_transformer_kv_cache_lm_decodes_on_every_path(rng):
         for pref in c_sets[i]:
             np.testing.assert_allclose(c_sets[i][pref], r_sets[i][pref],
                                        atol=5e-4, rtol=2e-4)
+
+
+def test_guided_chunked_gru_peaked_matches_scan(rng):
+    """guide_lm (dense char bigram, in-kernel) steering a chunked GRU
+    NeuralLM decode: on peaked lattices the guided chunked decode matches
+    the fused scan top-1 exactly (scores included)."""
+    from end2end_tpu.ops.lm import NGramLM, bigram_from_counts
+
+    B, T, V, W = 3, 30, 5, 8
+    lm = NeuralLM.gru(random_gru_params(rng, V, emb_dim=8, hidden_dim=12))
+    guide = NGramLM(bigram_from_counts(rng.integers(0, 20, (V, V))))
+    lp = _peaked_lattice(rng, B, T, V)
+    il = rng.integers(T - 6, T + 1, B).astype(np.int32)
+    a, b_ = 0.7, 0.2
+    ct, cl, cs = beam_search_chunked_lm(lp, il, beam_width=W, lm=lm,
+                                        lm_alpha=a, lm_beta=b_, chunk_t=7,
+                                        guide_lm=guide)
+    xt, xl, xs = beam_search_decode(lp, il, beam_width=W, lm=lm,
+                                    lm_alpha=a, lm_beta=b_,
+                                    implementation="xla")
+    for i in range(B):
+        top_c = np.asarray(ct)[i, 0, : int(cl[i, 0])].tolist()
+        top_x = np.asarray(xt)[i, 0, : int(xl[i, 0])].tolist()
+        assert top_c == top_x, i
+        np.testing.assert_allclose(float(cs[i, 0]), float(xs[i, 0]),
+                                   atol=2e-3, rtol=1e-4)
