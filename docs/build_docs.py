@@ -33,6 +33,7 @@ PAGES = [
     ("index", os.path.join(ROOT, "README.md"), "Overview"),
     ("ctc_math", os.path.join(DOCS, "ctc_math.md"), "CTC math"),
     ("api_guide", os.path.join(DOCS, "api.md"), "API guide"),
+    ("migration", os.path.join(DOCS, "migration.md"), "Migrating"),
     ("parallelism", os.path.join(DOCS, "parallelism.md"), "Parallelism"),
     ("perf_roofline", os.path.join(DOCS, "perf_roofline.md"), "Performance"),
 ]

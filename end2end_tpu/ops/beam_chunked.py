@@ -196,8 +196,8 @@ def _beam_chunked_jit(log_probs, il, W, K, s_cap, blank, interpret, chunk_t,
             aw = a.reshape((W, b_pad) + a.shape[1:])
             idx = src.reshape((W, b_pad) + (1,) * (a.ndim - 1))
             out = jnp.zeros_like(aw)
-            for x in range(W):
-                out = jnp.where(idx == x, aw[x][None], out)
+            for w in range(W):
+                out = jnp.where(idx == w, aw[w][None], out)
             return out.reshape(a.shape)
 
         lm_state = jax.tree.map(rehome, lm_state)

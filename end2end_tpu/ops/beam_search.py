@@ -359,11 +359,15 @@ def beam_search_decode(
     return_timestamps: bool = False,
     token_min_logp: float | None = None,
     guide_lm=None,
+    from_logits: bool = False,
+    batch_first: bool = False,
 ):
     """Batched CTC prefix beam search.
 
     Args:
-      log_probs: (T, N, C) log-probabilities.
+      log_probs: (T, N, C) log-probabilities.  `from_logits=True` applies
+        log_softmax first (raw network outputs); `batch_first=True` accepts
+        (N, T, C) — both mirror the reference's decoder conveniences.
       input_lengths: (N,) valid frame counts (default: T).
       beam_width: number of live prefixes W.
       prune_k: per-frame vocabulary pruning (top-K); None = full vocab
@@ -411,11 +415,15 @@ def beam_search_decode(
         return_timestamps).
     """
     log_probs = jnp.asarray(log_probs)
+    if batch_first:
+        log_probs = jnp.swapaxes(log_probs, 0, 1)
     if log_probs.dtype in (jnp.bfloat16, jnp.float16):
         # decoding is f32 everywhere (scores/merging); upcasting here keeps
         # half-precision model outputs on the fast Pallas route.  float64
         # stays f64 and falls back to the XLA scan (the kernel is f32-only).
         log_probs = log_probs.astype(jnp.float32)
+    if from_logits:
+        log_probs = jax.nn.log_softmax(log_probs, axis=-1)
     t_max, n, v = log_probs.shape
     if input_lengths is None:
         input_lengths = jnp.full((n,), t_max, jnp.int32)
@@ -521,6 +529,8 @@ class BeamSearchCTCDecoder:
         implementation: str = "auto",
         lm_chunk_t: int = 128,
         token_min_logp: float | None = None,
+        from_logits: bool = False,
+        batch_first: bool = False,
     ):
         self.beam_width = beam_width
         self.blank = blank
@@ -533,6 +543,8 @@ class BeamSearchCTCDecoder:
         self.implementation = implementation
         self.lm_chunk_t = lm_chunk_t
         self.token_min_logp = token_min_logp
+        self.from_logits = from_logits
+        self.batch_first = batch_first
 
     def _to_text(self, ids):
         return "".join(self.labels[c] for c in ids) if self.labels else ids
@@ -540,6 +552,8 @@ class BeamSearchCTCDecoder:
     def decode_beams(self, log_probs, input_lengths=None,
                      return_timestamps=False):
         log_probs = jnp.asarray(log_probs)
+        if self.batch_first:
+            log_probs = jnp.swapaxes(log_probs, 0, 1)
         t_max, n, _ = log_probs.shape
         if input_lengths is None:
             input_lengths = np.full((n,), t_max, np.int32)
@@ -558,6 +572,7 @@ class BeamSearchCTCDecoder:
                 lm_chunk_t=self.lm_chunk_t,
                 return_timestamps=return_timestamps,
                 token_min_logp=self.token_min_logp,
+                from_logits=self.from_logits,
             )
         )
         tokens, lengths, scores = out[:3]

@@ -106,9 +106,17 @@ def ctc_loss(
     zero_infinity: bool = False,
     implementation: str = "auto",
     checkpoint_every: int = 0,
+    from_logits: bool = False,
+    batch_first: bool = False,
 ):
     """CTC loss with torch.nn.CTCLoss-compatible semantics.  Jit-friendly:
     all options are static; lengths are data (no recompiles across lengths).
+
+    `from_logits=True` applies `log_softmax` over the vocab axis first (the
+    reference's CTCLoss took raw network outputs and normalized internally —
+    SURVEY.md §3.2 P1 "optional log_softmax"; gradients flow through the
+    softmax).  `batch_first=True` accepts (N, T, C) activations (the
+    reference's non-time-major layout) and transposes to torch's (T, N, C).
 
     Infeasible samples (target cannot fit in input_length frames) score
     +inf like torch.  One deliberate divergence: with zero_infinity=False
@@ -121,10 +129,14 @@ def ctc_loss(
     log_probs = jnp.asarray(log_probs)
     if log_probs.ndim != 3:
         raise ValueError(f"log_probs must be (T, N, C); got {log_probs.shape}")
+    if batch_first:
+        log_probs = jnp.swapaxes(log_probs, 0, 1)
     if log_probs.dtype in (jnp.bfloat16, jnp.float16):
         # kernels compute in f32; custom-VJP grads come back in f32 and are
         # cast to the caller's dtype by the autodiff convert rule
         log_probs = log_probs.astype(jnp.float32)
+    if from_logits:
+        log_probs = jax.nn.log_softmax(log_probs, axis=-1)
     n = log_probs.shape[1]
     if not isinstance(targets, jax.core.Tracer) and np.asarray(targets).ndim == 1:
         targets = _unpack_flat_targets(targets, target_lengths, n)
@@ -150,11 +162,14 @@ class CTCLoss:
     """Module-style wrapper mirroring the reference's `CTCLoss` nn.Module
     (SURVEY.md §3.2 P1).  Stateless; holds the static configuration."""
 
-    def __init__(self, blank=0, reduction="mean", zero_infinity=False, implementation="auto"):
+    def __init__(self, blank=0, reduction="mean", zero_infinity=False,
+                 implementation="auto", from_logits=False, batch_first=False):
         self.blank = blank
         self.reduction = reduction
         self.zero_infinity = zero_infinity
         self.implementation = implementation
+        self.from_logits = from_logits
+        self.batch_first = batch_first
 
     def __call__(self, log_probs, targets, input_lengths, target_lengths):
         return ctc_loss(
@@ -166,11 +181,14 @@ class CTCLoss:
             reduction=self.reduction,
             zero_infinity=self.zero_infinity,
             implementation=self.implementation,
+            from_logits=self.from_logits,
+            batch_first=self.batch_first,
         )
 
 
 def ctc_loss_jit(blank=0, reduction="mean", zero_infinity=False,
-                 implementation="auto", checkpoint_every=0):
+                 implementation="auto", checkpoint_every=0,
+                 from_logits=False, batch_first=False):
     """Return a jitted ctc_loss closure with the static options baked in."""
     return jax.jit(
         partial(
@@ -180,5 +198,7 @@ def ctc_loss_jit(blank=0, reduction="mean", zero_infinity=False,
             zero_infinity=zero_infinity,
             implementation=implementation,
             checkpoint_every=checkpoint_every,
+            from_logits=from_logits,
+            batch_first=batch_first,
         )
     )

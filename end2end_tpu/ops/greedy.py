@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def greedy_decode(log_probs, input_lengths=None, blank: int = 0, pad_id: int = -1):
+def greedy_decode(log_probs, input_lengths=None, blank: int = 0, pad_id: int = -1,
+                  from_logits: bool = False, batch_first: bool = False):
     """Decode the best path and collapse it.
 
     Args:
@@ -22,6 +23,9 @@ def greedy_decode(log_probs, input_lengths=None, blank: int = 0, pad_id: int = -
       input_lengths: (N,) valid frame counts; defaults to T for all samples.
       blank: blank label id.
       pad_id: fill value for padded positions of the output token matrix.
+      from_logits: normalize with log_softmax first (tokens are unchanged —
+        argmax is invariant — but `scores` become true path log-probs).
+      batch_first: accept (N, T, C) activations (transposed internally).
 
     Returns:
       tokens: (N, T) int32, decoded label ids left-aligned, pad_id elsewhere.
@@ -31,6 +35,10 @@ def greedy_decode(log_probs, input_lengths=None, blank: int = 0, pad_id: int = -
     For per-token emission frames use `greedy_decode_with_timestamps`.
     """
     log_probs = jnp.asarray(log_probs)
+    if batch_first:
+        log_probs = jnp.swapaxes(log_probs, 0, 1)
+    if from_logits:
+        log_probs = jax.nn.log_softmax(log_probs, axis=-1)
     t_max, n, _ = log_probs.shape
     if input_lengths is None:
         input_lengths = jnp.full((n,), t_max, dtype=jnp.int32)
@@ -72,7 +80,8 @@ def greedy_decode_from_path(ids, best, input_lengths=None, blank: int = 0,
 
 
 def greedy_decode_with_timestamps(log_probs, input_lengths=None, blank: int = 0,
-                                  pad_id: int = -1):
+                                  pad_id: int = -1, from_logits: bool = False,
+                                  batch_first: bool = False):
     """greedy_decode + the FRAME INDEX at which each emitted token first
     fires (the start of its repeat run) — the cheap streaming-friendly
     alternative to full forced alignment (ops/alignment.py).
@@ -80,6 +89,10 @@ def greedy_decode_with_timestamps(log_probs, input_lengths=None, blank: int = 0,
     Returns (tokens (N, T), lengths (N,), scores (N,), times (N, T) int32
     frame indices aligned with `tokens`, pad_id where tokens is padded)."""
     log_probs = jnp.asarray(log_probs)
+    if batch_first:
+        log_probs = jnp.swapaxes(log_probs, 0, 1)
+    if from_logits:
+        log_probs = jax.nn.log_softmax(log_probs, axis=-1)
     t_max, n, _ = log_probs.shape
     if input_lengths is None:
         input_lengths = jnp.full((n,), t_max, dtype=jnp.int32)
@@ -110,13 +123,18 @@ class GreedyCTCDecoder:
     (SURVEY.md §3.2 P3): optional label alphabet, `decode()` returns python
     lists (or joined strings when labels are given) plus path scores."""
 
-    def __init__(self, blank: int = 0, labels=None):
+    def __init__(self, blank: int = 0, labels=None, from_logits: bool = False,
+                 batch_first: bool = False):
         self.blank = blank
         self.labels = list(labels) if labels is not None else None
-        self._fn = jax.jit(lambda lp, il: greedy_decode(lp, il, blank=blank))
+        self.batch_first = bool(batch_first)
+        self._fn = jax.jit(lambda lp, il: greedy_decode(
+            lp, il, blank=blank, from_logits=from_logits))
 
     def decode(self, log_probs, input_lengths=None):
         log_probs = jnp.asarray(log_probs)
+        if self.batch_first:
+            log_probs = jnp.swapaxes(log_probs, 0, 1)
         t_max, n, _ = log_probs.shape
         if input_lengths is None:
             input_lengths = np.full((n,), t_max, dtype=np.int32)

@@ -73,6 +73,20 @@ def main():
     print(f"\ngreedy WER {corpus_wer(texts, greedy):.2%} | "
           f"beam-8 WER {corpus_wer(texts, beam):.2%}")
 
+    # checkpoint round-trip (utils/checkpoint.py): restore must reproduce
+    # the decode bit-for-bit
+    import tempfile
+
+    from end2end_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt")
+        save_checkpoint(path, params)
+        params2 = restore_checkpoint(path, params)
+    toks2, lens2, _ = jax.jit(lambda p: pipe.decode(p, wav, ns))(params2)
+    assert np.array_equal(np.asarray(toks2), np.asarray(toks))
+    print("checkpoint restore reproduces the greedy decode exactly")
+
 
 if __name__ == "__main__":
     main()

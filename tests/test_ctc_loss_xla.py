@@ -309,3 +309,35 @@ def test_compact_emission_and_posterior_match_reference_paths(rng):
     got_p = np.asarray(_posterior_matmul_compact(
         jnp.asarray(gamma), jnp.asarray(targets), blank, V))
     np.testing.assert_allclose(got_p, want_p, atol=1e-6, rtol=1e-6)
+
+
+def test_from_logits_batch_first_vs_torch(rng):
+    """Raw-logit input (from_logits=True, gradient flowing through the
+    internal log_softmax) and batch-first layout match the torch
+    composition log_softmax(logits) -> ctc_loss, gradients w.r.t. the
+    LOGITS (the reference's CTCLoss normalized raw network outputs
+    internally — SURVEY.md §3.2 P1)."""
+    B, T, S, V = 5, 60, 18, 23
+    logits = (rng.standard_normal((T, B, V)) * 2).astype(np.float32)
+    _, tgt, il, tl = random_ctc_problem(rng, B, T, S, V)
+
+    x = torch.tensor(logits, requires_grad=True)
+    t_loss = torch.nn.functional.ctc_loss(
+        torch.nn.functional.log_softmax(x, dim=-1),
+        torch.tensor(np.asarray(tgt), dtype=torch.long),
+        torch.tensor(np.asarray(il), dtype=torch.long),
+        torch.tensor(np.asarray(tl), dtype=torch.long),
+        reduction="mean", zero_infinity=True,
+    )
+    t_loss.backward()
+
+    def f(y):
+        return ctc_loss(y, tgt, il, tl, reduction="mean", zero_infinity=True,
+                        from_logits=True, batch_first=True)
+
+    j_loss, j_grad = jax.jit(jax.value_and_grad(f))(
+        jnp.asarray(np.swapaxes(logits, 0, 1)))
+    np.testing.assert_allclose(float(j_loss), float(t_loss.detach()),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.swapaxes(np.asarray(j_grad), 0, 1),
+                               x.grad.numpy(), rtol=1e-3, atol=3e-4)

@@ -227,3 +227,48 @@ def test_word_spans_boundary_regime():
         word_spans(ids, times)
     with pytest.raises(ValueError):
         word_spans(ids, times, space_id=1, boundary_ids=[5])
+
+
+def test_from_logits_and_batch_first(rng):
+    """The reference's decoder conveniences: raw-logit inputs (normalized
+    internally) and batch-first activations give identical decodes to the
+    manually normalized time-major call (SURVEY.md §3.2 P1/P3)."""
+    B, T, V = 4, 40, 17
+    logits = (rng.standard_normal((T, B, V)) * 2).astype(np.float32)
+    il = rng.integers(T // 2, T + 1, B).astype(np.int32)
+    lp = log_softmax_np(logits).astype(np.float32)
+
+    want = greedy_decode(lp, il)
+    got = greedy_decode(logits, il, from_logits=True)
+    got_bf = greedy_decode(np.swapaxes(logits, 0, 1), il, from_logits=True,
+                           batch_first=True)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    for a, b in zip(want, got_bf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    w_toks, w_lens, w_scores = beam_search_decode(lp, il, beam_width=4)
+    g_toks, g_lens, g_scores = beam_search_decode(
+        np.swapaxes(logits, 0, 1), il, beam_width=4, from_logits=True,
+        batch_first=True)
+    np.testing.assert_array_equal(np.asarray(w_toks), np.asarray(g_toks))
+    np.testing.assert_allclose(np.asarray(w_scores), np.asarray(g_scores),
+                               rtol=1e-5, atol=1e-5)
+
+    # class wrappers carry the same flags
+    texts_w, scores_w = GreedyCTCDecoder().decode(lp, il)
+    texts_g, scores_g = GreedyCTCDecoder(
+        from_logits=True, batch_first=True).decode(
+            np.swapaxes(logits, 0, 1), il)
+    assert texts_w == texts_g
+    np.testing.assert_allclose(scores_w, scores_g, rtol=1e-5)
+    b_w = BeamSearchCTCDecoder(beam_width=3).decode(lp, il)
+    b_g = BeamSearchCTCDecoder(beam_width=3, from_logits=True,
+                               batch_first=True).decode(
+                                   np.swapaxes(logits, 0, 1), il)
+    # texts identical; scores only allclose — the internal log_softmax of
+    # the transposed layout rounds differently in f32 (~1e-6)
+    assert b_w[0] == b_g[0]
+    np.testing.assert_allclose(b_w[1], b_g[1], rtol=1e-5, atol=1e-5)
