@@ -25,8 +25,34 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_e2e")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+# The full suite compiles/loads hundreds of XLA CPU executables in ONE
+# process; each maps many JIT code/data segments, and the process EXHAUSTS
+# the kernel's vm.max_map_count (default 65530) around ~80% of the suite —
+# mmap then fails and XLA segfaults (observed round 3: rc=139 crashes in
+# backend_compile / executable (de)serialization, moving with run order).
+# Two-layer fix: raise the limit when we can (root in this environment),
+# and bound live executables by dropping JAX's in-memory caches after each
+# test module (module-scoped jitted closures die with the module; the
+# persistent disk cache keeps any cross-module recompiles cheap).
+try:  # best-effort: harmless if not permitted
+    with open("/proc/sys/vm/max_map_count") as f:
+        _cur = int(f.read())
+    if _cur < 1_000_000:
+        with open("/proc/sys/vm/max_map_count", "w") as f:
+            f.write("1000000")
+except OSError:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_jit_maps():
+    """Free compiled executables (and their mmapped JIT code) per module —
+    see the max_map_count note above."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture
