@@ -116,9 +116,24 @@ def _beam_chunked_jit(log_probs, il, W, K, s_cap, blank, interpret, chunk_t,
     from .beam_search import apply_token_min_logp
 
     lpk, ck = apply_token_min_logp(lpk, ck, token_min_logp)
-    ck = ck.astype(jnp.int32)
     lpb = log_probs[:, :, blank]
+    return _beam_chunked_from_topk_jit(
+        lpk, ck, lpb, il, W, K, s_cap, blank, interpret, chunk_t, t_max, n,
+        v, lm, lm_alpha, lm_beta, guide_table=guide_table)
 
+
+@partial(
+    jax.jit,
+    static_argnames=("W", "K", "s_cap", "blank", "interpret", "chunk_t",
+                     "t_max", "n", "v", "lm", "lm_alpha", "lm_beta"),
+)
+def _beam_chunked_from_topk_jit(lpk, ck, lpb, il, W, K, s_cap, blank,
+                                interpret, chunk_t, t_max, n, v, lm,
+                                lm_alpha, lm_beta, guide_table=None):
+    """Chunked decode from PRECOMPUTED per-frame candidates (lpk/ck (T,N,K),
+    lpb (T,N)) — the seam the vocab-sharded decoder enters through after its
+    merged top-K prep (parallel/vocab_parallel.py)."""
+    ck = ck.astype(jnp.int32)
     b_pad = _pad_up(max(n, 1), _LANES)
     t_pad = _pad_up(t_max, chunk_t)
     n_chunks = t_pad // chunk_t
@@ -223,6 +238,58 @@ def _beam_chunked_jit(log_probs, il, W, K, s_cap, blank, interpret, chunk_t,
     scores = logaddexp2(pb, pnb) + lm_bonus
     scores = scores + lm_alpha * lm.final(lm_state).reshape(W, b_pad)
     return _backtrace(bp, ck, scores, W, K, s_cap, t_max, n)
+
+
+def beam_search_chunked_lm_from_topk(lpk, ck, lpb, input_lengths, *,
+                                     v: int, beam_width: int = 8,
+                                     blank: int = 0,
+                                     max_symbols: int | None = None,
+                                     lm=None, lm_alpha: float = 0.0,
+                                     lm_beta: float = 0.0,
+                                     chunk_t: int = 128, interpret=None,
+                                     return_timestamps: bool = False,
+                                     guide_lm=None):
+    """`beam_search_chunked_lm` from precomputed per-frame candidates.
+
+    lpk/ck: (T, N, K) top-K values/global ids; lpb: (T, N) blank row; `v`
+    the FULL vocab size (candidate ids index it).  Used by the
+    vocab-sharded decoder (parallel/vocab_parallel.py), whose merged top-K
+    prep reproduces global `lax.top_k` exactly — so sharded-chunked ==
+    unsharded-chunked bitwise."""
+    from .beam_search_pallas import beam_pallas_supported
+
+    if lm is None or not hasattr(lm, "score_chunk"):
+        raise ValueError("beam_search_chunked_lm_from_topk requires an lm "
+                         "with score_chunk")
+    t_max, n, k = lpk.shape
+    ok, reason = beam_pallas_supported(t_max, v, int(beam_width), k, lm=None)
+    if not ok:  # the ACOUSTIC kernel envelope (the LM side is chunk-scored)
+        raise ValueError(f"beam_search_chunked_lm_from_topk: {reason}")
+    guide_table = None
+    if guide_lm is not None:
+        from .lm import NGramLM
+
+        if not isinstance(guide_lm, NGramLM):
+            raise ValueError("guide_lm must be a dense NGramLM (it is "
+                             "fused in-kernel)")
+        ok_g, why = beam_pallas_supported(t_max, v, int(beam_width), k,
+                                          lm=guide_lm)
+        if not ok_g:
+            raise ValueError(f"guide_lm outside the fused-kernel "
+                             f"envelope: {why}")
+        guide_table = guide_lm._table
+    W = int(beam_width)
+    s_cap = int(max_symbols or min(t_max, 512))
+    chunk_t = int(min(chunk_t, _pad_up(t_max, 8)))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = _beam_chunked_from_topk_jit(
+        jnp.asarray(lpk, jnp.float32), jnp.asarray(ck),
+        jnp.asarray(lpb, jnp.float32),
+        jnp.asarray(input_lengths, jnp.int32), W, k, s_cap, int(blank),
+        bool(interpret), chunk_t, t_max, n, int(v), lm, float(lm_alpha),
+        float(lm_beta), guide_table=guide_table)
+    return out if return_timestamps else out[:3]
 
 
 def beam_search_chunked_lm(log_probs, input_lengths=None, beam_width: int = 8,

@@ -334,6 +334,7 @@ def beam_search_decode_vocab_parallel(
     lm=None, lm_alpha: float = 0.0, lm_beta: float = 0.0,
     vocab_axis: str = "model", implementation: str = "auto",
     return_timestamps: bool = False, token_min_logp: float | None = None,
+    lm_chunk_t: int = 128, guide_lm=None,
 ):
     """`beam_search_decode` with the VOCAB axis sharded over the mesh.
 
@@ -344,6 +345,12 @@ def beam_search_decode_vocab_parallel(
     Both have identical candidate-only semantics: exact at prune_k >= V,
     else the documented repeat-prune.  LM fusion works unchanged (tables
     replicated; scoring touches candidates only).
+
+    `implementation='chunked'` opts word-level / hashed / neural LMs into
+    the chunked kernel path on the replicated candidates (the production
+    BPE + word-LM regime at large V: sharded top-K prep feeds
+    `beam_search_chunked_lm_from_topk`) — sharded == unsharded bitwise,
+    since the merged prep reproduces global `lax.top_k` exactly.
     """
     from ..ops.beam_search import beam_search_from_topk
     from ..ops.beam_search_pallas import (
@@ -365,8 +372,20 @@ def beam_search_decode_vocab_parallel(
         from ..ops.beam_search import apply_token_min_logp
 
         lpk, ck = apply_token_min_logp(lpk, ck, float(token_min_logp))
-    if implementation not in ("auto", "pallas", "xla"):
+    if implementation not in ("auto", "pallas", "chunked", "xla"):
         raise ValueError(f"invalid implementation {implementation!r}")
+    if guide_lm is not None and implementation != "chunked":
+        raise ValueError("guide_lm is only meaningful with "
+                         "implementation='chunked'")
+    if implementation == "chunked":
+        from ..ops.beam_chunked import beam_search_chunked_lm_from_topk
+
+        return beam_search_chunked_lm_from_topk(
+            lpk, ck, lpb, input_lengths, v=v, beam_width=beam_width,
+            blank=blank, max_symbols=s_cap, lm=lm, lm_alpha=lm_alpha,
+            lm_beta=lm_beta, chunk_t=lm_chunk_t,
+            return_timestamps=return_timestamps, guide_lm=guide_lm,
+        )
     if implementation != "xla":
         ok, reason = beam_pallas_supported(t_max, v, beam_width, k, lm,
                                            dtype=lpk.dtype)

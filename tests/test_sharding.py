@@ -496,3 +496,56 @@ def test_vocab_parallel_beam_with_neural_lm_matches_unsharded(rng):
             if np.isfinite(ws[b, w]):
                 np.testing.assert_array_equal(gt[b, w, : gl[b, w]],
                                               wt[b, w, : wl[b, w]])
+
+
+@needs_devices
+def test_vocab_parallel_chunked_word_lm_matches_unsharded(rng):
+    """implementation='chunked' under vocab sharding — the production
+    large-V BPE + word-LM regime: the merged top-K prep feeds the chunked
+    kernel path on replicated candidates, so sharded == unsharded exactly
+    (same candidate set, same replay)."""
+    from end2end_tpu.ops.beam_chunked import beam_search_chunked_lm
+    from end2end_tpu.ops.lm import NGramLM, WordNGramLM, bigram_from_counts
+    from end2end_tpu.parallel.vocab_parallel import (
+        beam_search_decode_vocab_parallel,
+    )
+
+    B, T, V, W, K = 3, 14, 16, 4, 8
+    lp, _, _, _ = random_ctc_problem(rng, B, T, 3, V)
+    lp = np.asarray(lp, np.float32)
+    il = np.array([14, 9, 12], np.int32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("model",))
+
+    words = [(1,), (2,), (1, 2), (2, 1)]
+    wv = len(words)
+    bigram = np.log(np.maximum(rng.random((wv, wv)).astype(np.float32), 1e-3))
+    start = rng.standard_normal(wv).astype(np.float32)
+    lm = WordNGramLM(words, bigram, start, space_id=3,
+                     unigram_logp=rng.standard_normal(wv).astype(np.float32),
+                     unk_logp=-13.0)
+    guide = NGramLM(bigram_from_counts(rng.integers(0, 10, (V, V))))
+
+    for g in (None, guide):
+        got = beam_search_decode_vocab_parallel(
+            jnp.asarray(lp), il, mesh=mesh, beam_width=W, prune_k=K,
+            max_symbols=16, lm=lm, lm_alpha=0.7, lm_beta=0.3,
+            implementation="chunked", lm_chunk_t=5, guide_lm=g,
+        )
+        want = beam_search_chunked_lm(
+            lp, il, beam_width=W, prune_k=K, max_symbols=16, lm=lm,
+            lm_alpha=0.7, lm_beta=0.3, chunk_t=5, guide_lm=g,
+        )
+        gt, gl, gs = [np.asarray(a) for a in got]
+        wt, wl, ws = [np.asarray(a) for a in want]
+        np.testing.assert_array_equal(gt, wt)
+        np.testing.assert_array_equal(gl, wl)
+        np.testing.assert_allclose(gs, ws, atol=1e-6)
+
+    # non-chunked implementations reject guide_lm
+    import pytest
+
+    with pytest.raises(ValueError):
+        beam_search_decode_vocab_parallel(
+            jnp.asarray(lp), il, mesh=mesh, beam_width=W, lm=lm,
+            guide_lm=guide,
+        )
