@@ -23,6 +23,14 @@ import sys
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The env var alone is too late on machines whose sitecustomize imports jax
+# (the axon TPU plugin would still dial its relay during autodoc imports and
+# retry forever if the tunnel is down) — force the platform via the live
+# config, exactly like tests/conftest.py does.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import markdown  # noqa: E402
 
 DOCS = os.path.dirname(os.path.abspath(__file__))

@@ -24,6 +24,7 @@ from .ops.lm import (
     NGramLM,
     WordNGramLM,
 )
+from .ops.mwer import mwer_loss, mwer_loss_from_nbest
 from .ops.neural_lm import NeuralLM
 from .ops.rescore import rescore_nbest
 from .ops.streaming_decode import StreamingBeamDecoder, StreamingGreedyDecoder
@@ -50,6 +51,8 @@ __all__ = [
     "HotwordBoostLM",
     "CompositeLM",
     "NeuralLM",
+    "mwer_loss",
+    "mwer_loss_from_nbest",
     "rescore_nbest",
     "StreamingGreedyDecoder",
     "StreamingBeamDecoder",
