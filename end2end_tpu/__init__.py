@@ -28,6 +28,11 @@ from .ops.mwer import mwer_loss, mwer_loss_from_nbest
 from .ops.neural_lm import NeuralLM
 from .ops.rescore import rescore_nbest
 from .ops.streaming_decode import StreamingBeamDecoder, StreamingGreedyDecoder
+from .utils.lm_train import (
+    train_ngram_arpa,
+    train_ngram_lm,
+    word_lm_from_corpus,
+)
 
 __version__ = "0.2.0"
 
@@ -54,6 +59,9 @@ __all__ = [
     "mwer_loss",
     "mwer_loss_from_nbest",
     "rescore_nbest",
+    "train_ngram_lm",
+    "train_ngram_arpa",
+    "word_lm_from_corpus",
     "StreamingGreedyDecoder",
     "StreamingBeamDecoder",
     "__version__",
