@@ -16,6 +16,13 @@ from .ops.ctc_loss import CTCLoss, ctc_loss, ctc_loss_jit, ctc_nll
 from .ops.greedy import GreedyCTCDecoder, greedy_decode, greedy_decode_with_timestamps
 from .ops.beam_search import BeamSearchCTCDecoder, beam_search_decode
 from .ops.beam_chunked import beam_search_chunked_lm
+from .ops.confidence import (
+    aggregate_confidence,
+    frame_confidence,
+    greedy_decode_with_confidence,
+    token_confidence,
+    word_confidences,
+)
 from .ops.lm import (
     CompositeLM,
     HashedNGramLM,
@@ -43,6 +50,11 @@ __all__ = [
     "CTCLoss",
     "greedy_decode",
     "greedy_decode_with_timestamps",
+    "greedy_decode_with_confidence",
+    "frame_confidence",
+    "token_confidence",
+    "aggregate_confidence",
+    "word_confidences",
     "GreedyCTCDecoder",
     "beam_search_decode",
     "beam_search_chunked_lm",
