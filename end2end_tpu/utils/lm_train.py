@@ -42,20 +42,24 @@ def _as_tokens(sentence):
 
 
 def _count_raw(id_sentences, order, bos, eos):
-    """Raw k-gram counts for k=1..order over bos-padded sentences.
+    """Raw k-gram counts for k=1..order over <s>-padded sentences.
 
-    Grams never END in <s> (it is context only, never predicted); a k-gram
-    may reach into the (order-1)-deep <s> padding, so contexts like
-    (<s>, w) exist at every order.
+    KenLM/SRILM convention (matching this library's decoders, which seed
+    ONE <s> in the LM state): each sentence is padded with a single <s>,
+    so early positions condition on SHORTER contexts — the first word
+    yields (<s>, w1) but never (<s>, <s>, w1).  Multi-<s> padding would
+    create pure-<s> run contexts whose backoff weights have no storable
+    entry (grams never END in <s>), leaking interpolation mass — caught
+    by the stress sweep's sum-to-one rounds.
     """
     raw = [None] + [Counter() for _ in range(order)]
     for s in id_sentences:
-        seq = [bos] * (order - 1) + s + [eos]
-        n_pad = order - 1
+        seq = [bos] + s + [eos]
         for k in range(1, order + 1):
             ctr = raw[k]
-            for last in range(n_pad, len(seq)):
-                ctr[tuple(seq[last - k + 1 : last + 1])] += 1
+            for last in range(1, len(seq)):
+                if last - k + 1 >= 0:
+                    ctr[tuple(seq[last - k + 1 : last + 1])] += 1
     return raw
 
 

@@ -436,6 +436,185 @@ def time_parallel_round(rng, i):
                                err_msg=str(cfg))
 
 
+def lm_train_round(rng, i):
+    """Kneser-Ney estimation: every conditional distribution the emitted
+    backoff model defines sums to exactly 1 through the float64 ArpaScorer
+    (probs + backoffs + unk chain jointly), random corpora / orders /
+    discount regimes / unk handling."""
+    import math
+
+    from end2end_tpu.utils.arpa import ArpaScorer
+    from end2end_tpu.utils.lm_train import train_ngram_lm
+
+    v = int(rng.integers(2, 9))
+    order = int(rng.integers(1, 5))
+    skew = float(rng.uniform(0.0, 2.5))
+    w = (np.arange(v) + 1.0) ** skew
+    w /= w.sum()
+    sents = [
+        [str(t) for t in rng.choice(v, size=int(rng.integers(1, 10)), p=w)]
+        for _ in range(int(rng.integers(1, 25)))
+    ]
+    kw = {}
+    if rng.integers(2):
+        kw["include_unk"] = False
+    if rng.integers(2):
+        kw["discount"] = float(rng.uniform(0.1, 0.95))
+    order, ngrams, vocab = train_ngram_lm(sents, order=order, **kw)
+    sc = ArpaScorer(order, ngrams, len(vocab))
+    vv = len(vocab)
+    cfg = (i, vv, order, len(sents), kw)
+    for _ in range(6):
+        ctx = [int(rng.integers(0, vv + 6))
+               for _ in range(int(rng.integers(0, 4)))]
+        total = sum(math.exp(sc.score(ctx, t)) for t in range(vv))
+        total += math.exp(sc.score(ctx, sc.eos))
+        if kw.get("include_unk", True):
+            total += math.exp(sc.score(ctx, vv + 9))  # the <unk> chain
+        assert abs(total - 1.0) < 1e-9, (cfg, ctx, total)
+
+
+def mwer_round(rng, i):
+    """mwer_loss_from_nbest == float64 NumPy composition (ctc_loss_ref
+    hypothesis scores + softmax posterior + error regret), random shapes,
+    token- and word-level errors."""
+    import jax.numpy as jnp
+
+    from end2end_tpu.ops.mwer import mwer_loss_from_nbest
+    from end2end_tpu.utils.metrics import edit_distance
+    from end2end_tpu.utils.reference_impl import ctc_loss_ref
+
+    b = int(rng.integers(1, 4))
+    t = int(rng.integers(8, 30))
+    s = int(rng.integers(2, 7))
+    v = int(rng.integers(4, 9))
+    w_beam = int(rng.integers(2, 5))
+    err = "word" if rng.integers(2) else "token"
+    space = 2 if err == "word" else None
+    scale = float(rng.uniform(0.3, 2.0))
+    lp = lsm(rng.standard_normal((t, b, v)) * 2).astype(np.float32)
+    tgt = rng.integers(1, v, (b, s)).astype(np.int32)
+    il = rng.integers(t // 2, t + 1, b).astype(np.int32)
+    tl = rng.integers(1, s + 1, b).astype(np.int32)
+    cfg = (i, b, t, s, v, w_beam, err, scale)
+    hyp, hyp_len, hscores = beam_search_decode(
+        jnp.asarray(lp), jnp.asarray(il), beam_width=w_beam,
+        max_symbols=s + 2, implementation="xla")
+    loss = np.asarray(mwer_loss_from_nbest(
+        jnp.asarray(lp), jnp.asarray(il), hyp, hyp_len,
+        jnp.asarray(tgt), jnp.asarray(tl),
+        hyp_valid=jnp.isfinite(hscores), err=err, space_id=space,
+        scale=scale, reduction="none"))
+    hyp, hyp_len = np.asarray(hyp), np.asarray(hyp_len)
+
+    def words(ids):
+        out, cur = [], []
+        for tok in ids:
+            if tok == space:
+                if cur:
+                    out.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(int(tok))
+        if cur:
+            out.append(tuple(cur))
+        return out
+
+    for bi in range(b):
+        scores, errs, valid = [], [], []
+        for j in range(w_beam):
+            hl = int(hyp_len[bi, j])
+            seq = hyp[bi, j, :hl]
+            nll, _ = ctc_loss_ref(
+                np.asarray(lp[:, bi: bi + 1], np.float64),
+                np.asarray(seq, np.int64)[None],
+                np.asarray([il[bi]]), np.asarray([hl]))
+            sc = -float(nll[0])
+            scores.append(sc)
+            valid.append(np.isfinite(sc) and np.isfinite(
+                float(np.asarray(hscores)[bi, j])))
+            r = tgt[bi, : tl[bi]]
+            errs.append(edit_distance(words(seq), words(r)) if err == "word"
+                        else edit_distance(list(seq), list(r)))
+        scores, errs = np.array(scores), np.array(errs, np.float64)
+        valid = np.array(valid)
+        if not valid.any():
+            assert abs(loss[bi]) < 1e-6, cfg
+            continue
+        z = np.where(valid, scale * scores, -np.inf)
+        z = z - z.max()
+        p = np.exp(z) / np.exp(z).sum()
+        mean_err = errs[valid].mean()
+        want = float((p * np.where(valid, errs - mean_err, 0.0)).sum())
+        np.testing.assert_allclose(loss[bi], want, atol=2e-3, rtol=2e-3,
+                                   err_msg=str((cfg, bi)))
+
+
+def confidence_round(rng, i):
+    """frame/token/aggregate confidence == float64 NumPy recomputation,
+    random method / alpha / blank handling / timestamp shapes."""
+    from end2end_tpu.ops.confidence import (
+        aggregate_confidence, frame_confidence, token_confidence)
+
+    t = int(rng.integers(3, 20))
+    b = int(rng.integers(1, 4))
+    v = int(rng.integers(3, 30))
+    method = ["max_prob", "shannon", "tsallis", "renyi"][int(rng.integers(4))]
+    alpha = float(rng.uniform(0.1, 0.9))
+    excl = bool(rng.integers(2))
+    lp32 = lsm(rng.standard_normal((t, b, v)) * 3).astype(np.float32)
+    cfg = (i, t, b, v, method, alpha, excl)
+    got = np.asarray(frame_confidence(lp32, method=method, alpha=alpha,
+                                      exclude_blank=excl))
+    p = np.exp(np.asarray(lp32, np.float64))
+    if excl:
+        p[..., 0] = 0.0
+        p = p / p.sum(-1, keepdims=True)
+        veff = v - 1
+    else:
+        veff = v
+    if method == "max_prob":
+        want = p.max(-1)
+    elif method == "shannon":
+        h = -(np.where(p > 0, p * np.log(np.where(p > 0, p, 1.0)), 0.0)
+              ).sum(-1)
+        want = np.clip(1.0 - h / np.log(veff), 0.0, 1.0)
+    elif method == "tsallis":
+        sa = (p ** alpha).sum(-1)
+        smax = (veff ** (1 - alpha) - 1) / (1 - alpha)
+        want = np.clip(1.0 - ((sa - 1) / (1 - alpha)) / smax, 0.0, 1.0)
+    else:
+        want = np.clip(
+            1.0 - (np.log((p ** alpha).sum(-1)) / (1 - alpha))
+            / np.log(veff), 0.0, 1.0)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-4,
+                               err_msg=str(cfg))
+    # token gather + aggregation vs loops
+    s = int(rng.integers(1, 7))
+    times = rng.integers(0, t, (b, s)).astype(np.int32)
+    lens = rng.integers(0, s + 1, b).astype(np.int32)
+    tc = np.asarray(token_confidence(got.astype(np.float32), times, lens))
+    for bi in range(b):
+        for j in range(s):
+            want_tc = got[times[bi, j], bi] if j < lens[bi] else 0.0
+            np.testing.assert_allclose(tc[bi, j], want_tc, atol=2e-6,
+                                       err_msg=str((cfg, bi, j)))
+    how = ["mean", "min", "prod"][int(rng.integers(3))]
+    agg = np.asarray(aggregate_confidence(tc, lens, how))
+    for bi in range(b):
+        row = tc[bi, : lens[bi]]
+        if lens[bi] == 0:
+            want_a = 1.0
+        elif how == "mean":
+            want_a = row.mean()
+        elif how == "min":
+            want_a = row.min()
+        else:
+            want_a = row.prod()
+        np.testing.assert_allclose(agg[bi], want_a, atol=2e-6,
+                                   err_msg=str((cfg, bi, how)))
+
+
 def run_batch(n_rounds, seed):
     """One batch of rounds in THIS process (fresh LLVM JIT state)."""
     rng = np.random.default_rng(seed)
@@ -447,6 +626,9 @@ def run_batch(n_rounds, seed):
         prune_round(rng, i)
         token_min_round(rng, i)
         guide_round(rng, i)
+        lm_train_round(rng, i)
+        mwer_round(rng, i)
+        confidence_round(rng, i)
         if i % 5 == 0:  # costlier (mesh compiles); every 5th round
             time_parallel_round(rng, i)
 
@@ -475,8 +657,9 @@ def main():
     print(f"PASS: {ROUNDS} rounds x (loss-vs-torch + 3-way beam + LM "
           "pallas==xla + chunked==rescore (6 LM kinds incl. BPE-boundary, "
           "composite+hotwords, and GRU NeuralLM) + prune-parity + "
-          "token_min_logp parity + guided-chunked==fused + time-parallel "
-          "grad) all clean", flush=True)
+          "token_min_logp parity + guided-chunked==fused + KN-estimation "
+          "sum-to-one + MWER f64-oracle + confidence f64-recompute + "
+          "time-parallel grad) all clean", flush=True)
 
 
 if __name__ == "__main__":
