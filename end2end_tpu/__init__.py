@@ -34,6 +34,7 @@ from .ops.lm import (
 from .ops.mwer import mwer_loss, mwer_loss_from_nbest
 from .ops.neural_lm import NeuralLM
 from .ops.rescore import rescore_nbest
+from .ops.rnnt_loss import RNNTLoss, rnnt_loss, rnnt_nll
 from .ops.streaming_decode import StreamingBeamDecoder, StreamingGreedyDecoder
 from .utils.lm_train import (
     train_ngram_arpa,
@@ -70,6 +71,9 @@ __all__ = [
     "NeuralLM",
     "mwer_loss",
     "mwer_loss_from_nbest",
+    "rnnt_loss",
+    "rnnt_nll",
+    "RNNTLoss",
     "rescore_nbest",
     "train_ngram_lm",
     "train_ngram_arpa",

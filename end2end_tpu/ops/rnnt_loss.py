@@ -1,0 +1,326 @@
+"""RNN-T (transducer) loss — TPU-native diagonal-wavefront scan.
+
+Beyond the reference's CTC surface (SURVEY.md §1): the transducer is the
+other standard end-to-end ASR loss, included because its lattice DP maps
+onto the same TPU machinery this repo builds for CTC.  Math and oracle:
+``utils/rnnt_reference.py`` (Graves 2012, arXiv:1211.3711).
+
+TPU-first design
+----------------
+The (t, u) lattice has dependencies (t-1, u) and (t, u-1) — both on the
+PREVIOUS anti-diagonal d-1 = t+u-1.  So unlike CTC (strictly sequential in
+T), the transducer DP admits a wavefront scan over d = t+u with a SINGLE
+(N, U+1)-row carry and purely elementwise per-step work:
+
+  * the blank/label log-prob planes (N, T, U+1) are SKEWED once up front
+    (sk[d, u] = plane[d-u, u], one flat gather) so every scan step reads
+    one contiguous diagonal row — no per-step gathers;
+  * alpha and beta are both wavefront scans of T+U steps of one
+    ``logaddexp2`` each (vs CTC's T steps of logaddexp3 over 2S+1 lanes);
+  * per-step renormalization on the exact half-integer grid
+    (``round_to_half``, same trick as the CTC kernels) keeps f32 carries in
+    a tight band over thousands of diagonals;
+  * the gradient is assembled WITHOUT a scan: in skewed space the three
+    posterior ingredients of node (t, u) — alpha[t,u], beta[t+1,u],
+    beta[t,u+1] — live on diagonals d and d+1, so the full grad is two
+    elementwise planes + one unskew gather + a 2-nonzero scatter into V
+    (one-hot multiply, XLA-fused).  This is the transducer analog of CTC's
+    fused ``exp(lp) - posterior`` backward (SURVEY.md §4.2).
+
+Only the blank/label PLANES (N, T, U+1) flow through the scans; the (V,)
+softmax axis is touched exactly twice (one gather in, one fused scatter
+out), so the DP cost is independent of vocabulary size.
+
+Semantics: per-sample NLL of the target sequence, lengths respected
+(frames t >= T_n and labels u >= U_n are masked; the terminal blank is
+taken at (T_n - 1, U_n)).  U_n > T_n is VALID for transducers (a frame may
+emit several labels) — there is no CTC-style impossible-alignment case.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fastmath import logaddexp2_acc, round_to_half
+from .semiring import LOG0, LOG0_THRESHOLD
+
+
+def _skew(x, d_total):
+    """(N, T, Up) -> (D, N, Up) with out[d, n, u] = x[n, d-u, u].
+
+    Out-of-range t = d-u (the triangle corners) is filled with LOG0.  One
+    flat gather over the (T*Up) trailing axes; the inverse is `_unskew`.
+    """
+    n, t_max, up = x.shape
+    d_idx = jnp.arange(d_total)[:, None]
+    u_idx = jnp.arange(up)[None, :]
+    t_idx = d_idx - u_idx                       # (D, Up)
+    valid = (t_idx >= 0) & (t_idx < t_max)
+    flat = jnp.clip(t_idx, 0, t_max - 1) * up + u_idx
+    out = jnp.take(x.reshape(n, t_max * up), flat.reshape(-1), axis=1)
+    out = out.reshape(n, d_total, up)
+    out = jnp.where(valid[None], out, LOG0)
+    return jnp.moveaxis(out, 0, 1)              # (D, N, Up)
+
+
+def _unskew(sk, t_max):
+    """(D, N, Up) -> (N, T, Up) with out[n, t, u] = sk[t+u, n, u]."""
+    d_total, n, up = sk.shape
+    t_idx = jnp.arange(t_max)[:, None]
+    u_idx = jnp.arange(up)[None, :]
+    flat = (t_idx + u_idx) * up + u_idx         # (T, Up)
+    x = jnp.moveaxis(sk, 0, 1).reshape(n, d_total * up)
+    return jnp.take(x, flat.reshape(-1), axis=1).reshape(n, t_max, up)
+
+
+def _diag_renorm(row):
+    """Per-step renorm shift on the exact half-integer grid (f32 sums of
+    halves are exact, so offsets cancel bit-exactly in posteriors)."""
+    m = jnp.max(row, axis=-1)                   # (N,)
+    m = jnp.where(m > LOG0_THRESHOLD, m, 0.0)
+    return round_to_half(m)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _rnnt_nll_lp(lp, targets, input_lengths, target_lengths, blank, v):
+    nll, _ = _rnnt_forward(lp, targets, input_lengths, target_lengths, blank)
+    return nll
+
+
+def _planes(lp, targets, target_lengths, blank):
+    """Extract the blank plane and the (label-masked) label plane.
+
+    The label gather is a one-hot MXU einsum at HIGHEST precision — exact
+    f32 selection (1.0 * x sums with zeros), the same gather-as-matmul
+    pattern as the CTC loss prep (ctc_loss_pallas.gather_lp_ext; a trailing
+    -axis take_along_axis measures ~8 ns/element on TPU, see
+    docs/perf_roofline.md indexing table).
+    """
+    n, t_max, up, v = lp.shape
+    b_pl = lp[..., blank]                                   # (N, T, Up)
+    y_ext = jnp.concatenate(
+        [targets.astype(jnp.int32),
+         jnp.zeros((n, up - targets.shape[1]), jnp.int32)], axis=1)
+    onehot_y = jax.nn.one_hot(y_ext, v, dtype=lp.dtype)     # (N, Up, V)
+    l_pl = jnp.einsum("ntuv,nuv->ntu", lp, onehot_y,
+                      precision=jax.lax.Precision.HIGHEST)
+    u_ok = jnp.arange(up)[None] < target_lengths[:, None]   # (N, Up)
+    l_pl = jnp.where(u_ok[:, None, :], l_pl, LOG0)
+    return b_pl, l_pl, y_ext
+
+
+def _alpha_scan(sk_b, sk_l, n, up):
+    """Wavefront alpha over skewed planes.  Returns (tape (D, N, Up) of
+    renormalized diagonals, rcum (D, N) exact offsets): alpha = tape+rcum."""
+    d_total = sk_b.shape[0]
+    a0 = jnp.full((n, up), LOG0, jnp.float32).at[:, 0].set(0.0)
+
+    def step(carry, x):
+        a_prev, r_prev = carry
+        skb_d, skl_d = x                        # diag d-1 planes
+        blank_in = a_prev + skb_d
+        lab_in = (jnp.pad(a_prev, ((0, 0), (1, 0)), constant_values=LOG0)
+                  [:, :up]
+                  + jnp.pad(skl_d, ((0, 0), (1, 0)), constant_values=LOG0)
+                  [:, :up])
+        a = logaddexp2_acc(blank_in, lab_in)
+        m = _diag_renorm(a)
+        a = jnp.maximum(a - m[:, None], LOG0)
+        r = r_prev + m
+        return (a, r), (a, r)
+
+    (_, _), (tape, rcum) = jax.lax.scan(
+        step, (a0, jnp.zeros((n,), jnp.float32)), (sk_b[:-1], sk_l[:-1]))
+    tape = jnp.concatenate([a0[None], tape], axis=0)
+    rcum = jnp.concatenate([jnp.zeros((1, n), jnp.float32), rcum], axis=0)
+    return tape, rcum
+
+
+def _rnnt_forward(lp, targets, input_lengths, target_lengths, blank):
+    lp = jnp.asarray(lp, jnp.float32)
+    n, t_max, up, v = lp.shape
+    il = jnp.asarray(input_lengths, jnp.int32)
+    ul = jnp.asarray(target_lengths, jnp.int32)
+    d_total = t_max + up - 1
+    b_pl, l_pl, y_ext = _planes(lp, targets, ul, blank)
+    sk_b = _skew(b_pl, d_total)
+    sk_l = _skew(l_pl, d_total)
+    tape, rcum = _alpha_scan(sk_b, sk_l, n, up)
+
+    # logZ_n = alpha[T_n-1, U_n] + b_pl[T_n-1, U_n], kept SPLIT as
+    # (z_small, z_off): z_off is the exact-half-grid renorm offset, so the
+    # backward's alpha+beta-logZ cancellation happens on the exact grid
+    # (f32 quantization of a ~1e3-magnitude logZ alone costs ~1e-4 in the
+    # posteriors at T in the hundreds — measured, tests/test_rnnt.py).
+    d_term = il - 1 + ul                                    # (N,)
+    z_off = rcum[d_term, jnp.arange(n)]                     # exact halves
+    b_term = b_pl[jnp.arange(n), il - 1, ul]
+    z_small = tape[d_term, jnp.arange(n), ul] + b_term
+    nll = -(z_small + z_off)
+    return nll, (y_ext, il, ul, tape, rcum, sk_b, sk_l, z_small, z_off)
+
+
+def _rnnt_fwd(lp, targets, input_lengths, target_lengths, blank, v):
+    nll, res = _rnnt_forward(lp, targets, input_lengths, target_lengths,
+                             blank)
+    return nll, res
+
+
+def _rnnt_bwd(blank, v, res, g):
+    y_ext, il, ul, a_tape, a_rcum, sk_b, sk_l, z_small, z_off = res
+    d_total, n, up = sk_b.shape
+    t_max = d_total - up + 1
+
+    # ---- beta wavefront (reverse diagonals), same renorm machinery ------
+    d_term = il - 1 + ul                                    # (N,)
+    u_term = ul
+
+    def step(carry, x):
+        b_prev, r_prev = carry                  # beta over diag d+1
+        skb_d, skl_d, d = x                     # planes on diag d
+        # blank successor (t+1, u): diag d+1, same u; label (t, u+1):
+        # diag d+1, u+1 (shift left).  r_prev is diag d+1's offset.
+        blank_in = skb_d + b_prev
+        lab_in = skl_d + jnp.pad(
+            b_prev, ((0, 0), (0, 1)), constant_values=LOG0)[:, 1:]
+        bta = logaddexp2_acc(blank_in, lab_in)
+        # terminal injection: beta(T_n-1, U_n) gets + exp(b_plane) * 1,
+        # expressed on this diag's renormalized scale (offset -r_prev).
+        is_term = ((d == d_term)[:, None]
+                   & (jnp.arange(up)[None] == u_term[:, None]))
+        term = jnp.where(is_term, skb_d - r_prev[:, None], LOG0)
+        bta = logaddexp2_acc(bta, term)
+        m = _diag_renorm(bta)
+        bta = jnp.maximum(bta - m[:, None], LOG0)
+        r = r_prev + m
+        return (bta, r), (bta, r)
+
+    b0 = jnp.full((n, up), LOG0, jnp.float32)
+    ds = jnp.arange(d_total - 1, -1, -1, dtype=jnp.int32)
+    (_, _), (b_tape_rev, b_rcum_rev) = jax.lax.scan(
+        step, (b0, jnp.zeros((n,), jnp.float32)),
+        (sk_b[::-1], sk_l[::-1], ds))
+    b_tape = b_tape_rev[::-1]                   # beta diag d at index d
+    b_rcum = b_rcum_rev[::-1]
+
+    # ---- posteriors, assembled per diagonal (no scan) --------------------
+    # i_blank(t,u) = exp(alpha[t,u] + b_pl[t,u] + beta[t+1,u] - logZ)
+    #   with beta[t+1,u] -> 0 at the terminal node (T_n-1, U_n);
+    # i_label(t,u) = exp(alpha[t,u] + l_pl[t,u] + beta[t,u+1] - logZ).
+    # In skewed space both successors live on diag d+1.
+    b_next = jnp.concatenate(
+        [b_tape[1:], jnp.full((1, n, up), LOG0, jnp.float32)], axis=0)
+    r_next = jnp.concatenate(
+        [b_rcum[1:], jnp.zeros((1, n), jnp.float32)], axis=0)
+    d_idx = jnp.arange(d_total)[:, None, None]
+    u_idx = jnp.arange(up)[None, None, :]
+    is_term = ((d_idx == d_term[None, :, None])
+               & (u_idx == u_term[None, :, None]))
+
+    # The large-magnitude parts (renorm offsets, z_off) are all multiples
+    # of 0.5 with |.| << 2^22, so their sum/cancellation below is EXACT in
+    # f32; only O(1)-magnitude terms carry rounding.  This is what keeps
+    # posterior error ~1e-6 instead of ~1e-4 at T in the hundreds.
+    off = a_rcum + r_next - z_off[None]                     # (D, N) exact
+    off_term = a_rcum - z_off[None]                         # beta_succ == 0
+    small = a_tape - z_small[None, :, None]
+    lg_blank = (small + sk_b + jnp.where(is_term, 0.0, b_next)
+                + jnp.where(is_term, off_term[:, :, None],
+                            off[:, :, None]))
+    lab_succ = jnp.concatenate(
+        [b_next[:, :, 1:], jnp.full((d_total, n, 1), LOG0, jnp.float32)],
+        axis=2)
+    lg_label = small + sk_l + lab_succ + off[:, :, None]
+    i_blank = jnp.where(lg_blank > LOG0_THRESHOLD,
+                        jnp.exp(jnp.minimum(lg_blank, 0.0)), 0.0)
+    i_label = jnp.where(lg_label > LOG0_THRESHOLD,
+                        jnp.exp(jnp.minimum(lg_label, 0.0)), 0.0)
+
+    gb = _unskew(i_blank, t_max)                            # (N, T, Up)
+    gl = _unskew(i_label, t_max)
+    t_ok = (jnp.arange(t_max)[None] < il[:, None])[:, :, None]
+    gb = jnp.where(t_ok, gb, 0.0)
+    gl = jnp.where(t_ok, gl, 0.0)
+
+    # scatter into V: 2 nonzeros per node -> one-hot combine, XLA-fused
+    onehot_y = jax.nn.one_hot(y_ext, v, dtype=jnp.float32)  # (N, Up, V)
+    grad = -gl[:, :, :, None] * onehot_y[:, None]
+    grad = grad.at[:, :, :, blank].add(-gb)
+    grad = grad * g[:, None, None, None]
+    return grad, None, None, None
+
+
+_rnnt_nll_lp.defvjp(_rnnt_fwd, _rnnt_bwd)
+
+
+def rnnt_nll(log_probs_or_logits, targets, input_lengths, target_lengths,
+             blank: int = 0, from_logits: bool = True):
+    """Per-sample transducer negative log-likelihood (N,), differentiable.
+
+    Args:
+      log_probs_or_logits: (N, T, U+1, V) joint outputs — raw logits by
+        default (log_softmax is applied internally and its gradient flows
+        through, torchaudio ``rnnt_loss`` convention); pass
+        ``from_logits=False`` for pre-log-softmaxed inputs.
+      targets: (N, U) padded int labels (no blanks).
+      input_lengths: (N,) frames per sample.
+      target_lengths: (N,) labels per sample.  May EXCEED input_lengths
+        (transducers can emit several labels per frame).
+      blank: blank id.
+    """
+    x = jnp.asarray(log_probs_or_logits, jnp.float32)
+    if x.ndim != 4:
+        raise ValueError(f"expected (N, T, U+1, V) joint tensor, got "
+                         f"{x.shape}")
+    n, t_max, up, v = x.shape
+    targets = jnp.asarray(targets)
+    if targets.ndim != 2:
+        raise ValueError("targets must be (N, U) padded")
+    if targets.shape[1] + 1 > up:
+        raise ValueError(
+            f"targets U={targets.shape[1]} needs U+1 <= {up} joint rows")
+    if from_logits:
+        x = jax.nn.log_softmax(x, axis=-1)
+    return _rnnt_nll_lp(x, targets,
+                        jnp.asarray(input_lengths, jnp.int32),
+                        jnp.asarray(target_lengths, jnp.int32),
+                        int(blank), int(v))
+
+
+def rnnt_loss(log_probs_or_logits, targets, input_lengths, target_lengths,
+              blank: int = 0, reduction: str = "mean",
+              from_logits: bool = True):
+    """Transducer loss with reduction.
+
+    ``reduction='mean'`` is the plain batch mean (the transducer
+    convention, matching torchaudio — NOT torch's CTC per-target-length
+    normalization); ``'sum'`` / ``'none'`` as usual.
+    """
+    nll = rnnt_nll(log_probs_or_logits, targets, input_lengths,
+                   target_lengths, blank=blank, from_logits=from_logits)
+    if reduction == "none":
+        return nll
+    if reduction == "sum":
+        return jnp.sum(nll)
+    if reduction == "mean":
+        return jnp.mean(nll)
+    raise ValueError(f"unknown reduction {reduction!r}")
+
+
+class RNNTLoss:
+    """Module-style wrapper mirroring ``CTCLoss`` (ops/ctc_loss.py)."""
+
+    def __init__(self, blank: int = 0, reduction: str = "mean",
+                 from_logits: bool = True):
+        self.blank = int(blank)
+        self.reduction = reduction
+        self.from_logits = bool(from_logits)
+
+    def __call__(self, joint, targets, input_lengths, target_lengths):
+        return rnnt_loss(joint, targets, input_lengths, target_lengths,
+                         blank=self.blank, reduction=self.reduction,
+                         from_logits=self.from_logits)
