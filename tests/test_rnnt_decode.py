@@ -1,0 +1,126 @@
+"""Transducer greedy decoding tests — NumPy loop oracle, caps, masking."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from end2end_tpu.ops.neural_lm import gru_step, random_gru_params
+from end2end_tpu.ops.rnnt_decode import additive_joint, rnnt_greedy_decode
+
+
+def _setup(seed, n=3, t=12, v=6, h_enc=8, emb=4, hid=5):
+    rng = np.random.default_rng(seed)
+    enc = rng.normal(size=(n, t, h_enc)).astype(np.float32)
+    params = jax.tree.map(jnp.asarray,
+                          random_gru_params(rng, v, emb_dim=emb,
+                                            hidden_dim=hid))
+    w_enc = rng.normal(size=(h_enc, 7)).astype(np.float32) * 0.5
+    w_pred = rng.normal(size=(hid, 7)).astype(np.float32) * 0.5
+    b_j = rng.normal(size=(7,)).astype(np.float32) * 0.1
+    w_out = rng.normal(size=(7, v)).astype(np.float32)
+    b_out = rng.normal(size=(v,)).astype(np.float32) * 0.1
+    pred = partial(gru_step, params)
+    joint = additive_joint(jnp.asarray(w_enc), jnp.asarray(w_pred),
+                           jnp.asarray(b_j), jnp.asarray(w_out),
+                           jnp.asarray(b_out))
+    init_h = jnp.zeros((hid,), jnp.float32)
+    return enc, pred, init_h, joint, (w_enc, w_pred, b_j, w_out, b_out)
+
+
+def _oracle(enc, pred_step, init_h, joint_mats, il, blank=0, cap=4,
+            s_cap=256):
+    """Per-sample Python greedy loop sharing only the single-sample step
+    functions (the batching/scan machinery under test is not shared)."""
+    w_enc, w_pred, b_j, w_out, b_out = joint_mats
+    outs, lens, scores, times = [], [], [], []
+    for b in range(enc.shape[0]):
+        h = np.asarray(init_h)
+        t, syms = 0, 0
+        toks, tms = [], []
+        score = 0.0
+        while t < il[b]:
+            z = np.tanh(enc[b, t] @ w_enc + h @ w_pred + b_j)
+            logits = z @ w_out + b_out
+            lp = logits - np.log(np.exp(logits - logits.max()).sum()) \
+                - logits.max()
+            k = int(np.argmax(lp))
+            if k == blank or syms >= cap or len(toks) >= s_cap:
+                score += lp[blank]
+                t += 1
+                syms = 0
+            else:
+                score += lp[k]
+                toks.append(k)
+                tms.append(t)
+                h = np.asarray(pred_step(jnp.asarray(h), jnp.int32(k)))
+                syms += 1
+        outs.append(toks)
+        lens.append(len(toks))
+        scores.append(score)
+        times.append(tms)
+    return outs, lens, scores, times
+
+
+class TestGreedy:
+    def test_matches_python_loop(self):
+        enc, pred, init_h, joint, mats = _setup(0)
+        il = np.array([12, 9, 12])
+        toks, lens, scores, tms = rnnt_greedy_decode(
+            enc, il, pred, init_h, joint, max_symbols=16,
+            return_timestamps=True)
+        o_toks, o_lens, o_scores, o_tms = _oracle(enc, pred, init_h, mats,
+                                                  il, s_cap=16)
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        for b in range(3):
+            assert lens[b] == o_lens[b]
+            assert list(toks[b, :lens[b]]) == o_toks[b]
+            assert list(np.asarray(tms)[b, :lens[b]]) == o_tms[b]
+            assert abs(float(np.asarray(scores)[b]) - o_scores[b]) < 1e-3
+        # -1 padding past each length
+        for b in range(3):
+            assert np.all(toks[b, lens[b]:] == -1)
+
+    def test_per_frame_cap_forces_advance(self):
+        # a joint that always prefers token 1 must emit exactly
+        # max_symbols_per_frame tokens per frame
+        n, t, v, h = 1, 5, 4, 3
+        enc = np.zeros((n, t, h), np.float32)
+
+        def joint(f, hid):
+            return jnp.asarray([0.0, 5.0, 1.0, 1.0])
+
+        def pred(hid, tok):
+            return hid
+
+        toks, lens, _ = rnnt_greedy_decode(
+            enc, [t], pred, jnp.zeros((2,)), joint, max_symbols=64,
+            max_symbols_per_frame=3)
+        assert int(lens[0]) == t * 3
+        assert np.all(np.asarray(toks)[0, :15] == 1)
+
+    def test_length_masking(self):
+        enc, pred, init_h, joint, mats = _setup(1)
+        full = rnnt_greedy_decode(enc, [12, 12, 12], pred, init_h, joint,
+                                  max_symbols=16)
+        short = rnnt_greedy_decode(enc, [12, 7, 12], pred, init_h, joint,
+                                   max_symbols=16)
+        # samples 0/2 unchanged; sample 1 is a prefix decode
+        np.testing.assert_array_equal(np.asarray(full[0])[0],
+                                      np.asarray(short[0])[0])
+        np.testing.assert_array_equal(np.asarray(full[0])[2],
+                                      np.asarray(short[0])[2])
+        o_toks, o_lens, _, _ = _oracle(enc, pred, init_h, mats,
+                                       np.array([12, 7, 12]), s_cap=16)
+        s_toks = np.asarray(short[0])
+        assert list(s_toks[1, :int(short[1][1])]) == o_toks[1]
+
+    def test_zero_length_sample(self):
+        enc, pred, init_h, joint, _ = _setup(2)
+        toks, lens, scores = rnnt_greedy_decode(enc, [12, 0, 3], pred,
+                                                init_h, joint,
+                                                max_symbols=16)
+        assert int(lens[1]) == 0
+        assert float(scores[1]) == 0.0
+        assert np.all(np.asarray(toks)[1] == -1)
