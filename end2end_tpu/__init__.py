@@ -34,7 +34,8 @@ from .ops.lm import (
 from .ops.mwer import mwer_loss, mwer_loss_from_nbest
 from .ops.neural_lm import NeuralLM
 from .ops.rescore import rescore_nbest
-from .ops.rnnt_decode import additive_joint, rnnt_greedy_decode
+from .ops.rnnt_decode import (additive_joint, rnnt_beam_decode,
+                              rnnt_greedy_decode)
 from .ops.rnnt_loss import RNNTLoss, rnnt_loss, rnnt_nll
 from .ops.streaming_decode import StreamingBeamDecoder, StreamingGreedyDecoder
 from .utils.lm_train import (
@@ -76,6 +77,7 @@ __all__ = [
     "rnnt_nll",
     "RNNTLoss",
     "rnnt_greedy_decode",
+    "rnnt_beam_decode",
     "additive_joint",
     "rescore_nbest",
     "train_ngram_lm",

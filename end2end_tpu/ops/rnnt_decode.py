@@ -135,6 +135,211 @@ def rnnt_greedy_decode(encoder_out, input_lengths, predictor_step,
     return out if return_timestamps else out[:3]
 
 
+_M1 = np.uint32(2654435761)        # dual rolling-hash multipliers — same
+_M2 = np.uint32(0x85EBCA6B)        # scheme as ops/beam_search.py
+_SEED1 = np.uint32(1)
+_SEED2 = np.uint32(7)
+_DEAD = np.uint32(0xDEAD0000)
+
+
+def _masked_logsumexp(x, mask, axis):
+    """logsumexp over `axis` counting only `mask`; empty -> LOG0."""
+    from .semiring import LOG0, LOG0_THRESHOLD
+
+    xm = jnp.where(mask, x, LOG0)
+    m = jnp.max(xm, axis=axis)
+    m_safe = jnp.maximum(m, LOG0)
+    s = jnp.sum(jnp.where(mask, jnp.exp(x - jnp.expand_dims(m_safe, axis)),
+                          0.0), axis=axis)
+    out = m_safe + jnp.log(jnp.maximum(s, 1e-38))
+    return jnp.where(m > LOG0_THRESHOLD, out, LOG0)
+
+
+@partial(jax.jit, static_argnames=("pred_step", "joint_fn", "blank", "W",
+                                   "K", "s_cap", "n_steps"))
+def _rnnt_beam_jit(enc, il, hidden0, pred_step, joint_fn, blank, W, K,
+                   s_cap, n_steps):
+    """Batched ALSD transducer beam search (see rnnt_beam_decode)."""
+    from .semiring import LOG0, LOG0_THRESHOLD
+
+    n, t_max, h_enc = enc.shape
+    enc_flat = enc.reshape(n * t_max, h_enc)
+    row0 = jnp.arange(n, dtype=jnp.int32)[:, None] * t_max   # (N, 1)
+    u_iota = jnp.arange(s_cap, dtype=jnp.int32)[None, None]  # (1, 1, s_cap)
+    C = W * (K + 1)
+    arange_w = jnp.arange(W, dtype=jnp.uint32)
+    arange_c = jnp.arange(C, dtype=jnp.uint32)
+    cand_parent = jnp.repeat(jnp.arange(W, dtype=jnp.int32), K + 1)  # (C,)
+    cand_is_tok = jnp.tile(
+        jnp.arange(K + 1, dtype=jnp.int32) > 0, W)                   # (C,)
+
+    step_b = jax.vmap(jax.vmap(pred_step))
+    joint_b = jax.vmap(jax.vmap(joint_fn))
+
+    def body(carry, _):
+        t, u, score, h1, h2, tokens, times, hidden = carry
+        alive = score > LOG0_THRESHOLD                       # (N, W)
+        finished = (t >= il[:, None]) & alive
+        live = alive & ~finished
+
+        f = enc_flat[(row0 + jnp.minimum(t, t_max - 1)).reshape(-1)]
+        f = f.reshape(n, W, h_enc)
+        lp = jax.nn.log_softmax(joint_b(f, hidden), axis=-1)  # (N, W, V)
+
+        # --- candidate generation: 1 blank/hold + K token extensions -----
+        lp_blank = lp[..., blank]
+        sc_b = score + jnp.where(live, lp_blank, 0.0)        # hold when done
+        sc_b = jnp.where(alive, sc_b, LOG0)
+        lpnb = lp.at[..., blank].set(LOG0)
+        lpk, ck = jax.lax.top_k(lpnb, K)                     # (N, W, K)
+        can_emit = live & (u < s_cap)
+        sc_k = jnp.where(can_emit[:, :, None], score[:, :, None] + lpk, LOG0)
+
+        cand_sc = jnp.concatenate([sc_b[:, :, None], sc_k], axis=2)
+        cand_sc = cand_sc.reshape(n, C)
+        cand_tok = jnp.concatenate(
+            [jnp.full((n, W, 1), -1, jnp.int32), ck], axis=2).reshape(n, C)
+        tok_u = cand_tok.astype(jnp.uint32)
+        ch1 = jnp.concatenate(
+            [h1[:, :, None], h1[:, :, None] * _M1 + ck.astype(jnp.uint32)],
+            axis=2).reshape(n, C)
+        ch2 = jnp.concatenate(
+            [h2[:, :, None], h2[:, :, None] * _M2 + ck.astype(jnp.uint32)],
+            axis=2).reshape(n, C)
+        del tok_u
+        cand_dead = cand_sc <= LOG0_THRESHOLD
+        ch1 = jnp.where(cand_dead, _DEAD + np.uint32(0x100) + arange_c, ch1)
+        ch2 = jnp.where(cand_dead, _DEAD + np.uint32(0x100) + arange_c, ch2)
+
+        # --- exact merge: equal prefix => same (t, u) state under the ----
+        # ALSD invariant (module docstring), so hash-equal candidates are
+        # the same search state and their alignment masses logaddexp.
+        eq = (ch1[:, :, None] == ch1[:, None, :]) \
+            & (ch2[:, :, None] == ch2[:, None, :])           # (N, C, C)
+        first = jnp.argmax(eq, axis=2).astype(jnp.int32)     # first equal
+        is_rep = first == jnp.arange(C, dtype=jnp.int32)[None, :]
+        merged = _masked_logsumexp(cand_sc[:, None, :], eq, axis=2)
+        merged = jnp.where(is_rep, merged, LOG0)
+
+        new_score, sel = jax.lax.top_k(merged, W)            # (N, W) sorted
+        parent = jnp.take_along_axis(
+            cand_parent[None].repeat(n, 0), sel, axis=1)     # (N, W)
+        emit = jnp.take_along_axis(
+            cand_is_tok[None].repeat(n, 0), sel, axis=1) > 0
+        tok = jnp.take_along_axis(cand_tok, sel, axis=1)
+        nh1 = jnp.take_along_axis(ch1, sel, axis=1)
+        nh2 = jnp.take_along_axis(ch2, sel, axis=1)
+        new_alive = new_score > LOG0_THRESHOLD
+        emit = emit & new_alive
+
+        gpar = lambda a: jnp.take_along_axis(a, parent, axis=1)
+        pt, pu = gpar(t), gpar(u)
+        pfin = jnp.take_along_axis(finished, parent, axis=1)
+        new_t = jnp.where(pfin | emit, pt, pt + 1)
+        new_u = pu + emit.astype(jnp.int32)
+
+        ptokens = jnp.take_along_axis(tokens, parent[:, :, None], axis=1)
+        ptimes = jnp.take_along_axis(times, parent[:, :, None], axis=1)
+        wmask = emit[:, :, None] & (u_iota == pu[:, :, None])
+        new_tokens = jnp.where(wmask, tok[:, :, None], ptokens)
+        new_times = jnp.where(wmask, pt[:, :, None], ptimes)
+
+        # deferred predictor advance: ONE batched step per surviving beam
+        phid = jax.tree.map(
+            lambda a: jnp.take_along_axis(
+                a, parent.reshape((n, W) + (1,) * (a.ndim - 2)), axis=1),
+            hidden)
+        hid_adv = step_b(phid, jnp.maximum(tok, 0))
+        new_hidden = jax.tree.map(
+            lambda a, b: jnp.where(
+                emit.reshape((n, W) + (1,) * (a.ndim - 2)), a, b),
+            hid_adv, phid)
+
+        nh1 = jnp.where(new_alive, nh1, _DEAD + arange_w[None])
+        nh2 = jnp.where(new_alive, nh2, _DEAD + arange_w[None])
+        new_u = jnp.where(new_alive, new_u, 0)
+        new_t = jnp.where(new_alive, new_t, 0)
+        return (new_t, new_u, new_score, nh1, nh2, new_tokens, new_times,
+                new_hidden), None
+
+    zi = jnp.zeros((n, W), jnp.int32)
+    score0 = jnp.where(jnp.arange(W)[None] == 0, 0.0, LOG0)
+    score0 = jnp.broadcast_to(score0, (n, W)).astype(jnp.float32)
+    h1_0 = jnp.broadcast_to(
+        jnp.where(jnp.arange(W) == 0, _SEED1, _DEAD + arange_w)[None],
+        (n, W))
+    h2_0 = jnp.broadcast_to(
+        jnp.where(jnp.arange(W) == 0, _SEED2, _DEAD + arange_w)[None],
+        (n, W))
+    tokens0 = jnp.full((n, W, s_cap), -1, jnp.int32)
+    times0 = jnp.full((n, W, s_cap), -1, jnp.int32)
+    carry0 = (zi, zi, score0, h1_0, h2_0, tokens0, times0, hidden0)
+    (t, u, score, _, _, tokens, times, _), _ = jax.lax.scan(
+        body, carry0, None, length=n_steps)
+    return tokens, u, score, times
+
+
+def rnnt_beam_decode(encoder_out, input_lengths, predictor_step,
+                     init_hidden, joint_fn, *, beam_width: int = 4,
+                     prune_k: int | None = None, blank: int = 0,
+                     max_symbols: int | None = None,
+                     return_timestamps: bool = False):
+    """Batched transducer beam search — ALSD, one shape-static scan.
+
+    Alignment-length synchronous decoding (Saon et al. 2020): every live
+    hypothesis at scan step d has consumed-frames + emitted-tokens = d, so
+    two hypotheses with the SAME label prefix are the same lattice state
+    (same t, same u, same predictor state) and merging them by dual rolling
+    prefix hash + logaddexp is EXACT — the merged beam score is the total
+    probability of every surviving alignment of that prefix, the transducer
+    analog of the CTC prefix merge (ops/beam_search.py).  Hypotheses that
+    consume their final frame's blank become FINISHED and compete for beam
+    slots with frozen scores; after T + S_cap steps every survivor is
+    finished.  Per step the joint and the predictor advance run batched
+    over N*W once (deferred advance: only surviving emitting beams step the
+    predictor — never per candidate), the same MXU-batching discipline as
+    NeuralLM fusion (ops/neural_lm.py).
+
+    Args are as `rnnt_greedy_decode` plus:
+      beam_width: beams kept per sample (W).
+      prune_k: non-blank tokens proposed per beam per step (default
+        min(2*W, V-1); V-1 = exhaustive).
+      max_symbols: emitted-token cap per hypothesis = returned buffer width
+        (default min(T, 256)).
+
+    Returns:
+      (tokens (N, W, S_cap) -1-padded, lengths (N, W), scores (N, W)) plus
+      times (N, W, S_cap) with `return_timestamps`; beams sorted by
+      descending merged log-probability.  `scores[n, w]` is the summed
+      probability of all in-beam complete alignments of that label
+      sequence — with `beam_width` >= the reachable-state count and
+      `prune_k = V-1` it equals `-rnnt_nll` of the sequence exactly.
+    """
+    enc = jnp.asarray(encoder_out, jnp.float32)
+    if enc.ndim != 3:
+        raise ValueError(f"encoder_out must be (N, T, H), got {enc.shape}")
+    n, t_max, _ = enc.shape
+    if input_lengths is None:
+        input_lengths = np.full((n,), t_max, np.int32)
+    il = jnp.asarray(input_lengths, jnp.int32)
+    s_cap = int(max_symbols or min(t_max, 256))
+    W = int(beam_width)
+    probe = jax.eval_shape(lambda f, h: joint_fn(f, h),
+                           jax.ShapeDtypeStruct(enc.shape[2:], jnp.float32),
+                           init_hidden)
+    v = probe.shape[-1]
+    K = int(prune_k) if prune_k is not None else min(2 * W, v - 1)
+    K = max(1, min(K, v - 1))
+    hidden0 = jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x)[None, None],
+                                   (n, W) + jnp.asarray(x).shape),
+        init_hidden)
+    n_steps = t_max + s_cap
+    out = _rnnt_beam_jit(enc, il, hidden0, predictor_step, joint_fn,
+                         int(blank), W, K, s_cap, n_steps)
+    return out if return_timestamps else out[:3]
+
+
 def additive_joint(w_enc, w_pred, b_joint, w_out, b_out):
     """The standard additive transducer joint as a protocol `joint_fn`:
     ``logits = W_out · tanh(W_enc f + W_pred h + b) + b_out``.

@@ -1,0 +1,217 @@
+"""Transducer ALSD beam search tests.
+
+Oracles (sharing only the single-sample predictor/joint step functions):
+  * exhaustive sequence enumeration + `rnnt_loss_paths` — with W covering
+    every reachable lattice state and prune_k = V-1, each finished beam's
+    merged score must EQUAL the sequence's total alignment probability;
+  * a per-sample Python dict ALSD loop (independent pruning/merge code);
+  * the subset invariant: any beam's merged score can never exceed the
+    sequence log-probability computed by the f64 DP (`rnnt_loss_ref`).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from end2end_tpu.ops.neural_lm import gru_step, random_gru_params
+from end2end_tpu.ops.rnnt_decode import (additive_joint, rnnt_beam_decode,
+                                         rnnt_greedy_decode)
+from end2end_tpu.utils.rnnt_reference import rnnt_loss_paths, rnnt_loss_ref
+
+
+def _setup(seed, n=3, t=10, v=6, h_enc=8, emb=4, hid=5, scale=1.0):
+    rng = np.random.default_rng(seed)
+    enc = (rng.normal(size=(n, t, h_enc)) * scale).astype(np.float32)
+    params = jax.tree.map(jnp.asarray,
+                          random_gru_params(rng, v, emb_dim=emb,
+                                            hidden_dim=hid))
+    w_enc = rng.normal(size=(h_enc, 7)).astype(np.float32) * 0.5
+    w_pred = rng.normal(size=(hid, 7)).astype(np.float32) * 0.5
+    b_j = rng.normal(size=(7,)).astype(np.float32) * 0.1
+    w_out = rng.normal(size=(7, v)).astype(np.float32)
+    b_out = rng.normal(size=(v,)).astype(np.float32) * 0.1
+    pred = partial(gru_step, params)
+    joint = additive_joint(jnp.asarray(w_enc), jnp.asarray(w_pred),
+                           jnp.asarray(b_j), jnp.asarray(w_out),
+                           jnp.asarray(b_out))
+    init_h = jnp.zeros((hid,), jnp.float32)
+    return enc, pred, init_h, joint
+
+
+def _np_joint_lp(enc_bt, h, joint):
+    """log-softmaxed joint row for one (frame, hidden) pair, float64."""
+    logits = np.asarray(joint(jnp.asarray(enc_bt), jnp.asarray(h)),
+                        np.float64)
+    m = logits.max()
+    return logits - (m + np.log(np.exp(logits - m).sum()))
+
+
+def _lattice(enc_b, y, pred, init_h, joint):
+    """(T, U+1, V) f64 lattice for sample enc_b and label sequence y."""
+    t_max = enc_b.shape[0]
+    hs = [np.asarray(init_h)]
+    for tok in y:
+        hs.append(np.asarray(pred(jnp.asarray(hs[-1]), jnp.int32(tok))))
+    lat = np.stack([
+        np.stack([_np_joint_lp(enc_b[t], h, joint) for h in hs])
+        for t in range(t_max)])
+    return lat  # (T, U+1, V)
+
+
+def test_beam_exhaustive_scores():
+    """W >= all reachable states, K = V-1: every finished beam's score must
+    equal the sequence's exact total alignment log-probability."""
+    v, t_max, s_cap = 3, 4, 3
+    enc, pred, init_h, joint = _setup(0, n=2, t=t_max, v=v)
+    il = np.array([t_max, t_max - 1], np.int32)
+    toks, lens, scores = rnnt_beam_decode(
+        enc, il, pred, init_h, joint, beam_width=16, prune_k=v - 1,
+        blank=0, max_symbols=s_cap)
+    toks, lens, scores = map(np.asarray, (toks, lens, scores))
+
+    for b in range(2):
+        # exact per-sequence log-probs by exhaustive path enumeration
+        seqs = [()]
+        for L in range(1, s_cap + 1):
+            grid = np.stack(np.meshgrid(*([np.arange(1, v)] * L)),
+                            axis=-1).reshape(-1, L)
+            seqs += [tuple(r) for r in grid]
+        exact = {}
+        for y in seqs:
+            lat = _lattice(enc[b, :il[b]], y, pred, init_h, joint)
+            exact[y] = -rnnt_loss_paths(lat, np.array(y, np.int64), blank=0)
+        order = sorted(exact, key=lambda y: -exact[y])
+        n_beams = int((scores[b] > -1e9).sum())
+        assert n_beams >= 10
+        for w in range(n_beams):
+            y = tuple(toks[b, w, :lens[b, w]].tolist())
+            assert y in exact
+            np.testing.assert_allclose(scores[b, w], exact[y], atol=2e-3)
+        # the decoded ranking matches the exact ranking on the beams kept
+        top = [tuple(toks[b, w, :lens[b, w]].tolist())
+               for w in range(min(4, n_beams))]
+        assert top == order[:len(top)]
+
+
+def _alsd_oracle(enc_b, il_b, pred, init_h, joint, W, K, s_cap, blank,
+                 n_steps):
+    """Per-sample Python ALSD with dict merging (independent of the scan)."""
+    live = {(): (0.0, np.asarray(init_h))}
+    finished = {}
+    if il_b == 0:
+        return [((), 0.0)]
+    for d in range(n_steps):
+        cand, hid = {}, {}
+
+        def add(key, s, h=None):
+            if key in cand:
+                cand[key] = np.logaddexp(cand[key], s)
+            else:
+                cand[key] = s
+                if h is not None:
+                    hid[key] = h
+
+        for p, s in finished.items():
+            add(("F",) + p, s)
+        for p, (s, h) in live.items():
+            t = d - len(p)
+            lp = _np_joint_lp(enc_b[t], h, joint)
+            if t + 1 >= il_b:
+                add(("F",) + p, s + lp[blank])
+            else:
+                add(p, s + lp[blank], h)
+            if len(p) < s_cap:
+                nb = np.argsort(-np.delete(lp, blank))[:K]
+                nb = nb + (nb >= blank)
+                for k in nb:
+                    add(p + (int(k),), s + lp[k],
+                        np.asarray(pred(jnp.asarray(h), jnp.int32(k))))
+        keep = sorted(cand, key=lambda key: -cand[key])[:W]
+        live, new_fin = {}, {}
+        for key in keep:
+            if key and key[0] == "F":
+                new_fin[key[1:]] = cand[key]
+            else:
+                live[key] = (cand[key], hid[key])
+        finished = new_fin
+        if not live:
+            break
+    return sorted(finished.items(), key=lambda kv: -kv[1])
+
+
+def test_beam_matches_python_alsd_oracle():
+    n, t_max, v, W, K, s_cap = 3, 8, 6, 4, 4, 5
+    enc, pred, init_h, joint = _setup(7, n=n, t=t_max, v=v, scale=1.3)
+    il = np.array([t_max, t_max - 2, t_max], np.int32)
+    toks, lens, scores = rnnt_beam_decode(
+        enc, il, pred, init_h, joint, beam_width=W, prune_k=K, blank=0,
+        max_symbols=s_cap)
+    toks, lens, scores = map(np.asarray, (toks, lens, scores))
+    for b in range(n):
+        oracle = _alsd_oracle(enc[b], int(il[b]), pred, init_h, joint,
+                              W, K, s_cap, 0, t_max + s_cap)
+        got = [(tuple(toks[b, w, :lens[b, w]].tolist()),
+                float(scores[b, w]))
+               for w in range(W) if scores[b, w] > -1e9]
+        assert got[0][0] == oracle[0][0]
+        odict = dict(oracle)
+        for y, s in got:
+            assert y in odict
+            np.testing.assert_allclose(s, odict[y], atol=2e-3)
+
+
+def test_beam_score_never_exceeds_sequence_logprob():
+    """Merged beam mass is a subset of the sequence's alignments."""
+    n, t_max, v, s_cap = 2, 10, 6, 6
+    enc, pred, init_h, joint = _setup(3, n=n, t=t_max, v=v, scale=1.5)
+    il = np.array([t_max, t_max - 3], np.int32)
+    toks, lens, scores = rnnt_beam_decode(
+        enc, il, pred, init_h, joint, beam_width=4, prune_k=3, blank=0,
+        max_symbols=s_cap)
+    toks, lens, scores = map(np.asarray, (toks, lens, scores))
+    for b in range(n):
+        for w in range(4):
+            if scores[b, w] <= -1e9:
+                continue
+            y = toks[b, w, :lens[b, w]].astype(np.int64)
+            lat = _lattice(enc[b, :il[b]], y.tolist(), pred, init_h, joint)
+            nll, _ = rnnt_loss_ref(lat[None], y[None], [il[b]], [len(y)],
+                                   blank=0)
+            assert scores[b, w] <= -nll[0] + 2e-3
+
+
+def test_beam_top1_at_least_greedy():
+    """With the greedy path's states inside a wide beam, the merged top-1
+    score must be >= the greedy single-path score."""
+    n, t_max, v = 3, 12, 6
+    enc, pred, init_h, joint = _setup(11, n=n, t=t_max, v=v, scale=1.2)
+    il = np.array([t_max, t_max - 1, t_max - 4], np.int32)
+    _, _, g_scores = rnnt_greedy_decode(
+        enc, il, pred, init_h, joint, blank=0, max_symbols=8,
+        max_symbols_per_frame=t_max)
+    _, _, b_scores = rnnt_beam_decode(
+        enc, il, pred, init_h, joint, beam_width=8, prune_k=v - 1,
+        blank=0, max_symbols=8)
+    assert np.all(np.asarray(b_scores[:, 0]) >=
+                  np.asarray(g_scores) - 1e-3)
+
+
+def test_beam_zero_length_and_timestamps():
+    n, t_max, v = 2, 6, 5
+    enc, pred, init_h, joint = _setup(5, n=n, t=t_max, v=v)
+    il = np.array([0, t_max], np.int32)
+    toks, lens, scores, times = rnnt_beam_decode(
+        enc, il, pred, init_h, joint, beam_width=4, blank=0,
+        max_symbols=4, return_timestamps=True)
+    toks, lens, scores, times = map(np.asarray, (toks, lens, scores, times))
+    assert lens[0, 0] == 0 and abs(scores[0, 0]) < 1e-6
+    for w in range(4):
+        L = lens[1, w]
+        if scores[1, w] <= -1e9:
+            continue
+        ts = times[1, w, :L]
+        assert np.all(ts >= 0) and np.all(ts < il[1])
+        assert np.all(np.diff(ts) >= 0)          # emission frames monotone
+        assert np.all(times[1, w, L:] == -1)
