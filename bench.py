@@ -50,6 +50,10 @@ BASELINE_LOSS_CELLS_PER_S = {
 }
 BASELINE_GREEDY_SEQ_PER_S = 399.0  # torch-CPU argmax + py collapse
 BASELINE_BEAM_SEQ_PER_S = 1.1      # pure-Python prefix beam (width 8)
+# Fastest practical pure-torch wavefront DP + autograd, 1 thread, measured
+# 2026-08-18 (scripts/baseline_rnnt_torch.py): 1287 ms/iter at the row's
+# config.  torch ships no native transducer loss.
+BASELINE_RNNT_CELLS_PER_S = 0.201e6
 
 LOSS_CONFIGS = {
     # name: (B, T, S, V, r_long)
@@ -289,6 +293,37 @@ def bench_rescore(B, T, V, W, K, r_long=9, max_symbols=256):
     return dt, B / dt
 
 
+def bench_rnnt_loss(B, T, U, V, r_long=9):
+    """Transducer loss+grad (diagonal-wavefront scan, ops/rnnt_loss.py).
+    Baseline: the fastest practical pure-torch CPU implementation (same
+    wavefront DP, autograd backward) — scripts/baseline_rnnt_torch.py."""
+    from end2end_tpu import rnnt_loss
+
+    rng = np.random.default_rng(0)
+    logits = jax.device_put(jnp.asarray(
+        rng.standard_normal((B, T, U + 1, V)).astype(np.float32)))
+    tgt = jnp.asarray(rng.integers(1, V, (B, U)).astype(np.int32))
+    il = jnp.asarray(np.full(B, T, np.int32))
+    ul = jnp.asarray(np.full(B, U, np.int32))
+
+    def make_run(r):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                v, g = jax.value_and_grad(
+                    lambda y: rnnt_loss(y, tgt, il, ul, reduction="mean")
+                )(c)
+                return c.at[0, 0, 0, 0].add(1e-9 * (v + g.sum())), v
+
+            _, vs = jax.lax.scan(body, x, None, length=r)
+            return vs.sum()
+
+        return lambda: run(logits)
+
+    dt = chained_time(make_run, r_long)
+    return dt, B * T * (U + 1) / dt
+
+
 def emit(metric, value, unit, baseline):
     """One JSON metric line on stdout (the driver parses the LAST line)."""
     print(json.dumps({
@@ -365,6 +400,9 @@ def main():
         dt, sps = bench_rescore(128, 1000, 29, 8, 16)
         emit("beam8+wordTRIGRAM_rescore seq/s (B=128,T=1000,V=29,2k words)",
              sps, "seq/s", BASELINE_BEAM_SEQ_PER_S)
+        dt, cps = bench_rnnt_loss(8, 400, 80, 256)
+        emit("rnnt_loss+grad lattice cells/s (B=8,T=400,U=80,V=256)",
+             cps / 1e6, "M cells/s", BASELINE_RNNT_CELLS_PER_S / 1e6)
 
     # Headline LAST (the driver parses the final line).
     B, T, S, V, r = LOSS_CONFIGS["metric"]

@@ -118,6 +118,10 @@ def _alpha_scan(sk_b, sk_l, n, up):
     renormalized diagonals, rcum (D, N) exact offsets): alpha = tape+rcum."""
     d_total = sk_b.shape[0]
     a0 = jnp.full((n, up), LOG0, jnp.float32).at[:, 0].set(0.0)
+    # derive the carry inits from the operand so their sharding/varying
+    # axes match under shard_map (jnp zeros are replicated literals)
+    a0 = a0 + jnp.zeros_like(sk_b[0])
+    r0 = jnp.zeros_like(sk_b[0, :, 0])
 
     def step(carry, x):
         a_prev, r_prev = carry
@@ -134,9 +138,9 @@ def _alpha_scan(sk_b, sk_l, n, up):
         return (a, r), (a, r)
 
     (_, _), (tape, rcum) = jax.lax.scan(
-        step, (a0, jnp.zeros((n,), jnp.float32)), (sk_b[:-1], sk_l[:-1]))
+        step, (a0, r0), (sk_b[:-1], sk_l[:-1]), unroll=8)
     tape = jnp.concatenate([a0[None], tape], axis=0)
-    rcum = jnp.concatenate([jnp.zeros((1, n), jnp.float32), rcum], axis=0)
+    rcum = jnp.concatenate([r0[None], rcum], axis=0)
     return tape, rcum
 
 
@@ -156,10 +160,22 @@ def _rnnt_forward(lp, targets, input_lengths, target_lengths, blank):
     # backward's alpha+beta-logZ cancellation happens on the exact grid
     # (f32 quantization of a ~1e3-magnitude logZ alone costs ~1e-4 in the
     # posteriors at T in the hundreds — measured, tests/test_rnnt.py).
+    # Terminal extracts as MASKED SUMS, not advanced-index gathers: the
+    # mixed-axis gather form (b_pl[arange, il-1, ul]) lowers to a ~35 ms
+    # scalarized loop on TPU at (8, 400, 81) — measured round 3; exactly
+    # the per-lane-gather trap documented in docs/perf_roofline.md.  Each
+    # mask has ONE hot element per sample, so a plain where+sum is exact
+    # (no MXU pass, no reassociation of more than one term) and fuses to
+    # a single sweep over the small tapes (~0 ms).
     d_term = il - 1 + ul                                    # (N,)
-    z_off = rcum[d_term, jnp.arange(n)]                     # exact halves
-    b_term = b_pl[jnp.arange(n), il - 1, ul]
-    z_small = tape[d_term, jnp.arange(n), ul] + b_term
+    oh_d = jnp.arange(d_total)[:, None] == d_term[None]     # (D, N)
+    oh_u = jnp.arange(up)[None] == ul[:, None]              # (N, Up)
+    oh_t = jnp.arange(t_max)[None] == (il - 1)[:, None]     # (N, T)
+    z_off = jnp.sum(jnp.where(oh_d, rcum, 0.0), axis=0)     # exact halves
+    b_term = jnp.sum(jnp.where(oh_t[:, :, None] & oh_u[:, None, :],
+                               b_pl, 0.0), axis=(1, 2))
+    z_small = jnp.sum(jnp.where(oh_d[:, :, None] & oh_u[None, :, :],
+                                tape, 0.0), axis=(0, 2)) + b_term
     nll = -(z_small + z_off)
     return nll, (y_ext, il, ul, tape, rcum, sk_b, sk_l, z_small, z_off)
 
@@ -199,11 +215,11 @@ def _rnnt_bwd(blank, v, res, g):
         r = r_prev + m
         return (bta, r), (bta, r)
 
-    b0 = jnp.full((n, up), LOG0, jnp.float32)
+    b0 = jnp.full((n, up), LOG0, jnp.float32) + jnp.zeros_like(sk_b[0])
     ds = jnp.arange(d_total - 1, -1, -1, dtype=jnp.int32)
     (_, _), (b_tape_rev, b_rcum_rev) = jax.lax.scan(
-        step, (b0, jnp.zeros((n,), jnp.float32)),
-        (sk_b[::-1], sk_l[::-1], ds))
+        step, (b0, jnp.zeros_like(sk_b[0, :, 0])),
+        (sk_b[::-1], sk_l[::-1], ds), unroll=8)
     b_tape = b_tape_rev[::-1]                   # beta diag d at index d
     b_rcum = b_rcum_rev[::-1]
 

@@ -92,6 +92,42 @@ def ctc_loss_data_parallel(
     return shard_fn(log_probs, targets, input_lengths, target_lengths)
 
 
+def rnnt_loss_data_parallel(
+    joint, targets, input_lengths, target_lengths,
+    mesh: Mesh, blank: int = 0, reduction: str = "mean",
+    from_logits: bool = True, axis_name: str = "data",
+):
+    """Explicit shard_map data-parallel transducer loss.
+
+    Same shape as `ctc_loss_data_parallel`: each device runs the wavefront
+    DP (ops/rnnt_loss.py) on its batch shard with zero communication;
+    'mean'/'sum' psum across the mesh ('mean' is the plain batch mean —
+    the transducer convention, see rnnt_loss)."""
+    from ..ops.rnnt_loss import rnnt_nll
+
+    n = joint.shape[0]
+    if n % mesh.devices.size:
+        raise ValueError(
+            f"batch {n} must divide evenly over {mesh.devices.size} devices"
+        )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name) if reduction == "none" else P(),
+    )
+    def shard_fn(j, tgt, il, tl):
+        nll = rnnt_nll(j, tgt, il, tl, blank=blank, from_logits=from_logits)
+        if reduction == "none":
+            return nll
+        if reduction == "sum":
+            return jax.lax.psum(jnp.sum(nll), axis_name)
+        return jax.lax.psum(jnp.sum(nll), axis_name) / n
+
+    return shard_fn(joint, targets, input_lengths, target_lengths)
+
+
 def greedy_decode_data_parallel(log_probs, input_lengths, mesh: Mesh,
                                 blank: int = 0, axis_name: str = "data"):
     """Batch-sharded greedy decode: zero communication, pure map."""

@@ -1,0 +1,113 @@
+"""PyTorch-CPU RNN-T loss+grad baseline for BASELINE.md.
+
+torch ships no transducer loss (torchaudio, which has one, is not in this
+environment), so the comparator is the best practical PURE-torch
+implementation: the same diagonal-wavefront DP the TPU path uses
+(ops/rnnt_loss.py) — one skew gather, T+U vectorized logaddexp steps over
+(N, U+1) rows, autograd backward.  This is deliberately the FAST torch
+formulation (a per-(t, u) Python loop is ~50x slower still), so the
+bench.py vs_baseline ratio is honest.
+
+Validates against utils/rnnt_reference.rnnt_loss_ref (f64 loops) before
+timing.  Run on an otherwise idle box: `python scripts/baseline_rnnt_torch.py`.
+"""
+
+import sys
+import time
+
+import numpy as np
+import torch
+
+sys.path.insert(0, "/root/repo")
+
+NEG = -1e30
+
+
+def rnnt_nll_torch(logits, targets, il, ul, blank=0):
+    """(N, T, U+1, V) logits -> (N,) NLL, autograd-differentiable."""
+    n, t_max, up, v = logits.shape
+    lp = torch.log_softmax(logits, dim=-1)
+    b_pl = lp[..., blank]                                   # (N, T, U+1)
+    y_ext = torch.cat(
+        [targets.long(), torch.zeros(n, up - targets.shape[1],
+                                     dtype=torch.long)], dim=1)
+    l_pl = lp.gather(3, y_ext[:, None, :, None].expand(
+        n, t_max, up, 1)).squeeze(3)
+    u_ok = torch.arange(up)[None] < ul[:, None]
+    l_pl = torch.where(u_ok[:, None], l_pl, torch.full_like(l_pl, NEG))
+
+    # skew: sk[d][n, u] = plane[n, d-u, u]
+    d_total = t_max + up - 1
+    d_idx = torch.arange(d_total)[:, None]
+    u_idx = torch.arange(up)[None, :]
+    t_idx = d_idx - u_idx
+    valid = (t_idx >= 0) & (t_idx < t_max)
+    flat = (t_idx.clamp(0, t_max - 1) * up + u_idx).reshape(-1)
+    sk_b = b_pl.reshape(n, -1)[:, flat].reshape(n, d_total, up)
+    sk_b = torch.where(valid[None], sk_b, torch.full_like(sk_b, NEG))
+    sk_l = l_pl.reshape(n, -1)[:, flat].reshape(n, d_total, up)
+    sk_l = torch.where(valid[None], sk_l, torch.full_like(sk_l, NEG))
+
+    a = torch.full((n, up), NEG, dtype=lp.dtype)
+    a[:, 0] = 0.0
+    diags = [a]
+    pad = torch.full((n, 1), NEG, dtype=lp.dtype)
+    for d in range(1, d_total):
+        blank_in = diags[-1] + sk_b[:, d - 1]
+        lab_in = (torch.cat([pad, diags[-1][:, :-1]], dim=1)
+                  + torch.cat([pad, sk_l[:, d - 1, :-1]], dim=1))
+        diags.append(torch.logaddexp(blank_in, lab_in))
+    alpha = torch.stack(diags, dim=1)                       # (N, D, U+1)
+    d_term = (il - 1 + ul).long()
+    nb = torch.arange(n)
+    return -(alpha[nb, d_term, ul.long()] + b_pl[nb, (il - 1).long(),
+                                                 ul.long()])
+
+
+def validate():
+    from end2end_tpu.utils.rnnt_reference import rnnt_loss_ref
+
+    rng = np.random.default_rng(0)
+    n, t, u, v = 3, 12, 5, 7
+    logits = rng.standard_normal((n, t, u + 1, v)).astype(np.float64)
+    tgt = rng.integers(1, v, (n, u))
+    il = np.array([t, t - 3, t - 1])
+    ul = np.array([u, 2, 4])
+    x = torch.tensor(logits, requires_grad=True)
+    nll = rnnt_nll_torch(x, torch.tensor(tgt), torch.tensor(il),
+                         torch.tensor(ul))
+    nll.sum().backward()
+    lp = torch.log_softmax(torch.tensor(logits), -1).numpy()
+    ref, ref_g = rnnt_loss_ref(lp, tgt, il, ul)
+    assert np.abs(nll.detach().numpy() - ref).max() < 1e-8, "loss mismatch"
+    print(f"validated vs f64 oracle: max |dnll| = "
+          f"{np.abs(nll.detach().numpy() - ref).max():.2e}")
+
+
+def bench(n=8, t=400, u=80, v=256, iters=3):
+    torch.set_num_threads(1)
+    rng = np.random.default_rng(0)
+    logits = torch.tensor(
+        rng.standard_normal((n, t, u + 1, v)).astype(np.float32),
+        requires_grad=True)
+    tgt = torch.tensor(rng.integers(1, v, (n, u)))
+    il = torch.tensor(np.full(n, t))
+    ul = torch.tensor(np.full(n, u))
+    # warmup
+    rnnt_nll_torch(logits, tgt, il, ul).mean().backward()
+    times = []
+    for _ in range(iters):
+        logits.grad = None
+        t0 = time.perf_counter()
+        rnnt_nll_torch(logits, tgt, il, ul).mean().backward()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    cells = n * t * (u + 1)
+    print(f"torch-CPU rnnt loss+grad B={n},T={t},U={u},V={v}: "
+          f"{dt * 1e3:.1f} ms/iter, {cells / dt / 1e6:.3f} M lattice "
+          f"cells/s, {n / dt:.2f} seq/s")
+
+
+if __name__ == "__main__":
+    validate()
+    bench()

@@ -436,6 +436,84 @@ def time_parallel_round(rng, i):
                                err_msg=str(cfg))
 
 
+def rnnt_round(rng, i):
+    """Transducer loss+grad vs the float64 loop oracle on random shapes,
+    blanks and lengths (incl. U > T, valid for transducers); every 3rd
+    round also checks ALSD beam exactness at full state coverage (beam
+    score == total alignment log-prob by exhaustive path enumeration)."""
+    import jax.numpy as jnp
+
+    from end2end_tpu.ops.rnnt_loss import rnnt_nll
+    from end2end_tpu.utils.rnnt_reference import rnnt_loss_ref
+
+    B = int(rng.integers(1, 5))
+    T = int(rng.integers(2, 18))
+    U = int(rng.integers(1, 8))
+    V = int(rng.integers(3, 14))
+    blank = int(rng.integers(0, V))
+    lp = lsm(rng.standard_normal((B, T, U + 1, V)) * 2).astype(np.float32)
+    others = [c for c in range(V) if c != blank]
+    tgt = rng.choice(others, (B, U)).astype(np.int32)
+    il = rng.integers(1, T + 1, B).astype(np.int32)
+    ul = rng.integers(1, U + 1, B).astype(np.int32)
+    cfg = (i, B, T, U, V, blank)
+
+    def f(x):
+        return jnp.sum(rnnt_nll(x, tgt, il, ul, blank=blank,
+                                from_logits=False))
+
+    got, g = jax.jit(jax.value_and_grad(f))(jnp.asarray(lp))
+    want, gref = rnnt_loss_ref(lp, tgt, il, ul, blank=blank)
+    np.testing.assert_allclose(float(got), want.sum(), rtol=2e-4,
+                               atol=2e-3, err_msg=str(cfg))
+    np.testing.assert_allclose(np.asarray(g), gref, atol=3e-4,
+                               err_msg=str(cfg))
+
+    if i % 3 == 0:
+        from functools import partial
+
+        from end2end_tpu.ops.neural_lm import gru_step, random_gru_params
+        from end2end_tpu.ops.rnnt_decode import (additive_joint,
+                                                 rnnt_beam_decode)
+        from end2end_tpu.utils.rnnt_reference import rnnt_loss_paths
+
+        v, t_max, s_cap = 3, int(rng.integers(2, 5)), 3
+        enc = rng.standard_normal((1, t_max, 6)).astype(np.float32)
+        params = jax.tree.map(jnp.asarray, random_gru_params(
+            rng, v, emb_dim=3, hidden_dim=4))
+        mats = [rng.standard_normal(s).astype(np.float32) * c for s, c in
+                [((6, 5), .5), ((4, 5), .5), ((5,), .1), ((5, v), 1.),
+                 ((v,), .1)]]
+        pred = partial(gru_step, params)
+        joint = additive_joint(*[jnp.asarray(m) for m in mats])
+        toks, lens, scores = rnnt_beam_decode(
+            enc, np.array([t_max], np.int32), pred,
+            jnp.zeros((4,), jnp.float32), joint, beam_width=16,
+            prune_k=v - 1, max_symbols=s_cap)
+        toks, lens, scores = map(np.asarray, (toks, lens, scores))
+        # rebuild each decoded sequence's exact log-prob via the pred/joint
+        for w in range(16):
+            if scores[0, w] <= -1e9:
+                continue
+            y = toks[0, w, :lens[0, w]].tolist()
+            hs = [np.zeros((4,), np.float32)]
+            for tok in y:
+                hs.append(np.asarray(pred(jnp.asarray(hs[-1]),
+                                          jnp.int32(tok))))
+            lat = []
+            for t in range(t_max):
+                row = []
+                for h in hs:
+                    z = np.asarray(joint(jnp.asarray(enc[0, t]),
+                                         jnp.asarray(h)), np.float64)
+                    row.append(z - (z.max()
+                                    + np.log(np.exp(z - z.max()).sum())))
+                lat.append(np.stack(row))
+            ref = -rnnt_loss_paths(np.stack(lat), np.array(y, np.int64))
+            np.testing.assert_allclose(scores[0, w], ref, atol=2e-3,
+                                       err_msg=f"beam {cfg} y={y}")
+
+
 def lm_train_round(rng, i):
     """Kneser-Ney estimation: every conditional distribution the emitted
     backoff model defines sums to exactly 1 through the float64 ArpaScorer
@@ -627,6 +705,7 @@ def run_batch(n_rounds, seed):
         token_min_round(rng, i)
         guide_round(rng, i)
         lm_train_round(rng, i)
+        rnnt_round(rng, i)
         mwer_round(rng, i)
         confidence_round(rng, i)
         if i % 5 == 0:  # costlier (mesh compiles); every 5th round

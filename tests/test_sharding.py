@@ -549,3 +549,44 @@ def test_vocab_parallel_chunked_word_lm_matches_unsharded(rng):
             jnp.asarray(lp), il, mesh=mesh, beam_width=W, lm=lm,
             guide_lm=guide,
         )
+
+
+@needs_devices
+@pytest.mark.parametrize("reduction", ["none", "mean", "sum"])
+def test_rnnt_data_parallel_loss_matches(rng, reduction):
+    from end2end_tpu.ops.rnnt_loss import rnnt_loss
+    from end2end_tpu.parallel.sharding import rnnt_loss_data_parallel
+
+    B, T, U, V = 8, 12, 4, 9
+    logits = rng.standard_normal((B, T, U + 1, V)).astype(np.float32)
+    tgt = rng.integers(1, V, (B, U)).astype(np.int32)
+    il = rng.integers(T // 2, T + 1, (B,)).astype(np.int32)
+    ul = rng.integers(1, U + 1, (B,)).astype(np.int32)
+    mesh = make_mesh(8)
+    got = jax.jit(lambda *a: rnnt_loss_data_parallel(
+        *a, mesh=mesh, reduction=reduction))(
+            jnp.asarray(logits), jnp.asarray(tgt), jnp.asarray(il),
+            jnp.asarray(ul))
+    want = rnnt_loss(logits, tgt, il, ul, reduction=reduction)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+@needs_devices
+def test_rnnt_data_parallel_grad_matches(rng):
+    from end2end_tpu.ops.rnnt_loss import rnnt_loss
+    from end2end_tpu.parallel.sharding import rnnt_loss_data_parallel
+
+    B, T, U, V = 8, 10, 3, 7
+    logits = rng.standard_normal((B, T, U + 1, V)).astype(np.float32)
+    tgt = rng.integers(1, V, (B, U)).astype(np.int32)
+    il = np.full(B, T, np.int32)
+    ul = np.full(B, U, np.int32)
+    mesh = make_mesh(8)
+    g_sharded = jax.jit(jax.grad(lambda x: rnnt_loss_data_parallel(
+        x, jnp.asarray(tgt), jnp.asarray(il), jnp.asarray(ul),
+        mesh=mesh)))(jnp.asarray(logits))
+    g_local = jax.grad(lambda x: rnnt_loss(x, tgt, il, ul))(
+        jnp.asarray(logits))
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_local),
+                               rtol=1e-5, atol=1e-7)
