@@ -54,6 +54,12 @@ BASELINE_BEAM_SEQ_PER_S = 1.1      # pure-Python prefix beam (width 8)
 # 2026-08-18 (scripts/baseline_rnnt_torch.py): 1287 ms/iter at the row's
 # config.  torch ships no native transducer loss.
 BASELINE_RNNT_CELLS_PER_S = 0.201e6
+# Per-sample NumPy host-loop decode baselines (same convention as the CTC
+# pure-Python beam row), measured 2026-08-19 at the bench config
+# (scripts/baseline_rnnt_torch.py --decode): greedy 69.1 ms/seq, ALSD
+# beam-4 750.7 ms/seq.
+BASELINE_RNNT_GREEDY_SEQ_PER_S = 14.5
+BASELINE_RNNT_BEAM_SEQ_PER_S = 1.33
 
 LOSS_CONFIGS = {
     # name: (B, T, S, V, r_long)
@@ -324,6 +330,85 @@ def bench_rnnt_loss(B, T, U, V, r_long=9):
     return dt, B * T * (U + 1) / dt
 
 
+def _rnnt_decoder(N, T, V, seed=0, h_enc=256, emb=128, hid=256, jdim=256):
+    """Production-flavored transducer decode setup: (N, T, 256) encoder
+    outputs, GRU-256 predictor, 256-dim additive joint."""
+    from functools import partial
+
+    from end2end_tpu.ops.neural_lm import gru_step, random_gru_params
+    from end2end_tpu.ops.rnnt_decode import additive_joint
+
+    rng = np.random.default_rng(seed)
+    enc = jax.device_put(jnp.asarray(
+        rng.normal(size=(N, T, h_enc)).astype(np.float32)))
+    params = jax.tree.map(jnp.asarray,
+                          random_gru_params(rng, V, emb_dim=emb,
+                                            hidden_dim=hid))
+
+    def w(*shape):
+        return jnp.asarray((rng.standard_normal(shape) * 0.5
+                            / np.sqrt(shape[0])).astype(np.float32))
+
+    joint = additive_joint(w(h_enc, jdim), w(hid, jdim), 0.1 * w(jdim),
+                           w(jdim, V), 0.1 * w(V))
+    pred = partial(gru_step, params)
+    init_h = jnp.zeros((hid,), jnp.float32)
+    il = jnp.asarray(np.full(N, T, np.int32))
+    return enc, il, pred, init_h, joint
+
+
+def bench_rnnt_greedy(N, T, V, r_long=9, s_cap=128):
+    """Batched frame-synchronous greedy transducer decode
+    (ops/rnnt_decode.py).  Baseline: the per-sample NumPy greedy loop
+    (scripts/baseline_rnnt_torch.py --decode), the reference-class host
+    formulation."""
+    from end2end_tpu.ops.rnnt_decode import rnnt_greedy_decode
+
+    enc, il, pred, init_h, joint = _rnnt_decoder(N, T, V)
+
+    def make_run(r):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                toks, lens, scores = rnnt_greedy_decode(
+                    c, il, pred, init_h, joint, max_symbols=s_cap)
+                return c.at[0, 0, 0].add(1e-6 * scores.sum()), scores[0]
+
+            _, vs = jax.lax.scan(body, x, None, length=r)
+            return vs.sum()
+
+        return lambda: run(enc)
+
+    dt = chained_time(make_run, r_long)
+    return dt, N / dt
+
+
+def bench_rnnt_beam(N, T, V, W, r_long=5, s_cap=128):
+    """ALSD transducer beam search (ops/rnnt_decode.py), exhaustive
+    per-beam candidates (prune_k default).  Baseline: the per-sample
+    Python ALSD dict-beam loop (scripts/baseline_rnnt_torch.py --decode)."""
+    from end2end_tpu.ops.rnnt_decode import rnnt_beam_decode
+
+    enc, il, pred, init_h, joint = _rnnt_decoder(N, T, V)
+
+    def make_run(r):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                toks, lens, scores = rnnt_beam_decode(
+                    c, il, pred, init_h, joint, beam_width=W,
+                    max_symbols=s_cap)
+                return c.at[0, 0, 0].add(1e-6 * scores.sum()), scores[0, 0]
+
+            _, vs = jax.lax.scan(body, x, None, length=r)
+            return vs.sum()
+
+        return lambda: run(enc)
+
+    dt = chained_time(make_run, r_long)
+    return dt, N / dt
+
+
 def emit(metric, value, unit, baseline):
     """One JSON metric line on stdout (the driver parses the LAST line)."""
     print(json.dumps({
@@ -403,6 +488,12 @@ def main():
         dt, cps = bench_rnnt_loss(8, 400, 80, 256)
         emit("rnnt_loss+grad lattice cells/s (B=8,T=400,U=80,V=256)",
              cps / 1e6, "M cells/s", BASELINE_RNNT_CELLS_PER_S / 1e6)
+        dt, sps = bench_rnnt_greedy(16, 400, 256)
+        emit("rnnt_greedy seq/s (B=16,T=400,V=256,GRU-256)", sps, "seq/s",
+             BASELINE_RNNT_GREEDY_SEQ_PER_S)
+        dt, sps = bench_rnnt_beam(16, 400, 256, 4)
+        emit("rnnt_beam4 seq/s (B=16,T=400,V=256,GRU-256)", sps, "seq/s",
+             BASELINE_RNNT_BEAM_SEQ_PER_S)
 
     # Headline LAST (the driver parses the final line).
     B, T, S, V, r = LOSS_CONFIGS["metric"]

@@ -108,6 +108,123 @@ def bench(n=8, t=400, u=80, v=256, iters=3):
           f"cells/s, {n / dt:.2f} seq/s")
 
 
+def _np_gru_step(params, h, tok):
+    """NumPy twin of ops/neural_lm.gru_step (host-loop baseline)."""
+    def sig(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    x = params["emb"][tok]
+    xh = np.concatenate([x, h])
+    z = sig(xh @ params["wz"] + params["bz"])
+    r = sig(xh @ params["wr"] + params["br"])
+    xrh = np.concatenate([x, r * h])
+    cand = np.tanh(xrh @ params["wh"] + params["bh"])
+    return (1.0 - z) * h + z * cand
+
+
+def _np_joint_lp(f_vec, h, mats):
+    w_enc, w_pred, b_j, w_out, b_out = mats
+    z = np.tanh(f_vec @ w_enc + h @ w_pred + b_j)
+    logits = z @ w_out + b_out
+    m = logits.max()
+    return logits - m - np.log(np.exp(logits - m).sum())
+
+
+def _decode_setup(n, t, v, h_enc=256, emb=128, hid=256, jdim=256, seed=0):
+    """Mirrors bench.py::_rnnt_decoder exactly (same RNG stream)."""
+    rng = np.random.default_rng(seed)
+    enc = rng.normal(size=(n, t, h_enc)).astype(np.float32)
+    from end2end_tpu.ops.neural_lm import random_gru_params
+
+    params = random_gru_params(rng, v, emb_dim=emb, hidden_dim=hid)
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.5
+                / np.sqrt(shape[0])).astype(np.float32)
+
+    mats = (w(h_enc, jdim), w(hid, jdim), 0.1 * w(jdim), w(jdim, v),
+            0.1 * w(v))
+    init_h = np.zeros((hid,), np.float32)
+    return enc, params, init_h, mats
+
+
+def bench_decode(n=16, t=400, v=256, W=4, s_cap=128, blank=0):
+    """Per-sample host-loop decode baselines (pure NumPy — the
+    reference-class Python formulation, same convention as the CTC
+    pure-Python beam baseline in BASELINE.md)."""
+    enc, params, init_h, mats = _decode_setup(n, t, v)
+
+    # --- greedy ----------------------------------------------------------
+    t0 = time.perf_counter()
+    for b in range(n):
+        h, tt, syms, toks = init_h, 0, 0, []
+        while tt < t:
+            lp = _np_joint_lp(enc[b, tt], h, mats)
+            k = int(np.argmax(lp))
+            if k == blank or syms >= 4 or len(toks) >= s_cap:
+                tt += 1
+                syms = 0
+            else:
+                toks.append(k)
+                h = _np_gru_step(params, h, k)
+                syms += 1
+    dt = time.perf_counter() - t0
+    print(f"numpy-CPU rnnt greedy B={n},T={t},V={v},GRU-256: "
+          f"{dt / n * 1e3:.1f} ms/seq, {n / dt:.2f} seq/s")
+
+    # --- ALSD beam (dict merging, K = 2W candidates) ---------------------
+    K = 2 * W
+    t0 = time.perf_counter()
+    for b in range(n):
+        live = {(): (0.0, init_h)}
+        finished = {}
+        for d in range(t + s_cap):
+            cand, hid = {}, {}
+
+            def add(key, s, h=None):
+                if key in cand:
+                    cand[key] = np.logaddexp(cand[key], s)
+                else:
+                    cand[key] = s
+                    if h is not None:
+                        hid[key] = h
+
+            for p, s in finished.items():
+                add(("F",) + p, s)
+            for p, (s, h) in live.items():
+                tt = d - len(p)
+                lp = _np_joint_lp(enc[b, tt], h, mats)
+                if tt + 1 >= t:
+                    add(("F",) + p, s + lp[blank])
+                else:
+                    add(p, s + lp[blank], h)
+                if len(p) < s_cap:
+                    nb = np.argsort(-np.delete(lp, blank))[:K]
+                    nb = nb + (nb >= blank)
+                    for k in nb:
+                        add(p + (int(k),), s + lp[k],
+                            _np_gru_step(params, h, int(k)))
+            keep = sorted(cand, key=lambda key: -cand[key])[:W]
+            live, new_fin = {}, {}
+            for key in keep:
+                if key and key[0] == "F":
+                    new_fin[key[1:]] = cand[key]
+                else:
+                    live[key] = (cand[key], hid[key])
+            finished = new_fin
+            if not live:
+                break
+        if b == 0:
+            dt1 = time.perf_counter() - t0
+            print(f"  (beam: first sample {dt1 * 1e3:.0f} ms)")
+    dt = time.perf_counter() - t0
+    print(f"numpy-CPU rnnt ALSD beam-{W} B={n},T={t},V={v},GRU-256: "
+          f"{dt / n * 1e3:.1f} ms/seq, {n / dt:.3f} seq/s")
+
+
 if __name__ == "__main__":
-    validate()
-    bench()
+    if "--decode" in sys.argv:
+        bench_decode()
+    else:
+        validate()
+        bench()
