@@ -36,7 +36,9 @@ from .ops.neural_lm import NeuralLM
 from .ops.rescore import rescore_nbest
 from .ops.rnnt_decode import (additive_joint, rnnt_beam_decode,
                               rnnt_greedy_decode)
-from .ops.rnnt_loss import RNNTLoss, rnnt_loss, rnnt_nll
+from .ops.rnnt_loss import (RNNTLoss, fused_additive_joint,
+                            rnnt_loss, rnnt_loss_fused, rnnt_nll,
+                            rnnt_nll_from_planes, rnnt_nll_fused)
 from .ops.streaming_decode import StreamingBeamDecoder, StreamingGreedyDecoder
 from .utils.lm_train import (
     train_ngram_arpa,
@@ -75,6 +77,10 @@ __all__ = [
     "mwer_loss_from_nbest",
     "rnnt_loss",
     "rnnt_nll",
+    "rnnt_nll_fused",
+    "rnnt_loss_fused",
+    "rnnt_nll_from_planes",
+    "fused_additive_joint",
     "RNNTLoss",
     "rnnt_greedy_decode",
     "rnnt_beam_decode",

@@ -149,8 +149,17 @@ def _rnnt_forward(lp, targets, input_lengths, target_lengths, blank):
     n, t_max, up, v = lp.shape
     il = jnp.asarray(input_lengths, jnp.int32)
     ul = jnp.asarray(target_lengths, jnp.int32)
-    d_total = t_max + up - 1
     b_pl, l_pl, y_ext = _planes(lp, targets, ul, blank)
+    nll, core = _planes_forward(b_pl, l_pl, il, ul)
+    (il, ul, tape, rcum, sk_b, sk_l, z_small, z_off) = core
+    return nll, (y_ext, il, ul, tape, rcum, sk_b, sk_l, z_small, z_off)
+
+
+def _planes_forward(b_pl, l_pl, il, ul):
+    """Wavefront NLL from the two (N, T, U+1) planes (the DP proper —
+    everything after the vocabulary axis has been reduced away)."""
+    n, t_max, up = b_pl.shape
+    d_total = t_max + up - 1
     sk_b = _skew(b_pl, d_total)
     sk_l = _skew(l_pl, d_total)
     tape, rcum = _alpha_scan(sk_b, sk_l, n, up)
@@ -177,7 +186,7 @@ def _rnnt_forward(lp, targets, input_lengths, target_lengths, blank):
     z_small = jnp.sum(jnp.where(oh_d[:, :, None] & oh_u[None, :, :],
                                 tape, 0.0), axis=(0, 2)) + b_term
     nll = -(z_small + z_off)
-    return nll, (y_ext, il, ul, tape, rcum, sk_b, sk_l, z_small, z_off)
+    return nll, (il, ul, tape, rcum, sk_b, sk_l, z_small, z_off)
 
 
 def _rnnt_fwd(lp, targets, input_lengths, target_lengths, blank, v):
@@ -187,7 +196,20 @@ def _rnnt_fwd(lp, targets, input_lengths, target_lengths, blank, v):
 
 
 def _rnnt_bwd(blank, v, res, g):
-    y_ext, il, ul, a_tape, a_rcum, sk_b, sk_l, z_small, z_off = res
+    y_ext = res[0]
+    gb, gl = _plane_posteriors(res[1:])
+    # scatter into V: 2 nonzeros per node -> one-hot combine, XLA-fused
+    grad = -gl[:, :, :, None] * jax.nn.one_hot(y_ext, v, dtype=jnp.float32)[:, None]
+    grad = grad.at[:, :, :, blank].add(-gb)
+    grad = grad * g[:, None, None, None]
+    return grad, None, None, None
+
+
+def _plane_posteriors(res):
+    """(i_blank, i_label) node posteriors (N, T, U+1) from the forward
+    residuals — the shared core of both backward passes (lp-level scatter
+    and plane-level fused)."""
+    il, ul, a_tape, a_rcum, sk_b, sk_l, z_small, z_off = res
     d_total, n, up = sk_b.shape
     t_max = d_total - up + 1
 
@@ -261,16 +283,61 @@ def _rnnt_bwd(blank, v, res, g):
     t_ok = (jnp.arange(t_max)[None] < il[:, None])[:, :, None]
     gb = jnp.where(t_ok, gb, 0.0)
     gl = jnp.where(t_ok, gl, 0.0)
-
-    # scatter into V: 2 nonzeros per node -> one-hot combine, XLA-fused
-    onehot_y = jax.nn.one_hot(y_ext, v, dtype=jnp.float32)  # (N, Up, V)
-    grad = -gl[:, :, :, None] * onehot_y[:, None]
-    grad = grad.at[:, :, :, blank].add(-gb)
-    grad = grad * g[:, None, None, None]
-    return grad, None, None, None
+    return gb, gl
 
 
 _rnnt_nll_lp.defvjp(_rnnt_fwd, _rnnt_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Plane-level entry: the DP behind jax.custom_vjp with gradients delivered
+# IN PLANE SPACE (N, T, U+1) — the building block of the fused joint path
+# (`rnnt_nll_fused`), where the (V,) axis is reduced away chunk-by-chunk
+# and must never be rematerialized whole.
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def rnnt_nll_from_planes(blank_plane, label_plane, input_lengths,
+                         target_lengths):
+    """Transducer NLL (N,) from precomputed log-prob planes.
+
+    Args:
+      blank_plane: (N, T, U+1) log p(blank | t, u).
+      label_plane: (N, T, U+1) log p(y_{u+1} | t, u); rows at u >=
+        target_lengths may hold anything (masked to log-0 here).
+      input_lengths, target_lengths: (N,) as in `rnnt_nll`.
+
+    Differentiable in both planes (custom VJP: fused posterior gradient,
+    no backward scan over V).
+    """
+    nll, _ = _planes_nll_fwd_core(blank_plane, label_plane, input_lengths,
+                                  target_lengths)
+    return nll
+
+
+def _planes_nll_fwd_core(b_pl, l_pl, il, ul):
+    b_pl = jnp.asarray(b_pl, jnp.float32)
+    l_pl = jnp.asarray(l_pl, jnp.float32)
+    il = jnp.asarray(il, jnp.int32)
+    ul = jnp.asarray(ul, jnp.int32)
+    up = b_pl.shape[2]
+    u_ok = jnp.arange(up)[None] < ul[:, None]               # (N, Up)
+    l_pl = jnp.where(u_ok[:, None, :], l_pl, LOG0)
+    return _planes_forward(b_pl, l_pl, il, ul)
+
+
+def _planes_nll_fwd(b_pl, l_pl, il, ul):
+    nll, core = _planes_nll_fwd_core(b_pl, l_pl, il, ul)
+    return nll, core
+
+
+def _planes_nll_bwd(res, g):
+    gb, gl = _plane_posteriors(res)
+    gg = g[:, None, None]
+    return -gb * gg, -gl * gg, None, None
+
+
+rnnt_nll_from_planes.defvjp(_planes_nll_fwd, _planes_nll_bwd)
 
 
 def rnnt_nll(log_probs_or_logits, targets, input_lengths, target_lengths,
@@ -318,6 +385,125 @@ def rnnt_loss(log_probs_or_logits, targets, input_lengths, target_lengths,
     """
     nll = rnnt_nll(log_probs_or_logits, targets, input_lengths,
                    target_lengths, blank=blank, from_logits=from_logits)
+    if reduction == "none":
+        return nll
+    if reduction == "sum":
+        return jnp.sum(nll)
+    if reduction == "mean":
+        return jnp.mean(nll)
+    raise ValueError(f"unknown reduction {reduction!r}")
+
+
+# ---------------------------------------------------------------------------
+# Fused joint: transducer loss WITHOUT materializing the (N, T, U+1, V)
+# joint tensor.
+# ---------------------------------------------------------------------------
+
+def fused_additive_joint(w_out, b_out, activation=jnp.tanh):
+    """The standard additive joint for `rnnt_nll_fused`:
+    ``logits = W_out · act(f + g) + b_out`` over PRE-PROJECTED encoder/
+    predictor vectors f, g (project once outside: `enc @ W_enc`,
+    `pred @ W_pred` — (N,T,J)/(N,U+1,J) tensors, V-free)."""
+    w_out = jnp.asarray(w_out, jnp.float32)
+    b_out = jnp.asarray(b_out, jnp.float32)
+
+    def joint_fn(f_vec, g_vec):
+        return activation(f_vec + g_vec) @ w_out + b_out
+    return joint_fn
+
+
+def rnnt_nll_fused(enc_proj, pred_proj, joint_fn, targets, input_lengths,
+                   target_lengths, *, blank: int = 0, chunk_t: int = 64):
+    """Per-sample transducer NLL computed WITHOUT ever materializing the
+    (N, T, U+1, V) joint logits — the tensor that makes naive transducer
+    training memory-infeasible (B=16, T=400, U=80, V=32k is a 68 GB
+    buffer; its two DP planes are 16 MB).
+
+    TPU-native formulation: frames are processed in chunks of `chunk_t` —
+    each chunk's (N, tc, U+1, V) logits are built from the projected
+    encoder/predictor tensors by `joint_fn`, log-softmaxed, and REDUCED
+    immediately to the two DP planes (blank column + one one-hot MXU
+    gather of the target labels).  The chunk computation runs under
+    ``jax.checkpoint`` inside a sequential ``lax.map``, so the backward
+    pass recomputes one chunk of logits at a time and the fused
+    plane-space posterior gradient (`rnnt_nll_from_planes`) flows back
+    through ``joint_fn`` to the projections and joint weights with peak
+    memory O(N·(T + tc·V/chunk-reuse)·U) instead of O(N·T·U·V).  Loss and
+    gradients match the materialized `rnnt_nll(..., from_logits=True)`
+    path (tests/test_rnnt_fused.py).
+
+    Args:
+      enc_proj: (N, T, Je) projected acoustic encodings (e.g. enc @ W_enc).
+      pred_proj: (N, U+1, Jp) projected predictor states for the blank-
+        prefixed target prefixes (row u encodes targets[:u]).
+      joint_fn: ``(f_vec (Je,), g_vec (Jp,)) -> (V,) logits`` — any
+        differentiable joint; `fused_additive_joint` builds the standard
+        one.
+      targets, input_lengths, target_lengths, blank: as in `rnnt_nll`.
+      chunk_t: frames per logits chunk (memory/recompute knob).
+    """
+    enc_proj = jnp.asarray(enc_proj, jnp.float32)
+    pred_proj = jnp.asarray(pred_proj, jnp.float32)
+    if enc_proj.ndim != 3 or pred_proj.ndim != 3:
+        raise ValueError("enc_proj must be (N, T, Je) and pred_proj "
+                         f"(N, U+1, Jp), got {enc_proj.shape} / "
+                         f"{pred_proj.shape}")
+    n, t_max, je = enc_proj.shape
+    up = pred_proj.shape[1]
+    targets = jnp.asarray(targets)
+    if targets.ndim != 2 or targets.shape[1] + 1 > up:
+        raise ValueError(
+            f"targets must be (N, U) with U+1 <= {up}, got {targets.shape}")
+    il = jnp.asarray(input_lengths, jnp.int32)
+    ul = jnp.asarray(target_lengths, jnp.int32)
+    v = jax.eval_shape(joint_fn,
+                       jax.ShapeDtypeStruct((je,), jnp.float32),
+                       jax.ShapeDtypeStruct((pred_proj.shape[2],),
+                                            jnp.float32)).shape[-1]
+    y_ext = jnp.concatenate(
+        [targets.astype(jnp.int32),
+         jnp.zeros((n, up - targets.shape[1]), jnp.int32)], axis=1)
+    onehot_y = jax.nn.one_hot(y_ext, v, dtype=jnp.float32)  # (N, Up, V)
+    u_ok = jnp.arange(up)[None] < ul[:, None]               # (N, Up)
+
+    tc = max(1, min(int(chunk_t), t_max))
+    n_chunks = -(-t_max // tc)
+    t_pad = n_chunks * tc
+    encp = jnp.pad(enc_proj, ((0, 0), (0, t_pad - t_max), (0, 0)))
+
+    @jax.checkpoint
+    def chunk_planes(enc_c):
+        """(N, tc, Je) -> blank/label plane chunks (N, tc, Up)."""
+        def one_sample(f_rows, g_rows):
+            return jax.vmap(
+                lambda f: jax.vmap(lambda gv: joint_fn(f, gv))(g_rows)
+            )(f_rows)                                       # (tc, Up, V)
+        logits = jax.vmap(one_sample)(enc_c, pred_proj)     # (N, tc, Up, V)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        b_c = lp[..., blank]
+        l_c = jnp.einsum("ntuv,nuv->ntu", lp, onehot_y,
+                         precision=jax.lax.Precision.HIGHEST)
+        return b_c, jnp.where(u_ok[:, None, :], l_c, LOG0)
+
+    enc_chunks = jnp.moveaxis(
+        encp.reshape(n, n_chunks, tc, je), 1, 0)            # (C, N, tc, Je)
+    b_ch, l_ch = jax.lax.map(chunk_planes, enc_chunks)      # (C, N, tc, Up)
+    b_pl = jnp.moveaxis(b_ch, 0, 1).reshape(n, t_pad, up)
+    l_pl = jnp.moveaxis(l_ch, 0, 1).reshape(n, t_pad, up)
+    t_ok = (jnp.arange(t_pad)[None] < t_max)[:, :, None]    # mask pad frames
+    b_pl = jnp.where(t_ok, b_pl, LOG0)
+    l_pl = jnp.where(t_ok, l_pl, LOG0)
+    return rnnt_nll_from_planes(b_pl, l_pl, il, ul)
+
+
+def rnnt_loss_fused(enc_proj, pred_proj, joint_fn, targets, input_lengths,
+                    target_lengths, *, blank: int = 0, chunk_t: int = 64,
+                    reduction: str = "mean"):
+    """`rnnt_loss` over the fused (never-materialized) joint — see
+    `rnnt_nll_fused`.  Reductions as in `rnnt_loss`."""
+    nll = rnnt_nll_fused(enc_proj, pred_proj, joint_fn, targets,
+                         input_lengths, target_lengths, blank=blank,
+                         chunk_t=chunk_t)
     if reduction == "none":
         return nll
     if reduction == "sum":

@@ -1,0 +1,165 @@
+"""Fused-joint transducer loss — parity vs the materialized path.
+
+`rnnt_nll_fused` must reproduce `rnnt_nll(logits, from_logits=True)` in
+value AND in gradients w.r.t. the projected encoder/predictor tensors and
+the joint weights, across chunk sizes (incl. non-divisible T), variable
+lengths, and nonzero blank — while never building the (N, T, U+1, V)
+joint tensor.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from end2end_tpu.ops.rnnt_loss import (fused_additive_joint,
+                                       rnnt_loss_fused, rnnt_nll,
+                                       rnnt_nll_from_planes, rnnt_nll_fused)
+
+
+def _setup(seed, n=3, t=11, u=5, v=7, j=6):
+    rng = np.random.default_rng(seed)
+    enc_p = jnp.asarray(rng.normal(size=(n, t, j)).astype(np.float32))
+    pred_p = jnp.asarray(rng.normal(size=(n, u + 1, j)).astype(np.float32))
+    w_out = jnp.asarray((rng.normal(size=(j, v)) / np.sqrt(j))
+                        .astype(np.float32))
+    b_out = jnp.asarray(0.1 * rng.normal(size=(v,)).astype(np.float32))
+    tgt = jnp.asarray(rng.integers(1, v, (n, u)).astype(np.int32))
+    il = jnp.asarray(np.array([t, t - 3, t - 1], np.int32)[:n])
+    ul = jnp.asarray(np.array([u, 2, 0], np.int32)[:n])
+    return enc_p, pred_p, w_out, b_out, tgt, il, ul
+
+
+def _materialized(enc_p, pred_p, w_out, b_out, tgt, il, ul, blank=0):
+    logits = jnp.tanh(enc_p[:, :, None, :] + pred_p[:, None, :, :]) @ w_out
+    logits = logits + b_out
+    return rnnt_nll(logits, tgt, il, ul, blank=blank, from_logits=True)
+
+
+class TestFusedParity:
+    @pytest.mark.parametrize("chunk_t", [1, 4, 11, 64])
+    def test_value_matches_materialized(self, chunk_t):
+        enc_p, pred_p, w_out, b_out, tgt, il, ul = _setup(0)
+        joint = fused_additive_joint(w_out, b_out)
+        ref = _materialized(enc_p, pred_p, w_out, b_out, tgt, il, ul)
+        got = rnnt_nll_fused(enc_p, pred_p, joint, tgt, il, ul,
+                             chunk_t=chunk_t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=2e-4)
+
+    def test_grads_match_materialized(self):
+        enc_p, pred_p, w_out, b_out, tgt, il, ul = _setup(1)
+
+        def loss_ref(e, p, w, b):
+            return jnp.sum(_materialized(e, p, w, b, tgt, il, ul))
+
+        def loss_fused(e, p, w, b):
+            return jnp.sum(rnnt_nll_fused(
+                e, p, fused_additive_joint(w, b), tgt, il, ul, chunk_t=4))
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+            enc_p, pred_p, w_out, b_out)
+        g_fus = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(
+            enc_p, pred_p, w_out, b_out)
+        for a, b, name in zip(g_ref, g_fus,
+                              ("enc_proj", "pred_proj", "w_out", "b_out")):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=0, atol=5e-4,
+                err_msg=f"gradient mismatch for {name}")
+
+    def test_nonzero_blank(self):
+        enc_p, pred_p, w_out, b_out, _, il, ul = _setup(2)
+        v = w_out.shape[1]
+        rng = np.random.default_rng(3)
+        raw = rng.integers(0, v - 1, (enc_p.shape[0], pred_p.shape[1] - 1))
+        blank = v - 1
+        tgt = jnp.asarray(raw.astype(np.int32))  # avoids the blank id
+        joint = fused_additive_joint(w_out, b_out)
+        ref = _materialized(enc_p, pred_p, w_out, b_out, tgt, il, ul,
+                            blank=blank)
+        got = rnnt_nll_fused(enc_p, pred_p, joint, tgt, il, ul, blank=blank,
+                             chunk_t=3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=2e-4)
+
+    def test_reductions_and_jit(self):
+        enc_p, pred_p, w_out, b_out, tgt, il, ul = _setup(4)
+        joint = fused_additive_joint(w_out, b_out)
+
+        @jax.jit
+        def f(e):
+            return rnnt_loss_fused(e, pred_p, joint, tgt, il, ul,
+                                   chunk_t=4, reduction="mean")
+
+        nll = rnnt_nll_fused(enc_p, pred_p, joint, tgt, il, ul, chunk_t=4)
+        np.testing.assert_allclose(float(f(enc_p)),
+                                   float(jnp.mean(nll)), atol=1e-6)
+
+
+class TestPlaneLevelVJP:
+    def test_plane_entry_matches_lp_path(self):
+        """rnnt_nll_from_planes on planes extracted from a full lattice ==
+        rnnt_nll on the lattice; plane gradients match autodiff through
+        the extraction."""
+        rng = np.random.default_rng(5)
+        n, t, u, v = 2, 7, 3, 5
+        lp = jax.nn.log_softmax(
+            jnp.asarray(rng.normal(size=(n, t, u + 1, v))
+                        .astype(np.float32)), axis=-1)
+        tgt = jnp.asarray(rng.integers(1, v, (n, u)).astype(np.int32))
+        il = jnp.asarray(np.array([t, t - 2], np.int32))
+        ul = jnp.asarray(np.array([u, 1], np.int32))
+        b_pl = lp[..., 0]
+        l_pl = jnp.take_along_axis(
+            lp, jnp.pad(tgt, ((0, 0), (0, 1)))[:, None, :, None],
+            axis=3)[..., 0]
+        ref = rnnt_nll(lp, tgt, il, ul, blank=0, from_logits=False)
+        got = rnnt_nll_from_planes(b_pl, l_pl, il, ul)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-5)
+
+        # finite-difference check of the plane-space custom VJP
+        gb, gl = jax.grad(
+            lambda b, l: jnp.sum(rnnt_nll_from_planes(b, l, il, ul)),
+            argnums=(0, 1))(b_pl, l_pl)
+        eps = 1e-3
+        rng2 = np.random.default_rng(6)
+        for _ in range(5):
+            nn = rng2.integers(0, n)
+            tt = rng2.integers(0, il[nn])
+            uu = rng2.integers(0, ul[nn] + 1)
+            d = jnp.zeros_like(b_pl).at[nn, tt, uu].set(eps)
+            f1 = float(jnp.sum(rnnt_nll_from_planes(b_pl + d, l_pl, il, ul)))
+            f0 = float(jnp.sum(rnnt_nll_from_planes(b_pl - d, l_pl, il, ul)))
+            np.testing.assert_allclose(float(gb[nn, tt, uu]),
+                                       (f1 - f0) / (2 * eps), atol=2e-2)
+            if uu <= ul[nn] - 1:
+                d = jnp.zeros_like(l_pl).at[nn, tt, uu].set(eps)
+                f1 = float(jnp.sum(rnnt_nll_from_planes(
+                    b_pl, l_pl + d, il, ul)))
+                f0 = float(jnp.sum(rnnt_nll_from_planes(
+                    b_pl, l_pl - d, il, ul)))
+                np.testing.assert_allclose(float(gl[nn, tt, uu]),
+                                           (f1 - f0) / (2 * eps), atol=2e-2)
+
+
+class TestMemoryScaling:
+    def test_large_vocab_runs(self):
+        """A shape whose materialized joint would be 1.6 GB (f32) runs
+        fused: the compiled program's live set stays plane-sized."""
+        rng = np.random.default_rng(7)
+        n, t, u, v, j = 2, 200, 50, 20000, 32
+        enc_p = jnp.asarray(rng.normal(size=(n, t, j)).astype(np.float32))
+        pred_p = jnp.asarray(rng.normal(size=(n, u + 1, j))
+                             .astype(np.float32))
+        w_out = jnp.asarray((rng.normal(size=(j, v)) / np.sqrt(j))
+                            .astype(np.float32))
+        b_out = jnp.zeros((v,), jnp.float32)
+        tgt = jnp.asarray(rng.integers(1, v, (n, u)).astype(np.int32))
+        il = jnp.full((n,), t, jnp.int32)
+        ul = jnp.full((n,), u, jnp.int32)
+        nll = rnnt_nll_fused(enc_p, pred_p,
+                             fused_additive_joint(w_out, b_out),
+                             tgt, il, ul, chunk_t=16)
+        assert np.all(np.isfinite(np.asarray(nll)))
+        assert np.all(np.asarray(nll) > 0)
