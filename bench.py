@@ -60,6 +60,10 @@ BASELINE_RNNT_CELLS_PER_S = 0.201e6
 # beam-4 750.7 ms/seq.
 BASELINE_RNNT_GREEDY_SEQ_PER_S = 14.5
 BASELINE_RNNT_BEAM_SEQ_PER_S = 1.33
+# Chunked fused-joint loss+grad in torch (checkpointed chunks + autograd,
+# 1 thread), measured 2026-08-19 at V=4096: 233.6 s/iter; the V=32768
+# constant extrapolates x8 (the joint matmul dominates, linear in V).
+BASELINE_RNNT_FUSED_CELLS_PER_S = 139.0
 
 LOSS_CONFIGS = {
     # name: (B, T, S, V, r_long)
@@ -330,6 +334,45 @@ def bench_rnnt_loss(B, T, U, V, r_long=9):
     return dt, B * T * (U + 1) / dt
 
 
+def bench_rnnt_fused(B, T, U, V, J=128, chunk_t=64, r_long=3):
+    """Fused-joint transducer loss+grad at production vocab — the joint
+    tensor (8.5 GB here materialized) is never built (ops/rnnt_loss.py
+    rnnt_nll_fused).  Baseline: the same chunked-planes formulation in
+    torch (checkpointed chunks + autograd), scripts/baseline_rnnt_torch.py
+    --fused."""
+    from end2end_tpu import fused_additive_joint, rnnt_loss_fused
+
+    rng = np.random.default_rng(0)
+    enc_p = jax.device_put(jnp.asarray(
+        rng.standard_normal((B, T, J)).astype(np.float32)))
+    pred_p = jax.device_put(jnp.asarray(
+        rng.standard_normal((B, U + 1, J)).astype(np.float32)))
+    w_out = jnp.asarray(
+        (rng.standard_normal((J, V)) / np.sqrt(J)).astype(np.float32))
+    joint = fused_additive_joint(w_out, jnp.zeros((V,), jnp.float32))
+    tgt = jnp.asarray(rng.integers(1, V, (B, U)).astype(np.int32))
+    il = jnp.asarray(np.full(B, T, np.int32))
+    ul = jnp.asarray(np.full(B, U, np.int32))
+
+    def make_run(r):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                v_, g = jax.value_and_grad(
+                    lambda e: rnnt_loss_fused(e, pred_p, joint, tgt, il, ul,
+                                              chunk_t=chunk_t,
+                                              reduction="mean"))(c)
+                return c.at[0, 0, 0].add(1e-9 * (v_ + g.sum())), v_
+
+            _, vs = jax.lax.scan(body, x, None, length=r)
+            return vs.sum()
+
+        return lambda: run(enc_p)
+
+    dt = chained_time(make_run, r_long)
+    return dt, B * T * (U + 1) / dt
+
+
 def _rnnt_decoder(N, T, V, seed=0, h_enc=256, emb=128, hid=256, jdim=256):
     """Production-flavored transducer decode setup: (N, T, 256) encoder
     outputs, GRU-256 predictor, 256-dim additive joint."""
@@ -494,6 +537,9 @@ def main():
         dt, sps = bench_rnnt_beam(16, 400, 256, 4)
         emit("rnnt_beam4 seq/s (B=16,T=400,V=256,GRU-256)", sps, "seq/s",
              BASELINE_RNNT_BEAM_SEQ_PER_S)
+        dt, cps = bench_rnnt_fused(8, 400, 80, 32768)
+        emit("rnnt_fused_loss+grad cells/s (B=8,T=400,U=80,V=32768,J=128)",
+             cps / 1e6, "M cells/s", BASELINE_RNNT_FUSED_CELLS_PER_S / 1e6)
 
     # Headline LAST (the driver parses the final line).
     B, T, S, V, r = LOSS_CONFIGS["metric"]

@@ -404,3 +404,115 @@ def beam_search_decode_vocab_parallel(
         lm=lm, lm_alpha=float(lm_alpha), lm_beta=float(lm_beta),
         return_timestamps=return_timestamps,
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocab-sharded FUSED transducer loss: TP for the joint projection.
+# ---------------------------------------------------------------------------
+
+def rnnt_nll_fused_vocab_parallel(
+        enc_proj, pred_proj, w_out, b_out, targets, input_lengths,
+        target_lengths, mesh: Mesh, *, blank: int = 0, chunk_t: int = 64,
+        activation=jnp.tanh, vocab_axis: str = "model"):
+    """Fused-joint transducer NLL with the joint OUTPUT PROJECTION
+    vocab-sharded over the mesh — TP for transducer training.
+
+    The additive joint's ``(J, V)`` output matrix is the only V-sized
+    parameter; sharding it over `vocab_axis` makes every per-chunk logits
+    buffer ``(N, tc, U+1, V/D)`` shard-local.  Each device computes its
+    logits slice, the log-softmax denominator is assembled with one
+    pmax + one psum per chunk, and the blank/label planes (each vocab
+    entry has exactly one owner) with one psum each — all riding ICI.
+    The replicated planes then run the wavefront DP (`rnnt_nll_from_
+    planes`, fused plane-space posterior gradient); grads flow to
+    `enc_proj`/`pred_proj` (replicated) and to each device's OWN
+    `w_out`/`b_out` shard with no further communication.
+
+    Combines with the chunked recompute of `rnnt_nll_fused` (chunks under
+    ``jax.checkpoint`` inside ``lax.map``): peak per-device memory is
+    O(N·T·U + N·tc·U·V/D).
+
+    Args mirror `rnnt_nll_fused` with the additive joint spelled out
+    (`w_out` (J, V), `b_out` (V,)); V must divide evenly by the mesh's
+    `vocab_axis` size (pad `w_out` with columns whose `b_out` is a large
+    negative number to round up — they then never win mass).
+    """
+    from ..ops.rnnt_loss import rnnt_nll_from_planes
+
+    enc_proj = jnp.asarray(enc_proj, jnp.float32)
+    pred_proj = jnp.asarray(pred_proj, jnp.float32)
+    w_out = jnp.asarray(w_out, jnp.float32)
+    b_out = jnp.asarray(b_out, jnp.float32)
+    n, t_max, je = enc_proj.shape
+    up = pred_proj.shape[1]
+    j, v = w_out.shape
+    nd = int(mesh.shape[vocab_axis])
+    if v % nd != 0:
+        raise ValueError(f"V={v} must divide the '{vocab_axis}' axis size "
+                         f"{nd} (pad w_out/b_out)")
+    v_loc = v // nd
+    targets = jnp.asarray(targets)
+    il = jnp.asarray(input_lengths, jnp.int32)
+    ul = jnp.asarray(target_lengths, jnp.int32)
+    y_ext = jnp.concatenate(
+        [targets.astype(jnp.int32),
+         jnp.zeros((n, up - targets.shape[1]), jnp.int32)], axis=1)
+    u_ok = jnp.arange(up)[None] < ul[:, None]
+
+    tc = max(1, min(int(chunk_t), t_max))
+    n_chunks = -(-t_max // tc)
+    t_pad = n_chunks * tc
+    encp = jnp.pad(enc_proj, ((0, 0), (0, t_pad - t_max), (0, 0)))
+
+    def shard_fn(encp_s, pred_s, w_l, b_l):
+        v_start = jax.lax.axis_index(vocab_axis).astype(jnp.int32) * v_loc
+        rel_b = blank - v_start                       # scalar per device
+        own_b = (rel_b >= 0) & (rel_b < v_loc)
+        rel_y = y_ext - v_start                       # (N, Up)
+        own_y = (rel_y >= 0) & (rel_y < v_loc)
+        oh_y = (jax.nn.one_hot(jnp.where(own_y, rel_y, 0), v_loc,
+                               dtype=jnp.float32)
+                * own_y[..., None].astype(jnp.float32))
+
+        @jax.checkpoint
+        def chunk_planes(enc_c):
+            z = activation(enc_c[:, :, None, :] + pred_s[:, None])
+            logits_l = z @ w_l + b_l                  # (N, tc, Up, v_loc)
+            # max across shards via all_gather (pmax has no diff rule even
+            # under stop_gradient); m is stability-only so its gradient is
+            # cut before the collective.
+            m_loc = jnp.max(jax.lax.stop_gradient(logits_l), axis=-1)
+            m = jnp.max(jax.lax.all_gather(m_loc, vocab_axis), axis=0)
+            se = jax.lax.psum(
+                jnp.sum(jnp.exp(logits_l - m[..., None]), axis=-1),
+                vocab_axis)
+            lse = m + jnp.log(se)
+            lp_l = logits_l - lse[..., None]
+            b_c = jax.lax.psum(
+                jnp.where(own_b,
+                          jnp.take(lp_l, jnp.clip(rel_b, 0, v_loc - 1),
+                                   axis=-1),
+                          0.0), vocab_axis)
+            l_c = jax.lax.psum(
+                jnp.einsum("ntuv,nuv->ntu", lp_l, oh_y,
+                           precision=jax.lax.Precision.HIGHEST),
+                vocab_axis)
+            return b_c, jnp.where(u_ok[:, None, :], l_c, LOG0)
+
+        enc_chunks = jnp.moveaxis(
+            encp_s.reshape(n, n_chunks, tc, je), 1, 0)
+        b_ch, l_ch = jax.lax.map(chunk_planes, enc_chunks)
+        b_pl = jnp.moveaxis(b_ch, 0, 1).reshape(n, t_pad, up)
+        l_pl = jnp.moveaxis(l_ch, 0, 1).reshape(n, t_pad, up)
+        return b_pl, l_pl
+
+    b_pl, l_pl = partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(None, vocab_axis), P(vocab_axis)),
+        out_specs=(P(), P()),
+        check_vma=False,  # psum-assembled planes are replicated by math
+    )(shard_fn)(encp, pred_proj, w_out, b_out)
+    t_ok = (jnp.arange(t_pad)[None] < t_max)[:, :, None]
+    b_pl = jnp.where(t_ok, b_pl, LOG0)
+    l_pl = jnp.where(t_ok, l_pl, LOG0)
+    return rnnt_nll_from_planes(b_pl, l_pl, il, ul)

@@ -222,9 +222,89 @@ def bench_decode(n=16, t=400, v=256, W=4, s_cap=128, blank=0):
           f"{dt / n * 1e3:.1f} ms/seq, {n / dt:.3f} seq/s")
 
 
+def bench_fused(n=8, t=400, u=80, v=4096, j=128, tc=16, iters=1):
+    """Chunked fused-joint loss+grad in torch (the V=32768 bench config's
+    materialized joint is 68 GB, infeasible even for the baseline, so the
+    torch comparator uses the SAME chunked-planes trick: per-chunk logits
+    -> log_softmax -> blank/label planes -> the wavefront DP; autograd
+    through chunks via torch.utils.checkpoint).  Measured at V=4096 (one
+    iter is minutes); the V=32768 baseline constant extrapolates linearly
+    in V (the joint matmul dominates and is linear in V)."""
+    from torch.utils.checkpoint import checkpoint as ckpt
+    torch.set_num_threads(1)
+    rng = np.random.default_rng(0)
+    enc_p = torch.tensor(rng.standard_normal((n, t, j)).astype(np.float32),
+                         requires_grad=True)
+    pred_p = torch.tensor(
+        rng.standard_normal((n, u + 1, j)).astype(np.float32),
+        requires_grad=True)
+    w_out = torch.tensor(
+        (rng.standard_normal((j, v)) / np.sqrt(j)).astype(np.float32),
+        requires_grad=True)
+    tgt = torch.tensor(rng.integers(1, v, (n, u)))
+    il = torch.tensor(np.full(n, t)); ul = torch.tensor(np.full(n, u))
+    y_ext = torch.cat([tgt.long(), torch.zeros(n, 1, dtype=torch.long)], 1)
+
+    def chunk_planes(enc_c, pred_p, w_out):
+        logits = torch.tanh(enc_c[:, :, None, :] + pred_p[:, None]) @ w_out
+        lp = torch.log_softmax(logits, dim=-1)
+        b_c = lp[..., 0]
+        l_c = lp.gather(3, y_ext[:, None, :, None].expand(
+            n, enc_c.shape[1], u + 1, 1)).squeeze(3)
+        return b_c, l_c
+
+    def loss():
+        bs, ls = [], []
+        for c0 in range(0, t, tc):
+            b_c, l_c = ckpt(chunk_planes, enc_p[:, c0:c0 + tc], pred_p,
+                            w_out, use_reentrant=False)
+            bs.append(b_c); ls.append(l_c)
+        b_pl = torch.cat(bs, 1); l_pl = torch.cat(ls, 1)
+        u_ok = torch.arange(u + 1)[None] < ul[:, None]
+        l_pl = torch.where(u_ok[:, None], l_pl, torch.full_like(l_pl, NEG))
+        # wavefront DP over the planes (same recurrence as rnnt_nll_torch);
+        # all lengths are full here, so the terminal node (t-1, u) sits on
+        # the last computed diagonal d_total - 1 = t - 1 + u.
+        d_total = t + u
+        a = torch.full((n, u + 1), NEG); a[:, 0] = 0.0
+        pad = torch.full((n, 1), NEG)
+        for d in range(1, d_total):
+            td = (d - 1) - torch.arange(u + 1)
+            ok = (td >= 0) & (td < t)
+            idx = (td.clamp(0, t - 1) * (u + 1)
+                   + torch.arange(u + 1))[None].expand(n, -1)
+            skb = torch.where(ok[None], b_pl.reshape(n, -1).gather(1, idx),
+                              torch.full((n, u + 1), NEG))
+            skl = torch.where(ok[None], l_pl.reshape(n, -1).gather(1, idx),
+                              torch.full((n, u + 1), NEG))
+            blank_in = a + skb
+            lab_in = (torch.cat([pad, a[:, :-1]], 1)
+                      + torch.cat([pad, skl[:, :-1]], 1))
+            a = torch.logaddexp(blank_in, lab_in)
+        nb = torch.arange(n)
+        return -(a[nb, ul.long()] + b_pl[nb, (il - 1).long(), ul.long()])
+
+    # timing only (correctness of the DP is covered by rnnt_nll_torch)
+    loss().sum().backward()  # warmup + autograd graph exercise
+    times = []
+    for _ in range(iters):
+        enc_p.grad = w_out.grad = None
+        t0 = time.perf_counter()
+        loss().sum().backward()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    cells = n * t * (u + 1)
+    print(f"torch-CPU fused rnnt loss+grad B={n},T={t},U={u},V={v},J={j}: "
+          f"{dt:.1f} s/iter, {cells / dt / 1e6:.4f} M cells/s "
+          f"(extrapolate x{32768 // v} for V=32768: "
+          f"{cells / dt / (32768 / v) / 1e6:.4f} M cells/s)")
+
+
 if __name__ == "__main__":
     if "--decode" in sys.argv:
         bench_decode()
+    elif "--fused" in sys.argv:
+        bench_fused()
     else:
         validate()
         bench()

@@ -143,6 +143,62 @@ class TestPlaneLevelVJP:
                                            (f1 - f0) / (2 * eps), atol=2e-2)
 
 
+class TestVocabParallel:
+    def test_tp_matches_unsharded(self):
+        """Vocab-sharded fused loss == unsharded fused loss (value and
+        grads wrt enc_proj / pred_proj / w_out) on the virtual mesh."""
+        from jax.sharding import Mesh
+
+        from end2end_tpu.parallel.vocab_parallel import (
+            rnnt_nll_fused_vocab_parallel)
+
+        n, t, u, v, j = 2, 9, 4, 16, 5
+        rng = np.random.default_rng(8)
+        enc_p = jnp.asarray(rng.normal(size=(n, t, j)).astype(np.float32))
+        pred_p = jnp.asarray(rng.normal(size=(n, u + 1, j))
+                             .astype(np.float32))
+        w_out = jnp.asarray((rng.normal(size=(j, v)) / np.sqrt(j))
+                            .astype(np.float32))
+        b_out = jnp.asarray(0.1 * rng.normal(size=(v,)).astype(np.float32))
+        tgt = jnp.asarray(rng.integers(1, v, (n, u)).astype(np.int32))
+        il = jnp.asarray(np.array([t, t - 2], np.int32))
+        ul = jnp.asarray(np.array([u, 2], np.int32))
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("model",))
+
+        def l_ref(e, p, w, b):
+            return jnp.sum(rnnt_nll_fused(
+                e, p, fused_additive_joint(w, b), tgt, il, ul, chunk_t=4))
+
+        def l_tp(e, p, w, b):
+            return jnp.sum(rnnt_nll_fused_vocab_parallel(
+                e, p, w, b, tgt, il, ul, mesh, chunk_t=4))
+
+        v_ref, g_ref = jax.value_and_grad(l_ref, argnums=(0, 1, 2))(
+            enc_p, pred_p, w_out, b_out)
+        v_tp, g_tp = jax.value_and_grad(l_tp, argnums=(0, 1, 2))(
+            enc_p, pred_p, w_out, b_out)
+        np.testing.assert_allclose(float(v_tp), float(v_ref), atol=2e-4)
+        for a, b, name in zip(g_ref, g_tp, ("enc_proj", "pred_proj",
+                                            "w_out")):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=0, atol=5e-4,
+                err_msg=f"TP gradient mismatch for {name}")
+
+    def test_tp_rejects_indivisible_vocab(self):
+        from jax.sharding import Mesh
+
+        from end2end_tpu.parallel.vocab_parallel import (
+            rnnt_nll_fused_vocab_parallel)
+
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("model",))
+        with pytest.raises(ValueError, match="divide"):
+            rnnt_nll_fused_vocab_parallel(
+                jnp.zeros((1, 4, 3)), jnp.zeros((1, 3, 3)),
+                jnp.zeros((3, 7)), jnp.zeros((7,)),
+                jnp.zeros((1, 2), jnp.int32), jnp.array([4]),
+                jnp.array([2]), mesh)
+
+
 class TestMemoryScaling:
     def test_large_vocab_runs(self):
         """A shape whose materialized joint would be 1.6 GB (f32) runs
