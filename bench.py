@@ -336,7 +336,7 @@ def bench_rnnt_loss(B, T, U, V, r_long=9):
 
 def bench_rnnt_fused(B, T, U, V, J=128, chunk_t=64, r_long=3):
     """Fused-joint transducer loss+grad at production vocab — the joint
-    tensor (8.5 GB here materialized) is never built (ops/rnnt_loss.py
+    tensor (8.5 G elements ≈ 34 GB f32 materialized) is never built (ops/rnnt_loss.py
     rnnt_nll_fused).  Baseline: the same chunked-planes formulation in
     torch (checkpointed chunks + autograd), scripts/baseline_rnnt_torch.py
     --fused."""

@@ -70,6 +70,63 @@ def log1p32(u):
     return jnp.float32(2.0) * z * p
 
 
+@jax.custom_jvp
+def log32(x):
+    """Accurate float32 log(x) for finite positive normal x (~1 ulp).
+
+    Mantissa/exponent split via exponent-bit surgery, log of the mantissa
+    on [sqrt(1/2), sqrt(2)) by the 2*atanh((m-1)/(m+1)) odd series (|z| <=
+    0.1716 there, so six terms reach ~1e-10 relative), exponent folded back
+    through the split ln2 (e*_C1 exact for |e| < 2^15).  No zero / inf /
+    denormal handling — callers pass sums of exps that include an exact
+    1.0 term, so x >= 1 in practice.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    e = ((xi >> jnp.int32(23)) & jnp.int32(0xFF)) - jnp.int32(127)
+    m = jax.lax.bitcast_convert_type(
+        (xi & jnp.int32(0x007FFFFF)) | jnp.int32(0x3F800000), jnp.float32)
+    big = m > jnp.float32(1.41421356)
+    m = jnp.where(big, m * jnp.float32(0.5), m)
+    e = (e + big.astype(jnp.int32)).astype(jnp.float32)
+    z = (m - jnp.float32(1.0)) / (m + jnp.float32(1.0))
+    z2 = z * z
+    p = jnp.float32(1.0 / 13.0)
+    for k in (11, 9, 7, 5, 3):
+        p = p * z2 + jnp.float32(1.0 / k)
+    p = p * z2 + jnp.float32(1.0)
+    log_m = jnp.float32(2.0) * z * p
+    # small parts first, exact e*_C1 last
+    return (log_m + e * jnp.float32(_C2)) + e * jnp.float32(_C1)
+
+
+@log32.defjvp
+def _log32_jvp(primals, tangents):
+    # the bitcast mantissa/exponent split has no autodiff path; the true
+    # derivative is simply 1/x
+    (x,), (dx,) = primals, tangents
+    return log32(x), dx / x
+
+
+def log_softmax32(x, axis=-1):
+    """~1-ulp f32 log_softmax built on exp32/log32.
+
+    XLA's default f32 exp/log lowerings carry ~1e-4 absolute error on TPU
+    (module docstring); fed through the RNN-T plane prep that error lands
+    directly in the DP planes and the fused posterior gradient — measured
+    at 1.03e-4 max grad deviation at T=300 on the chip (round-3 verdict).
+    This version keeps the planes libm-accurate on every backend.
+    Differentiable: autodiff flows through the polynomials (their
+    derivatives approximate exp/1/x to the same order), and the max shift
+    is stop_gradient'ed as usual (its contributions cancel exactly).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    m = jax.lax.stop_gradient(jnp.max(x, axis=axis, keepdims=True))
+    u = x - m
+    s = jnp.sum(exp32(u), axis=axis, keepdims=True)
+    return u - log32(s)
+
+
 def logaddexp2_acc(a, b):
     """~1-ulp log(e^a + e^b) in the finite log-zero convention."""
     m = jnp.maximum(a, b)

@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fastmath import logaddexp2_acc, round_to_half
+from .fastmath import exp32, log_softmax32, logaddexp2_acc, round_to_half
 from .semiring import LOG0, LOG0_THRESHOLD
 
 
@@ -274,9 +274,9 @@ def _plane_posteriors(res):
         axis=2)
     lg_label = small + sk_l + lab_succ + off[:, :, None]
     i_blank = jnp.where(lg_blank > LOG0_THRESHOLD,
-                        jnp.exp(jnp.minimum(lg_blank, 0.0)), 0.0)
+                        exp32(jnp.minimum(lg_blank, 0.0)), 0.0)
     i_label = jnp.where(lg_label > LOG0_THRESHOLD,
-                        jnp.exp(jnp.minimum(lg_label, 0.0)), 0.0)
+                        exp32(jnp.minimum(lg_label, 0.0)), 0.0)
 
     gb = _unskew(i_blank, t_max)                            # (N, T, Up)
     gl = _unskew(i_label, t_max)
@@ -367,7 +367,10 @@ def rnnt_nll(log_probs_or_logits, targets, input_lengths, target_lengths,
         raise ValueError(
             f"targets U={targets.shape[1]} needs U+1 <= {up} joint rows")
     if from_logits:
-        x = jax.nn.log_softmax(x, axis=-1)
+        # fastmath log_softmax: XLA's exp/log carry ~1e-4 abs error on TPU,
+        # which lands straight in the DP planes and the posterior gradient
+        # (chip-measured 1.03e-4 grad dev at T=300 with jax.nn.log_softmax).
+        x = log_softmax32(x, axis=-1)
     return _rnnt_nll_lp(x, targets,
                         jnp.asarray(input_lengths, jnp.int32),
                         jnp.asarray(target_lengths, jnp.int32),
@@ -479,7 +482,7 @@ def rnnt_nll_fused(enc_proj, pred_proj, joint_fn, targets, input_lengths,
                 lambda f: jax.vmap(lambda gv: joint_fn(f, gv))(g_rows)
             )(f_rows)                                       # (tc, Up, V)
         logits = jax.vmap(one_sample)(enc_c, pred_proj)     # (N, tc, Up, V)
-        lp = jax.nn.log_softmax(logits, axis=-1)
+        lp = log_softmax32(logits, axis=-1)
         b_c = lp[..., blank]
         l_c = jnp.einsum("ntuv,nuv->ntu", lp, onehot_y,
                          precision=jax.lax.Precision.HIGHEST)

@@ -39,7 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.ctc_common import build_ctc_tables
 from ..ops.ctc_loss_xla import ctc_backward_scan, ctc_forward_scan
-from ..ops.fastmath import exp32
+from ..ops.fastmath import exp32, log32
 from ..ops.semiring import LOG0, LOG0_THRESHOLD
 
 
@@ -421,7 +421,8 @@ def rnnt_nll_fused_vocab_parallel(
     parameter; sharding it over `vocab_axis` makes every per-chunk logits
     buffer ``(N, tc, U+1, V/D)`` shard-local.  Each device computes its
     logits slice, the log-softmax denominator is assembled with one
-    pmax + one psum per chunk, and the blank/label planes (each vocab
+    all_gather+max (pmax has no differentiation rule — see the inline
+    comment) + one psum per chunk, and the blank/label planes (each vocab
     entry has exactly one owner) with one psum each — all riding ICI.
     The replicated planes then run the wavefront DP (`rnnt_nll_from_
     planes`, fused plane-space posterior gradient); grads flow to
@@ -483,10 +484,13 @@ def rnnt_nll_fused_vocab_parallel(
             # cut before the collective.
             m_loc = jnp.max(jax.lax.stop_gradient(logits_l), axis=-1)
             m = jnp.max(jax.lax.all_gather(m_loc, vocab_axis), axis=0)
+            # fastmath exp/log (same primitives as the unsharded fused
+            # path's log_softmax32) so sharded == unsharded stays tight
+            # on TPU, where XLA's default exp/log carry ~1e-4 abs error.
             se = jax.lax.psum(
-                jnp.sum(jnp.exp(logits_l - m[..., None]), axis=-1),
+                jnp.sum(exp32(logits_l - m[..., None]), axis=-1),
                 vocab_axis)
-            lse = m + jnp.log(se)
+            lse = m + log32(se)
             lp_l = logits_l - lse[..., None]
             b_c = jax.lax.psum(
                 jnp.where(own_b,

@@ -88,3 +88,43 @@ def test_round_to_half():
     x = np.array([-3.3, -0.26, -0.24, 0.0, 1.74, 2.26], np.float32)
     got = np.asarray(round_to_half(x))
     np.testing.assert_array_equal(got, [-3.5, -0.5, 0.0, 0.0, 1.5, 2.5])
+
+
+def test_log32_accuracy():
+    from end2end_tpu.ops.fastmath import log32
+
+    # dense sweep across many binades, incl. the s >= 1 domain log_softmax
+    # feeds it (sums of exps with an exact 1.0 max term)
+    x = np.concatenate([
+        np.linspace(1.0, 4.0, 200001),
+        np.exp(np.linspace(np.log(1e-20), np.log(1e20), 200001)),
+    ]).astype(np.float32)
+    got = np.asarray(jax.jit(log32)(x)).astype(np.float64)
+    want = np.log(x.astype(np.float64))
+    err = np.abs(got - want)
+    # ~1 ulp of the OUTPUT (ulp(y) ~ 1.2e-7*|y| in f32; absolute near y=0)
+    tol = np.maximum(1.3e-7, 1.3e-7 * np.abs(want))
+    assert (err < tol).all(), err.max()
+    # exact at 1
+    assert float(log32(jnp.float32(1.0))) == 0.0
+
+
+def test_log_softmax32_accuracy_and_grad():
+    from end2end_tpu.ops.fastmath import log_softmax32
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(scale=4.0, size=(64, 512)).astype(np.float32)
+    got = np.asarray(jax.jit(log_softmax32)(x)).astype(np.float64)
+    want = x.astype(np.float64)
+    want = want - np.log(np.exp(want - want.max(-1, keepdims=True))
+                         .sum(-1, keepdims=True)) - want.max(-1, keepdims=True)
+    # ~1 ulp of the output (|out| reaches ~35 at scale 4, ulp(32) = 3.8e-6)
+    assert np.abs(got - want).max() < 5e-6, np.abs(got - want).max()
+
+    # gradient == (cotangent - softmax * sum(cotangent)) to f32 accuracy
+    g = rng.normal(size=x.shape).astype(np.float32)
+    grad = np.asarray(jax.grad(
+        lambda z: jnp.sum(log_softmax32(z) * g))(jnp.asarray(x)))
+    sm = np.exp(want)
+    want_g = g - sm * g.sum(-1, keepdims=True)
+    assert np.abs(grad - want_g).max() < 2e-5, np.abs(grad - want_g).max()

@@ -173,13 +173,13 @@ class TestVocabParallel:
             return jnp.sum(rnnt_nll_fused_vocab_parallel(
                 e, p, w, b, tgt, il, ul, mesh, chunk_t=4))
 
-        v_ref, g_ref = jax.value_and_grad(l_ref, argnums=(0, 1, 2))(
+        v_ref, g_ref = jax.value_and_grad(l_ref, argnums=(0, 1, 2, 3))(
             enc_p, pred_p, w_out, b_out)
-        v_tp, g_tp = jax.value_and_grad(l_tp, argnums=(0, 1, 2))(
+        v_tp, g_tp = jax.value_and_grad(l_tp, argnums=(0, 1, 2, 3))(
             enc_p, pred_p, w_out, b_out)
         np.testing.assert_allclose(float(v_tp), float(v_ref), atol=2e-4)
         for a, b, name in zip(g_ref, g_tp, ("enc_proj", "pred_proj",
-                                            "w_out")):
+                                            "w_out", "b_out")):
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), rtol=0, atol=5e-4,
                 err_msg=f"TP gradient mismatch for {name}")
@@ -190,11 +190,17 @@ class TestVocabParallel:
         from end2end_tpu.parallel.vocab_parallel import (
             rnnt_nll_fused_vocab_parallel)
 
-        mesh = Mesh(np.asarray(jax.devices()[:4]), ("model",))
+        n_dev = len(jax.devices())
+        if n_dev < 2:
+            pytest.skip("needs >= 2 devices for an indivisible vocab "
+                        "(on 1 device every V divides)")
+        d = min(4, n_dev)
+        v = 2 * d + 1                     # never divisible by d >= 2
+        mesh = Mesh(np.asarray(jax.devices()[:d]), ("model",))
         with pytest.raises(ValueError, match="divide"):
             rnnt_nll_fused_vocab_parallel(
                 jnp.zeros((1, 4, 3)), jnp.zeros((1, 3, 3)),
-                jnp.zeros((3, 7)), jnp.zeros((7,)),
+                jnp.zeros((3, v)), jnp.zeros((v,)),
                 jnp.zeros((1, 2), jnp.int32), jnp.array([4]),
                 jnp.array([2]), mesh)
 
