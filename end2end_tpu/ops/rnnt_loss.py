@@ -45,7 +45,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fastmath import exp32, log_softmax32, logaddexp2_acc, round_to_half
+from .fastmath import (exp32, log32, log_softmax32, logaddexp2_acc,
+                       round_to_half)
 from .semiring import LOG0, LOG0_THRESHOLD
 
 
@@ -85,9 +86,25 @@ def _diag_renorm(row):
     return round_to_half(m)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _rnnt_nll_lp(lp, targets, input_lengths, target_lengths, blank, v):
-    nll, _ = _rnnt_forward(lp, targets, input_lengths, target_lengths, blank)
+def _resolve_impl(implementation, n, up):
+    """'auto' -> the Pallas wavefront kernels on TPU when the diagonal row
+    fits VMEM, else the XLA scan (identical numerics on the planes —
+    tests/test_rnnt_pallas.py)."""
+    if implementation == "auto":
+        from .rnnt_loss_pallas import wavefront_pallas_supported
+        if (jax.default_backend() == "tpu"
+                and wavefront_pallas_supported(n, up)):
+            return "pallas"
+        return "xla"
+    if implementation not in ("xla", "pallas"):
+        raise ValueError(f"unknown implementation {implementation!r}")
+    return implementation
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _rnnt_nll_lp(lp, targets, input_lengths, target_lengths, blank, v, impl):
+    nll, _ = _rnnt_forward(lp, targets, input_lengths, target_lengths, blank,
+                           impl)
     return nll
 
 
@@ -144,25 +161,30 @@ def _alpha_scan(sk_b, sk_l, n, up):
     return tape, rcum
 
 
-def _rnnt_forward(lp, targets, input_lengths, target_lengths, blank):
+def _rnnt_forward(lp, targets, input_lengths, target_lengths, blank,
+                  impl="xla"):
     lp = jnp.asarray(lp, jnp.float32)
     n, t_max, up, v = lp.shape
     il = jnp.asarray(input_lengths, jnp.int32)
     ul = jnp.asarray(target_lengths, jnp.int32)
     b_pl, l_pl, y_ext = _planes(lp, targets, ul, blank)
-    nll, core = _planes_forward(b_pl, l_pl, il, ul)
+    nll, core = _planes_forward(b_pl, l_pl, il, ul, impl)
     (il, ul, tape, rcum, sk_b, sk_l, z_small, z_off) = core
     return nll, (y_ext, il, ul, tape, rcum, sk_b, sk_l, z_small, z_off)
 
 
-def _planes_forward(b_pl, l_pl, il, ul):
+def _planes_forward(b_pl, l_pl, il, ul, impl="xla"):
     """Wavefront NLL from the two (N, T, U+1) planes (the DP proper —
     everything after the vocabulary axis has been reduced away)."""
     n, t_max, up = b_pl.shape
     d_total = t_max + up - 1
     sk_b = _skew(b_pl, d_total)
     sk_l = _skew(l_pl, d_total)
-    tape, rcum = _alpha_scan(sk_b, sk_l, n, up)
+    if impl == "pallas":
+        from .rnnt_loss_pallas import alpha_scan_pallas
+        tape, rcum = alpha_scan_pallas(sk_b, sk_l)
+    else:
+        tape, rcum = _alpha_scan(sk_b, sk_l, n, up)
 
     # logZ_n = alpha[T_n-1, U_n] + b_pl[T_n-1, U_n], kept SPLIT as
     # (z_small, z_off): z_off is the exact-half-grid renorm offset, so the
@@ -189,15 +211,15 @@ def _planes_forward(b_pl, l_pl, il, ul):
     return nll, (il, ul, tape, rcum, sk_b, sk_l, z_small, z_off)
 
 
-def _rnnt_fwd(lp, targets, input_lengths, target_lengths, blank, v):
+def _rnnt_fwd(lp, targets, input_lengths, target_lengths, blank, v, impl):
     nll, res = _rnnt_forward(lp, targets, input_lengths, target_lengths,
-                             blank)
+                             blank, impl)
     return nll, res
 
 
-def _rnnt_bwd(blank, v, res, g):
+def _rnnt_bwd(blank, v, impl, res, g):
     y_ext = res[0]
-    gb, gl = _plane_posteriors(res[1:])
+    gb, gl = _plane_posteriors(res[1:], impl)
     # scatter into V: 2 nonzeros per node -> one-hot combine, XLA-fused
     grad = -gl[:, :, :, None] * jax.nn.one_hot(y_ext, v, dtype=jnp.float32)[:, None]
     grad = grad.at[:, :, :, blank].add(-gb)
@@ -205,13 +227,21 @@ def _rnnt_bwd(blank, v, res, g):
     return grad, None, None, None
 
 
-def _plane_posteriors(res):
+def _plane_posteriors(res, impl="xla"):
     """(i_blank, i_label) node posteriors (N, T, U+1) from the forward
     residuals — the shared core of both backward passes (lp-level scatter
     and plane-level fused)."""
     il, ul, a_tape, a_rcum, sk_b, sk_l, z_small, z_off = res
     d_total, n, up = sk_b.shape
     t_max = d_total - up + 1
+
+    if impl == "pallas":
+        # Fused beta + posterior-assembly kernel: beta never touches HBM;
+        # bit-identical to the XLA assembly below on the same residuals.
+        from .rnnt_loss_pallas import posteriors_pallas
+        i_blank, i_label = posteriors_pallas(
+            sk_b, sk_l, a_tape, a_rcum, il, ul, z_small, z_off)
+        return _finish_posteriors(i_blank, i_label, il, t_max)
 
     # ---- beta wavefront (reverse diagonals), same renorm machinery ------
     d_term = il - 1 + ul                                    # (N,)
@@ -277,7 +307,10 @@ def _plane_posteriors(res):
                         exp32(jnp.minimum(lg_blank, 0.0)), 0.0)
     i_label = jnp.where(lg_label > LOG0_THRESHOLD,
                         exp32(jnp.minimum(lg_label, 0.0)), 0.0)
+    return _finish_posteriors(i_blank, i_label, il, t_max)
 
+
+def _finish_posteriors(i_blank, i_label, il, t_max):
     gb = _unskew(i_blank, t_max)                            # (N, T, Up)
     gl = _unskew(i_label, t_max)
     t_ok = (jnp.arange(t_max)[None] < il[:, None])[:, :, None]
@@ -290,15 +323,93 @@ _rnnt_nll_lp.defvjp(_rnnt_fwd, _rnnt_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Logits-level entry (from_logits=True): the log-softmax is FUSED into the
+# custom VJP so the (N, T, U+1, V) log-prob tensor and its gradient are
+# never materialized as separate passes.  Forward reduces the logits to the
+# two DP planes + softmax stats (one Pallas pass on TPU, three XLA passes
+# otherwise); backward is ONE fused elementwise pass:
+#   dL/dlogits[v] = softmax[v] * (i_blank + i_label) - i_scatter[v]
+# (the transducer analog of CTC's exp(lp) - posterior combine, pushed
+# through the log-softmax analytically).  Values of the DP planes are
+# bit-identical to log_softmax32-then-gather; gradients are the same
+# formula autodiff produces, evaluated in one pass.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _rnnt_nll_logits(x, targets, input_lengths, target_lengths, blank, v,
+                     impl):
+    nll, _ = _logits_forward(x, targets, input_lengths, target_lengths,
+                             blank, impl)
+    return nll
+
+
+def _logits_forward(x, targets, il, ul, blank, impl):
+    n, t_max, up, v = x.shape
+    il = jnp.asarray(il, jnp.int32)
+    ul = jnp.asarray(ul, jnp.int32)
+    y_ext = jnp.concatenate(
+        [jnp.asarray(targets, jnp.int32),
+         jnp.zeros((n, up - targets.shape[1]), jnp.int32)], axis=1)
+    if impl == "pallas":
+        from .rnnt_loss_pallas import plane_prep_pallas
+        y_full = jnp.broadcast_to(y_ext[:, None, :], (n, t_max, up))
+        b_pl, l_pl, m, logs = plane_prep_pallas(x, y_full, blank)
+    else:
+        m = jnp.max(x, axis=-1)                             # (N, T, Up)
+        s = jnp.sum(exp32(x - m[..., None]), axis=-1)
+        logs = log32(s)
+        b_pl = (x[..., blank] - m) - logs
+        onehot_y = jax.nn.one_hot(y_ext, v, dtype=jnp.float32)
+        xy = jnp.einsum("ntuv,nuv->ntu", x, onehot_y,
+                        precision=jax.lax.Precision.HIGHEST)
+        l_pl = (xy - m) - logs
+    u_ok = jnp.arange(up)[None] < ul[:, None]               # (N, Up)
+    l_pl = jnp.where(u_ok[:, None, :], l_pl, LOG0)
+    nll, core = _planes_forward(b_pl, l_pl, il, ul, impl)
+    return nll, (y_ext, m, logs, core)
+
+
+def _logits_fwd(x, targets, il, ul, blank, v, impl):
+    nll, res = _logits_forward(x, targets, il, ul, blank, impl)
+    return nll, (x, res)
+
+
+def _logits_bwd(blank, v, impl, saved, g):
+    x, (y_ext, m, logs, core) = saved
+    gb, gl = _plane_posteriors(core, impl)                  # (N, T, Up)
+    occ = gb + gl
+    p = exp32((x - m[..., None]) - logs[..., None])         # softmax, 1 pass
+    viota = jnp.arange(v, dtype=jnp.int32)
+    oh_b = (viota == blank).astype(jnp.float32)             # (V,)
+    oh_y = (viota[None, None, :] == y_ext[:, :, None]).astype(jnp.float32)
+    grad = (p * occ[..., None]
+            - gb[..., None] * oh_b
+            - gl[..., None] * oh_y[:, None])
+    grad = grad * g[:, None, None, None]
+    return grad, None, None, None
+
+
+_rnnt_nll_logits.defvjp(_logits_fwd, _logits_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Plane-level entry: the DP behind jax.custom_vjp with gradients delivered
 # IN PLANE SPACE (N, T, U+1) — the building block of the fused joint path
 # (`rnnt_nll_fused`), where the (V,) axis is reduced away chunk-by-chunk
 # and must never be rematerialized whole.
 # ---------------------------------------------------------------------------
 
-@jax.custom_vjp
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _rnnt_nll_planes(blank_plane, label_plane, input_lengths,
+                     target_lengths, impl):
+    nll, _ = _planes_nll_fwd_core(blank_plane, label_plane, input_lengths,
+                                  target_lengths, impl)
+    return nll
+
+
 def rnnt_nll_from_planes(blank_plane, label_plane, input_lengths,
-                         target_lengths):
+                         target_lengths, implementation: str = "auto"):
     """Transducer NLL (N,) from precomputed log-prob planes.
 
     Args:
@@ -306,16 +417,19 @@ def rnnt_nll_from_planes(blank_plane, label_plane, input_lengths,
       label_plane: (N, T, U+1) log p(y_{u+1} | t, u); rows at u >=
         target_lengths may hold anything (masked to log-0 here).
       input_lengths, target_lengths: (N,) as in `rnnt_nll`.
+      implementation: 'auto' | 'xla' | 'pallas' — wavefront scan backend
+        (bit-identical results; see rnnt_loss_pallas.py).
 
     Differentiable in both planes (custom VJP: fused posterior gradient,
     no backward scan over V).
     """
-    nll, _ = _planes_nll_fwd_core(blank_plane, label_plane, input_lengths,
-                                  target_lengths)
-    return nll
+    n, _, up = jnp.shape(blank_plane)
+    impl = _resolve_impl(implementation, n, up)
+    return _rnnt_nll_planes(blank_plane, label_plane, input_lengths,
+                            target_lengths, impl)
 
 
-def _planes_nll_fwd_core(b_pl, l_pl, il, ul):
+def _planes_nll_fwd_core(b_pl, l_pl, il, ul, impl):
     b_pl = jnp.asarray(b_pl, jnp.float32)
     l_pl = jnp.asarray(l_pl, jnp.float32)
     il = jnp.asarray(il, jnp.int32)
@@ -323,25 +437,26 @@ def _planes_nll_fwd_core(b_pl, l_pl, il, ul):
     up = b_pl.shape[2]
     u_ok = jnp.arange(up)[None] < ul[:, None]               # (N, Up)
     l_pl = jnp.where(u_ok[:, None, :], l_pl, LOG0)
-    return _planes_forward(b_pl, l_pl, il, ul)
+    return _planes_forward(b_pl, l_pl, il, ul, impl)
 
 
-def _planes_nll_fwd(b_pl, l_pl, il, ul):
-    nll, core = _planes_nll_fwd_core(b_pl, l_pl, il, ul)
+def _planes_nll_fwd(b_pl, l_pl, il, ul, impl):
+    nll, core = _planes_nll_fwd_core(b_pl, l_pl, il, ul, impl)
     return nll, core
 
 
-def _planes_nll_bwd(res, g):
-    gb, gl = _plane_posteriors(res)
+def _planes_nll_bwd(impl, res, g):
+    gb, gl = _plane_posteriors(res, impl)
     gg = g[:, None, None]
     return -gb * gg, -gl * gg, None, None
 
 
-rnnt_nll_from_planes.defvjp(_planes_nll_fwd, _planes_nll_bwd)
+_rnnt_nll_planes.defvjp(_planes_nll_fwd, _planes_nll_bwd)
 
 
 def rnnt_nll(log_probs_or_logits, targets, input_lengths, target_lengths,
-             blank: int = 0, from_logits: bool = True):
+             blank: int = 0, from_logits: bool = True,
+             implementation: str = "auto"):
     """Per-sample transducer negative log-likelihood (N,), differentiable.
 
     Args:
@@ -354,6 +469,9 @@ def rnnt_nll(log_probs_or_logits, targets, input_lengths, target_lengths,
       target_lengths: (N,) labels per sample.  May EXCEED input_lengths
         (transducers can emit several labels per frame).
       blank: blank id.
+      implementation: 'auto' | 'xla' | 'pallas'.  'auto' picks the Pallas
+        wavefront kernels on TPU (rnnt_loss_pallas.py) and the lax.scan
+        twin elsewhere; the DP is bit-identical between the two.
     """
     x = jnp.asarray(log_probs_or_logits, jnp.float32)
     if x.ndim != 4:
@@ -366,20 +484,22 @@ def rnnt_nll(log_probs_or_logits, targets, input_lengths, target_lengths,
     if targets.shape[1] + 1 > up:
         raise ValueError(
             f"targets U={targets.shape[1]} needs U+1 <= {up} joint rows")
+    impl = _resolve_impl(implementation, n, up)
+    il = jnp.asarray(input_lengths, jnp.int32)
+    ul = jnp.asarray(target_lengths, jnp.int32)
     if from_logits:
-        # fastmath log_softmax: XLA's exp/log carry ~1e-4 abs error on TPU,
-        # which lands straight in the DP planes and the posterior gradient
-        # (chip-measured 1.03e-4 grad dev at T=300 with jax.nn.log_softmax).
-        x = log_softmax32(x, axis=-1)
-    return _rnnt_nll_lp(x, targets,
-                        jnp.asarray(input_lengths, jnp.int32),
-                        jnp.asarray(target_lengths, jnp.int32),
-                        int(blank), int(v))
+        # Fused logits-level VJP: the log-softmax (fastmath exp32/log32 —
+        # XLA's exp/log carry ~1e-4 abs error on TPU, chip-measured
+        # 1.03e-4 grad dev at T=300 with jax.nn.log_softmax) is folded
+        # into the forward reduction and the one-pass posterior gradient.
+        return _rnnt_nll_logits(x, targets, il, ul, int(blank), int(v),
+                                impl)
+    return _rnnt_nll_lp(x, targets, il, ul, int(blank), int(v), impl)
 
 
 def rnnt_loss(log_probs_or_logits, targets, input_lengths, target_lengths,
               blank: int = 0, reduction: str = "mean",
-              from_logits: bool = True):
+              from_logits: bool = True, implementation: str = "auto"):
     """Transducer loss with reduction.
 
     ``reduction='mean'`` is the plain batch mean (the transducer
@@ -387,7 +507,8 @@ def rnnt_loss(log_probs_or_logits, targets, input_lengths, target_lengths,
     normalization); ``'sum'`` / ``'none'`` as usual.
     """
     nll = rnnt_nll(log_probs_or_logits, targets, input_lengths,
-                   target_lengths, blank=blank, from_logits=from_logits)
+                   target_lengths, blank=blank, from_logits=from_logits,
+                   implementation=implementation)
     if reduction == "none":
         return nll
     if reduction == "sum":
@@ -402,21 +523,46 @@ def rnnt_loss(log_probs_or_logits, targets, input_lengths, target_lengths,
 # joint tensor.
 # ---------------------------------------------------------------------------
 
-def fused_additive_joint(w_out, b_out, activation=jnp.tanh):
+def fused_additive_joint(w_out, b_out, activation=jnp.tanh,
+                         matmul_dtype=None):
     """The standard additive joint for `rnnt_nll_fused`:
     ``logits = W_out · act(f + g) + b_out`` over PRE-PROJECTED encoder/
     predictor vectors f, g (project once outside: `enc @ W_enc`,
-    `pred @ W_pred` — (N,T,J)/(N,U+1,J) tensors, V-free)."""
+    `pred @ W_pred` — (N,T,J)/(N,U+1,J) tensors, V-free).
+
+    ``matmul_dtype='bfloat16'`` stores the activation and W_out in bf16
+    for the (J, V) output projection with f32 MXU accumulation — the
+    TPU-native storage/accumulate split for the FLOPs-dominant matmul of
+    fused transducer training (one full-rate MXU pass instead of the
+    f32 multi-pass).  Numerics delta vs the f32 path: logits move by
+    O(1e-2) absolute (bf16 has ~8 mantissa bits), which perturbs the
+    NLL by ~1e-2 relative and the gradients by a few percent pointwise
+    while keeping them descent-aligned — quantified in
+    tests/test_rnnt_fused.py::TestBF16Joint.  Training-quality, not
+    parity-grade: the default (None) keeps full f32 and the fused ==
+    materialized <=3e-4 contract."""
     w_out = jnp.asarray(w_out, jnp.float32)
     b_out = jnp.asarray(b_out, jnp.float32)
+    if matmul_dtype is None:
+        def joint_fn(f_vec, g_vec):
+            return activation(f_vec + g_vec) @ w_out + b_out
+        return joint_fn
+
+    md = jnp.dtype(matmul_dtype)
+    w_c = w_out.astype(md)
 
     def joint_fn(f_vec, g_vec):
-        return activation(f_vec + g_vec) @ w_out + b_out
+        h = activation(f_vec + g_vec).astype(md)
+        out = jax.lax.dot_general(
+            h, w_c, dimension_numbers=(((h.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return out + b_out
     return joint_fn
 
 
 def rnnt_nll_fused(enc_proj, pred_proj, joint_fn, targets, input_lengths,
-                   target_lengths, *, blank: int = 0, chunk_t: int = 64):
+                   target_lengths, *, blank: int = 0, chunk_t: int = 64,
+                   implementation: str = "auto"):
     """Per-sample transducer NLL computed WITHOUT ever materializing the
     (N, T, U+1, V) joint logits — the tensor that makes naive transducer
     training memory-infeasible (B=16, T=400, U=80, V=32k is a 68 GB
@@ -496,17 +642,18 @@ def rnnt_nll_fused(enc_proj, pred_proj, joint_fn, targets, input_lengths,
     t_ok = (jnp.arange(t_pad)[None] < t_max)[:, :, None]    # mask pad frames
     b_pl = jnp.where(t_ok, b_pl, LOG0)
     l_pl = jnp.where(t_ok, l_pl, LOG0)
-    return rnnt_nll_from_planes(b_pl, l_pl, il, ul)
+    return rnnt_nll_from_planes(b_pl, l_pl, il, ul,
+                                implementation=implementation)
 
 
 def rnnt_loss_fused(enc_proj, pred_proj, joint_fn, targets, input_lengths,
                     target_lengths, *, blank: int = 0, chunk_t: int = 64,
-                    reduction: str = "mean"):
+                    reduction: str = "mean", implementation: str = "auto"):
     """`rnnt_loss` over the fused (never-materialized) joint — see
     `rnnt_nll_fused`.  Reductions as in `rnnt_loss`."""
     nll = rnnt_nll_fused(enc_proj, pred_proj, joint_fn, targets,
                          input_lengths, target_lengths, blank=blank,
-                         chunk_t=chunk_t)
+                         chunk_t=chunk_t, implementation=implementation)
     if reduction == "none":
         return nll
     if reduction == "sum":

@@ -225,3 +225,47 @@ class TestMemoryScaling:
                              tgt, il, ul, chunk_t=16)
         assert np.all(np.isfinite(np.asarray(nll)))
         assert np.all(np.asarray(nll) > 0)
+
+
+class TestBF16Joint:
+    """matmul_dtype='bfloat16' — the training-quality MXU fast path.
+
+    Quantifies the documented delta vs the f32 joint: the NLL moves by
+    O(1e-2) relative and the gradients stay descent-aligned (cosine
+    similarity vs the f32 gradients > 0.99 on every parameter)."""
+
+    def test_value_and_grad_alignment(self):
+        enc_p, pred_p, w_out, b_out, tgt, il, ul = _setup(3)
+
+        def total(md, e, p, w, b):
+            joint = fused_additive_joint(w, b, matmul_dtype=md)
+            return jnp.sum(rnnt_nll_fused(e, p, joint, tgt, il, ul,
+                                          chunk_t=4))
+
+        args = (enc_p, pred_p, w_out, b_out)
+        l32, g32 = jax.value_and_grad(
+            lambda *a: total(None, *a), argnums=(0, 1, 2, 3))(*args)
+        l16, g16 = jax.value_and_grad(
+            lambda *a: total("bfloat16", *a), argnums=(0, 1, 2, 3))(*args)
+        np.testing.assert_allclose(float(l16), float(l32), rtol=3e-2)
+        for a, b, name in zip(g32, g16,
+                              ("enc_proj", "pred_proj", "w_out", "b_out")):
+            a = np.asarray(a).ravel(); b = np.asarray(b).ravel()
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)
+                                 + 1e-30))
+            assert cos > 0.99, f"{name} grad misaligned: cos={cos}"
+
+    def test_training_descends_bf16(self):
+        enc_p, pred_p, w_out, b_out, tgt, il, ul = _setup(4)
+
+        def loss(w):
+            joint = fused_additive_joint(w, b_out, matmul_dtype="bfloat16")
+            return jnp.mean(rnnt_nll_fused(enc_p, pred_p, joint, tgt, il,
+                                           ul, chunk_t=4))
+
+        w = w_out
+        l0 = float(loss(w))
+        step = jax.jit(lambda w: w - 0.05 * jax.grad(loss)(w))
+        for _ in range(12):
+            w = step(w)
+        assert float(loss(w)) < l0 - 0.1
