@@ -162,3 +162,87 @@ def transcribe_long_form_streaming(
     if beam_width == 0:
         return toks[0], int(lens[0]), float(scores[0])
     return toks[0, 0], int(lens[0, 0]), float(scores[0, 0])
+
+
+def transcribe_long_form_rnnt(
+    model,
+    params,
+    feats,
+    chunk_frames: int = 400,
+    overlap_frames: int = 32,
+    beam_width: int = 0,
+    max_symbols: int = 512,
+    partial_cb=None,
+    lm=None,
+    lm_alpha: float = 0.0,
+    lm_beta: float = 0.0,
+    prune_k=None,
+):
+    """Bounded-latency long-form TRANSDUCER transcription.
+
+    The RNN-T analog of `transcribe_long_form_streaming`: split the
+    feature sequence (T_f, F) into overlapping fixed-size chunks (one
+    static encoder shape), encode each chunk as it "arrives", trim half
+    the overlap in encoder frames, and ADVANCE the streaming transducer
+    decoder (ops/streaming_decode.StreamingRNNT*Decoder) — latency is one
+    chunk.  Result == the one-shot greedy/ALSD decode over the stitched
+    trimmed encoder sequence (the streaming decoders are exact vs
+    one-shot; tested in tests/test_rnnt_streaming.py).
+
+    `partial_cb(tokens, length, chunk_index)` gets live partial
+    hypotheses after each chunk (the pure mid-stream `finish()`).
+    Returns (tokens, length, score) of the best hypothesis.
+    """
+    from ..ops.streaming_decode import (
+        StreamingRNNTBeamDecoder,
+        StreamingRNNTGreedyDecoder,
+    )
+
+    feats = np.asarray(feats, np.float32)
+    if feats.ndim != 2:
+        raise ValueError(f"feats must be (T_f, F), got {feats.shape}")
+    hop = chunk_frames - overlap_frames
+    if hop <= 0:
+        raise ValueError("overlap must be smaller than the chunk")
+    t_f = feats.shape[0]
+    n = max(1, int(np.ceil(max(t_f - overlap_frames, 1) / hop)))
+    sub = getattr(model.config, "subsample", False)
+    ov_out = (int(np.asarray(ConvSubsampling.out_length(overlap_frames)))
+              if sub else overlap_frames)
+    lo_trim = ov_out // 2
+    hi_trim = ov_out - lo_trim
+
+    pred, init_h, joint = model.decoder_fns(params)
+    if beam_width == 0:
+        dec = StreamingRNNTGreedyDecoder(pred, init_h, joint,
+                                         max_symbols=max_symbols)
+        state = dec.init(1)
+    else:
+        dec = StreamingRNNTBeamDecoder(
+            pred, init_h, joint, beam_width=beam_width, prune_k=prune_k,
+            max_symbols=max_symbols, lm=lm, lm_alpha=lm_alpha,
+            lm_beta=lm_beta)
+        state = dec.init(1, model.config.enc_dim)
+
+    for i in range(n):
+        lo_f = i * hop
+        piece = feats[lo_f:lo_f + chunk_frames]
+        valid = piece.shape[0]
+        if valid < chunk_frames:
+            piece = np.pad(piece, ((0, chunk_frames - valid), (0, 0)))
+        enc, out_len = model.encode(params, piece[None],
+                                    np.array([valid], np.int32))
+        lo = lo_trim if i > 0 else 0
+        hi = max(int(out_len[0]) - (hi_trim if i < n - 1 else 0), lo)
+        if hi > lo:
+            state = dec.step(state, enc[:, lo:hi],
+                             np.array([hi - lo], np.int32))
+        if partial_cb is not None:
+            toks, lens, _ = dec.finish(state)
+            best = toks[0, 0] if beam_width else toks[0]
+            blen = int(lens[0, 0]) if beam_width else int(lens[0])
+            partial_cb(np.asarray(best)[:blen], blen, i)
+    toks, lens, scores = dec.finish(state)
+    if beam_width == 0:
+        return toks[0], int(lens[0]), float(scores[0])
+    return toks[0, 0], int(lens[0, 0]), float(scores[0, 0])

@@ -131,23 +131,30 @@ class ConformerTransducer:
                          blank=0, reduction=reduction, from_logits=True)
 
     # -- inference ---------------------------------------------------------
+    def decoder_fns(self, params):
+        """(predictor_step, init_hidden, joint_fn) protocol triple for the
+        ops/rnnt_decode.py scans and the streaming decoders."""
+        c = self.config
+        j = params["joint"]
+        return (partial(gru_step, params["pred"]),
+                jnp.zeros((c.pred_hidden,), jnp.float32),
+                additive_joint(j["w_enc"], j["w_pred"], j["b"],
+                               j["w_out"], j["b_out"]))
+
     def decode(self, params, feats, lengths, beam_width: int = 0,
                prune_k: int | None = None, max_symbols: int | None = None,
-               return_timestamps: bool = False):
-        """Greedy when beam_width == 0, else ALSD beam search.
+               return_timestamps: bool = False, lm=None,
+               lm_alpha: float = 0.0, lm_beta: float = 0.0):
+        """Greedy when beam_width == 0, else ALSD beam search (optionally
+        LM-fused — any ops/lm.py protocol LM or NeuralLM).
 
         Greedy returns (tokens (N, S), lengths, scores); beam returns the
         full sorted beam (tokens (N, W, S), lengths, scores).  Timestamps
         (emission frames in ENCODER frames — multiply by the subsampling
         factor for feature frames) appended when requested.
         """
-        c = self.config
         enc, enc_len = self.encode(params, feats, lengths)
-        pred = partial(gru_step, params["pred"])
-        j = params["joint"]
-        joint = additive_joint(j["w_enc"], j["w_pred"], j["b"],
-                               j["w_out"], j["b_out"])
-        init_h = jnp.zeros((c.pred_hidden,), jnp.float32)
+        pred, init_h, joint = self.decoder_fns(params)
         if beam_width == 0:
             return rnnt_greedy_decode(
                 enc, enc_len, pred, init_h, joint, blank=0,
@@ -156,4 +163,5 @@ class ConformerTransducer:
         return rnnt_beam_decode(
             enc, enc_len, pred, init_h, joint, blank=0,
             beam_width=beam_width, prune_k=prune_k,
-            max_symbols=max_symbols, return_timestamps=return_timestamps)
+            max_symbols=max_symbols, return_timestamps=return_timestamps,
+            lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta)

@@ -192,15 +192,22 @@ def mwer_loss_from_nbest(
     )(hyp_tokens, hyp_lengths)          # (N, W)
     score = -nll
 
-    valid = jnp.isfinite(score)
-    if hyp_valid is not None:
-        valid = valid & jnp.asarray(hyp_valid, bool)
-    any_valid = jnp.any(valid, axis=1)
-
     errors = jax.lax.stop_gradient(
         _nbest_errors(hyp_tokens, hyp_lengths, ref_tokens, ref_lengths,
                       err, space_id)
     ).astype(log_probs.dtype)           # (N, W)
+    return _combine_mwer(score, errors, hyp_valid, scale, reduction,
+                         return_aux)
+
+
+def _combine_mwer(score, errors, hyp_valid, scale, reduction, return_aux):
+    """Posterior-weighted regret over (N, W) hypothesis scores — the
+    loss-family-agnostic half of MWER, shared by the CTC and transducer
+    entries (the score is the only differentiable input)."""
+    valid = jnp.isfinite(score)
+    if hyp_valid is not None:
+        valid = valid & jnp.asarray(hyp_valid, bool)
+    any_valid = jnp.any(valid, axis=1)
 
     neg_inf = jnp.asarray(-jnp.inf, score.dtype)
     logits = jnp.where(valid, scale * score, neg_inf)
@@ -301,3 +308,103 @@ def mwer_loss(
         score_implementation=score_implementation,
         return_aux=return_aux,
     )
+
+
+def rnnt_mwer_loss(
+    encoder_out,
+    input_lengths,
+    targets,
+    target_lengths,
+    predictor_step,
+    init_hidden,
+    joint_fn,
+    beam_width: int = 4,
+    blank: int = 0,
+    prune_k: int | None = None,
+    max_symbols: int | None = None,
+    lm=None,
+    lm_alpha: float = 0.0,
+    lm_beta: float = 0.0,
+    err: str = "token",
+    space_id: int | None = None,
+    scale: float = 1.0,
+    reduction: str = "mean",
+    score_implementation: str = "auto",
+    return_aux: bool = False,
+):
+    """MWER / MBR sequence-discriminative loss for the TRANSDUCER — the
+    `mwer_loss` twin with ALSD N-best and exact `rnnt_nll` hypothesis
+    scoring (Prabhavalkar et al. 2018 applied to RNN-T).
+
+    The N-best list comes from `rnnt_beam_decode` under stop_gradient
+    (the list is a constant of the gradient; LM fusion allowed — it only
+    shapes the list).  Each hypothesis is then scored by its EXACT
+    sequence log-probability: the predictor is unrolled over the
+    hypothesis tokens, the joint lattice (N, T, S+1, V) is built for ONE
+    hypothesis at a time (`lax.map` over the beam axis — peak memory is
+    one lattice, not W), and `rnnt_nll` differentiates through
+    `encoder_out` and any predictor/joint parameters captured in the
+    closures (build them from traced params inside your loss function,
+    the standard pattern).  Posterior-weighted regret as in `mwer_loss`.
+
+    Args mirror `rnnt_beam_decode` + the `mwer_loss` knobs.  Returns loss
+    (scalar or (N,)), or (loss, aux) with return_aux.
+    """
+    from .rnnt_decode import rnnt_beam_decode
+    from .rnnt_loss import rnnt_nll
+
+    if reduction not in ("none", "mean", "sum"):
+        raise ValueError(f"invalid reduction {reduction!r}")
+    enc = jnp.asarray(encoder_out, jnp.float32)
+    il = jnp.asarray(input_lengths, jnp.int32)
+    ref_tokens = jnp.asarray(targets, jnp.int32)
+    ref_lengths = jnp.asarray(target_lengths, jnp.int32)
+    n = enc.shape[0]
+
+    hyp_tokens, hyp_lengths, dec_scores = rnnt_beam_decode(
+        jax.lax.stop_gradient(enc), il, predictor_step, init_hidden,
+        joint_fn, beam_width=beam_width, prune_k=prune_k, blank=blank,
+        max_symbols=max_symbols, lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta)
+    hyp_valid = jnp.isfinite(dec_scores) & (dec_scores > -1e29)
+    s_cap = hyp_tokens.shape[-1]
+
+    step_b = jax.vmap(predictor_step)
+    h0 = jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
+                                   (n,) + jnp.asarray(x).shape),
+        init_hidden)
+
+    def hyp_nll(tok_len):
+        tokens, lengths = tok_len                  # (N, S), (N,)
+        toks = jnp.maximum(tokens, 0)
+
+        def step(h, tok_col):
+            h2 = step_b(h, tok_col)
+            return h2, h2
+
+        _, hs = jax.lax.scan(step, h0, toks.T)     # (S, N, ...)
+        states = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0),
+            h0, hs)                                # (S+1, N, ...)
+
+        def one_sample(enc_n, hs_n):
+            return jax.vmap(
+                lambda f: jax.vmap(lambda h: joint_fn(f, h))(hs_n)
+            )(enc_n)                               # (T, S+1, V)
+
+        states_n = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), states)
+        logits = jax.vmap(one_sample)(enc, states_n)   # (N, T, S+1, V)
+        return rnnt_nll(logits, toks, il, lengths, blank=blank,
+                        implementation=score_implementation)
+
+    # one hypothesis lattice at a time (W-fold peak memory would defeat
+    # the point of scoring exactly)
+    nll = jax.lax.map(hyp_nll, (jnp.moveaxis(hyp_tokens, 1, 0),
+                                jnp.moveaxis(hyp_lengths, 1, 0)))
+    score = -jnp.moveaxis(nll, 0, 1)               # (N, W)
+
+    errors = jax.lax.stop_gradient(
+        _nbest_errors(hyp_tokens, hyp_lengths, ref_tokens, ref_lengths,
+                      err, space_id)).astype(jnp.float32)
+    return _combine_mwer(score, errors, hyp_valid, scale, reduction,
+                         return_aux)

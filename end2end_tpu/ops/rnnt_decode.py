@@ -39,8 +39,17 @@ from .indexing import flat_take
 
 @partial(jax.jit, static_argnames=("pred_step", "joint_fn", "blank",
                                    "s_cap", "max_per_frame", "n_steps"))
-def _rnnt_greedy_jit(enc, il, hidden0, pred_step, joint_fn, blank, s_cap,
-                     max_per_frame, n_steps):
+def _rnnt_greedy_scan(enc, il, avail, t_off, carry0, pred_step, joint_fn,
+                      blank, s_cap, max_per_frame, n_steps):
+    """The greedy scan over ONE encoder chunk, resumable.
+
+    `carry0` holds per-sample (t, u, syms, hidden, tokens, times, score)
+    with GLOBAL frame cursors t; `enc` is this chunk's frames (global
+    frames [t_off, t_off + Tc)), `avail` (N,) the global frame count
+    available so far.  A sample whose cursor reaches the chunk edge
+    simply freezes (nothing advances), so stepping chunks reproduces the
+    one-shot decode exactly — the one-shot call IS this function with
+    avail = il and t_off = 0."""
     n, t_max, h_enc = enc.shape
     enc_flat = enc.reshape(n * t_max, h_enc)
     row0 = jnp.arange(n, dtype=jnp.int32) * t_max
@@ -51,10 +60,11 @@ def _rnnt_greedy_jit(enc, il, hidden0, pred_step, joint_fn, blank, s_cap,
 
     def body(carry, _):
         t, u, syms, hidden, tokens, times, score = carry
-        f_t = enc_flat[row0 + jnp.minimum(t, t_max - 1)]    # (N, H)
+        t_loc = jnp.clip(t - t_off, 0, t_max - 1)
+        f_t = enc_flat[row0 + t_loc]                        # (N, H)
         lp = jax.nn.log_softmax(joint_b(f_t, hidden), axis=-1)
         k = jnp.argmax(lp, axis=-1).astype(jnp.int32)       # (N,)
-        active = t < il
+        active = (t < il) & (t < avail)
         forced = (syms >= max_per_frame) | (u >= s_cap)
         is_blank = (k == blank) | forced | ~active
         emit = active & ~is_blank
@@ -75,17 +85,19 @@ def _rnnt_greedy_jit(enc, il, hidden0, pred_step, joint_fn, blank, s_cap,
                                   jnp.where(is_blank, lp_blank, lp_k), 0.0)
         t = t + is_blank.astype(jnp.int32) * active.astype(jnp.int32)
         u = u + emit.astype(jnp.int32)
-        syms = jnp.where(is_blank, 0, syms + 1)
+        syms = jnp.where(is_blank, 0, jnp.where(emit, syms + 1, syms))
         return (t, u, syms, hidden, tokens, times, score), None
 
+    carry, _ = jax.lax.scan(body, carry0, None, length=n_steps)
+    return carry
+
+
+def _greedy_carry0(n, s_cap, hidden0):
     zi = jnp.zeros((n,), jnp.int32)
-    tokens0 = jnp.full((n, s_cap), -1, jnp.int32)
-    times0 = jnp.full((n, s_cap), -1, jnp.int32)
-    carry0 = (zi, zi, zi, hidden0, tokens0, times0,
-              jnp.zeros((n,), jnp.float32))
-    (t, u, _, _, tokens, times, score), _ = jax.lax.scan(
-        body, carry0, None, length=n_steps)
-    return tokens, u, score, times
+    return (zi, zi, zi, hidden0,
+            jnp.full((n, s_cap), -1, jnp.int32),
+            jnp.full((n, s_cap), -1, jnp.int32),
+            jnp.zeros((n,), jnp.float32))
 
 
 def rnnt_greedy_decode(encoder_out, input_lengths, predictor_step,
@@ -129,9 +141,12 @@ def rnnt_greedy_decode(encoder_out, input_lengths, predictor_step,
                                    (n,) + jnp.asarray(x).shape),
         init_hidden)
     n_steps = t_max + s_cap
-    out = _rnnt_greedy_jit(enc, il, hidden0, predictor_step, joint_fn,
-                           int(blank), s_cap, int(max_symbols_per_frame),
-                           n_steps)
+    carry = _rnnt_greedy_scan(
+        enc, il, il, jnp.zeros_like(il), _greedy_carry0(n, s_cap, hidden0),
+        predictor_step, joint_fn, int(blank), s_cap,
+        int(max_symbols_per_frame), n_steps)
+    _, u, _, _, tokens, times, score = carry
+    out = (tokens, u, score, times)
     return out if return_timestamps else out[:3]
 
 
@@ -155,11 +170,42 @@ def _masked_logsumexp(x, mask, axis):
     return jnp.where(m > LOG0_THRESHOLD, out, LOG0)
 
 
+def _lm_score_nw(lm, state, ck):
+    """Score per-beam candidate ids through the ShallowFusionLM protocol.
+
+    The protocol's `score(state, ck)` takes ONE sample's (W, ...) state and
+    a SHARED (K,) candidate id vector (the CTC frame-global prune).  ALSD
+    proposes per-beam ids (N, W, K), so each beam is scored as its own
+    width-1 protocol call (leaves sliced to (1, ...)), vmapped over beams
+    and samples — every lm.py / NeuralLM implementation works unchanged,
+    and the deferred-advance batching inside the LMs still sees a full
+    (W,)-batched select.
+    """
+    def per_sample(st, ckn):
+        st1 = jax.tree.map(lambda l: l[:, None], st)
+        lp, ext = jax.vmap(lm.score)(st1, ckn)
+        return lp[:, 0], jax.tree.map(lambda l: l[:, 0], ext)
+    return jax.vmap(per_sample)(state, ck)
+
+
 @partial(jax.jit, static_argnames=("pred_step", "joint_fn", "blank", "W",
-                                   "K", "s_cap", "n_steps"))
-def _rnnt_beam_jit(enc, il, hidden0, pred_step, joint_fn, blank, W, K,
-                   s_cap, n_steps):
-    """Batched ALSD transducer beam search (see rnnt_beam_decode)."""
+                                   "K", "s_cap", "n_steps", "lm",
+                                   "lm_alpha", "lm_beta"))
+def _rnnt_beam_scan(enc, il, avail, t_off, carry0, pred_step, joint_fn,
+                    blank, W, K, s_cap, n_steps, lm=None, lm_alpha=0.0,
+                    lm_beta=0.0):
+    """Batched ALSD transducer beam search over ONE encoder chunk,
+    resumable (see rnnt_beam_decode / StreamingRNNTBeamDecoder).
+
+    Streaming semantics: ALSD keeps every live hypothesis of a sample at
+    the same alignment length d = t + u, but different beams sit at
+    different t — so the freeze at a chunk edge is WHOLE-SAMPLE: the
+    moment any live beam's cursor needs a frame >= `avail`, that sample
+    holds its entire carry until the next chunk supplies the frame.
+    Pausing all beams together keeps the step counter d aligned, so the
+    resumed trajectory — and therefore the exact prefix-merge invariant —
+    is identical to the one-shot scan (which IS this function with
+    avail = il, t_off = 0; frames are indexed at t - t_off)."""
     from .semiring import LOG0, LOG0_THRESHOLD
 
     n, t_max, h_enc = enc.shape
@@ -177,12 +223,15 @@ def _rnnt_beam_jit(enc, il, hidden0, pred_step, joint_fn, blank, W, K,
     joint_b = jax.vmap(jax.vmap(joint_fn))
 
     def body(carry, _):
-        t, u, score, h1, h2, tokens, times, hidden = carry
+        t, u, score, h1, h2, tokens, times, hidden, lm_state = carry
         alive = score > LOG0_THRESHOLD                       # (N, W)
         finished = (t >= il[:, None]) & alive
         live = alive & ~finished
+        # chunk-edge freeze (one-shot: avail == il, never triggers)
+        frozen = jnp.any(live & (t >= avail[:, None]), axis=1)  # (N,)
 
-        f = enc_flat[(row0 + jnp.minimum(t, t_max - 1)).reshape(-1)]
+        t_loc = jnp.clip(t - t_off[:, None], 0, t_max - 1)
+        f = enc_flat[(row0 + t_loc).reshape(-1)]
         f = f.reshape(n, W, h_enc)
         lp = jax.nn.log_softmax(joint_b(f, hidden), axis=-1)  # (N, W, V)
 
@@ -193,6 +242,15 @@ def _rnnt_beam_jit(enc, il, hidden0, pred_step, joint_fn, blank, W, K,
         lpnb = lp.at[..., blank].set(LOG0)
         lpk, ck = jax.lax.top_k(lpnb, K)                     # (N, W, K)
         can_emit = live & (u < s_cap)
+        # Shallow fusion: each token extension pays its LM delta UP FRONT
+        # (steers pruning); hash-equal candidates share a prefix, hence an
+        # identical cumulative LM total, so the exact logaddexp merge below
+        # is untouched by the bonus.  Blank/hold candidates carry no delta.
+        if lm is not None:
+            lm_lp, lm_ext = _lm_score_nw(lm, lm_state, ck)   # (N, W, K)
+            lpk = lpk + lm_alpha * lm_lp + lm_beta
+        else:
+            lm_ext = None
         sc_k = jnp.where(can_emit[:, :, None], score[:, :, None] + lpk, LOG0)
 
         cand_sc = jnp.concatenate([sc_b[:, :, None], sc_k], axis=2)
@@ -255,13 +313,36 @@ def _rnnt_beam_jit(enc, il, hidden0, pred_step, joint_fn, blank, W, K,
                 emit.reshape((n, W) + (1,) * (a.ndim - 2)), a, b),
             hid_adv, phid)
 
+        if lm is not None:
+            # LM-state re-homing mirrors the predictor: representative
+            # candidate of a merged set has the merged prefix's state.
+            kk = jnp.maximum(sel % (K + 1) - 1, 0).astype(jnp.int32)
+            new_lm_state = jax.vmap(lm.select)(lm_state, lm_ext, parent,
+                                               kk, ~emit)
+        else:
+            new_lm_state = lm_state
+
         nh1 = jnp.where(new_alive, nh1, _DEAD + arange_w[None])
         nh2 = jnp.where(new_alive, nh2, _DEAD + arange_w[None])
         new_u = jnp.where(new_alive, new_u, 0)
         new_t = jnp.where(new_alive, new_t, 0)
-        return (new_t, new_u, new_score, nh1, nh2, new_tokens, new_times,
-                new_hidden), None
+        new_carry = (new_t, new_u, new_score, nh1, nh2, new_tokens,
+                     new_times, new_hidden, new_lm_state)
+        # frozen samples hold their ENTIRE carry (the step never happened)
+        hold = jax.tree.map(
+            lambda a, b: jnp.where(
+                frozen.reshape((n,) + (1,) * (a.ndim - 1)), b, a),
+            new_carry, carry)
+        return hold, None
 
+    carry, _ = jax.lax.scan(body, carry0, None, length=n_steps)
+    return carry
+
+
+def _beam_carry0(n, W, s_cap, hidden0, lm):
+    from .semiring import LOG0
+
+    arange_w = jnp.arange(W, dtype=jnp.uint32)
     zi = jnp.zeros((n, W), jnp.int32)
     score0 = jnp.where(jnp.arange(W)[None] == 0, 0.0, LOG0)
     score0 = jnp.broadcast_to(score0, (n, W)).astype(jnp.float32)
@@ -273,9 +354,31 @@ def _rnnt_beam_jit(enc, il, hidden0, pred_step, joint_fn, blank, W, K,
         (n, W))
     tokens0 = jnp.full((n, W, s_cap), -1, jnp.int32)
     times0 = jnp.full((n, W, s_cap), -1, jnp.int32)
-    carry0 = (zi, zi, score0, h1_0, h2_0, tokens0, times0, hidden0)
-    (t, u, score, _, _, tokens, times, _), _ = jax.lax.scan(
-        body, carry0, None, length=n_steps)
+    if lm is not None:
+        st0 = lm.init_state(W)
+        lm_state0 = jax.tree.map(
+            lambda l: jnp.broadcast_to(l[None], (n,) + l.shape), st0)
+    else:
+        lm_state0 = jnp.zeros((n, W), jnp.int32)
+    return (zi, zi, score0, h1_0, h2_0, tokens0, times0, hidden0,
+            lm_state0)
+
+
+@partial(jax.jit, static_argnames=("W", "lm", "lm_alpha"))
+def _rnnt_beam_finish(carry, W, lm=None, lm_alpha=0.0):
+    """Rank a beam carry (pure — mid-stream partials are fine): applies
+    the end-of-sequence LM bonus and re-sorts."""
+    from .semiring import LOG0_THRESHOLD
+
+    t, u, score, h1, h2, tokens, times, hidden, lm_state = carry
+    if lm is not None:
+        score = jnp.where(score > LOG0_THRESHOLD,
+                          score + lm_alpha * jax.vmap(lm.final)(lm_state),
+                          score)
+        score, order = jax.lax.top_k(score, W)
+        tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
+        times = jnp.take_along_axis(times, order[:, :, None], axis=1)
+        u = jnp.take_along_axis(u, order, axis=1)
     return tokens, u, score, times
 
 
@@ -283,7 +386,8 @@ def rnnt_beam_decode(encoder_out, input_lengths, predictor_step,
                      init_hidden, joint_fn, *, beam_width: int = 4,
                      prune_k: int | None = None, blank: int = 0,
                      max_symbols: int | None = None,
-                     return_timestamps: bool = False):
+                     return_timestamps: bool = False,
+                     lm=None, lm_alpha: float = 0.0, lm_beta: float = 0.0):
     """Batched transducer beam search — ALSD, one shape-static scan.
 
     Alignment-length synchronous decoding (Saon et al. 2020): every live
@@ -306,6 +410,17 @@ def rnnt_beam_decode(encoder_out, input_lengths, predictor_step,
         min(2*W, V-1); V-1 = exhaustive).
       max_symbols: emitted-token cap per hypothesis = returned buffer width
         (default min(T, 256)).
+      lm / lm_alpha / lm_beta: optional shallow-fusion LM — ANY
+        `ShallowFusionLM` protocol object from ops/lm.py (dense/hashed
+        token n-gram, word-boundary, hotword, composite) or a `NeuralLM`
+        (ops/neural_lm.py).  Every token extension candidate is ranked
+        with `lm_alpha * log p_LM(c | prefix) + lm_beta` added (shallow
+        fusion steers the pruning, exactly as in the CTC beam scan);
+        LM state rides the ALSD carry, advances only on surviving
+        emissions (deferred, batched — one protocol `select` per step),
+        and `lm_alpha * lm.final(state)` is added at the end.  Returned
+        scores INCLUDE the LM bonus (the ops/beam_search.py convention);
+        with `lm=None` results are unchanged.
 
     Returns:
       (tokens (N, W, S_cap) -1-padded, lengths (N, W), scores (N, W)) plus
@@ -335,8 +450,12 @@ def rnnt_beam_decode(encoder_out, input_lengths, predictor_step,
                                    (n, W) + jnp.asarray(x).shape),
         init_hidden)
     n_steps = t_max + s_cap
-    out = _rnnt_beam_jit(enc, il, hidden0, predictor_step, joint_fn,
-                         int(blank), W, K, s_cap, n_steps)
+    carry = _rnnt_beam_scan(
+        enc, il, il, jnp.zeros_like(il),
+        _beam_carry0(n, W, s_cap, hidden0, lm),
+        predictor_step, joint_fn, int(blank), W, K, s_cap, n_steps,
+        lm=lm, lm_alpha=float(lm_alpha), lm_beta=float(lm_beta))
+    out = _rnnt_beam_finish(carry, W, lm=lm, lm_alpha=float(lm_alpha))
     return out if return_timestamps else out[:3]
 
 

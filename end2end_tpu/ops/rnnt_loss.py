@@ -326,13 +326,18 @@ _rnnt_nll_lp.defvjp(_rnnt_fwd, _rnnt_bwd)
 # Logits-level entry (from_logits=True): the log-softmax is FUSED into the
 # custom VJP so the (N, T, U+1, V) log-prob tensor and its gradient are
 # never materialized as separate passes.  Forward reduces the logits to the
-# two DP planes + softmax stats (one Pallas pass on TPU, three XLA passes
-# otherwise); backward is ONE fused elementwise pass:
-#   dL/dlogits[v] = softmax[v] * (i_blank + i_label) - i_scatter[v]
+# two DP planes in one fused sweep that ALSO saves the exponentials
+# e = exp32(x - max) as a residual (chip-measured: emitting e costs ~0.3 ms
+# of HBM write at the bench shape and removes the backward's entire 66M-
+# element exp32 recompute, ~0.8 ms of VPU time); backward is then ONE
+# transcendental-free elementwise pass:
+#   dL/dlogits[v] = (e[v] / s) * (i_blank + i_label) - i_scatter[v]
 # (the transducer analog of CTC's exp(lp) - posterior combine, pushed
 # through the log-softmax analytically).  Values of the DP planes are
-# bit-identical to log_softmax32-then-gather; gradients are the same
-# formula autodiff produces, evaluated in one pass.
+# bit-identical to log_softmax32-then-gather.  A Pallas single-pass prep
+# kernel was tried and REJECTED: Mosaic ran this reduction pattern at
+# 2.9-3.7 ms vs XLA's 1.07 ms at (8, 400, 81, 256) — XLA's own fusion of
+# max/exp/sum/select-gather is the fast path here (measured 2026-08-19).
 # ---------------------------------------------------------------------------
 
 
@@ -351,42 +356,40 @@ def _logits_forward(x, targets, il, ul, blank, impl):
     y_ext = jnp.concatenate(
         [jnp.asarray(targets, jnp.int32),
          jnp.zeros((n, up - targets.shape[1]), jnp.int32)], axis=1)
-    if impl == "pallas":
-        from .rnnt_loss_pallas import plane_prep_pallas
-        y_full = jnp.broadcast_to(y_ext[:, None, :], (n, t_max, up))
-        b_pl, l_pl, m, logs = plane_prep_pallas(x, y_full, blank)
-    else:
-        m = jnp.max(x, axis=-1)                             # (N, T, Up)
-        s = jnp.sum(exp32(x - m[..., None]), axis=-1)
-        logs = log32(s)
-        b_pl = (x[..., blank] - m) - logs
-        onehot_y = jax.nn.one_hot(y_ext, v, dtype=jnp.float32)
-        xy = jnp.einsum("ntuv,nuv->ntu", x, onehot_y,
-                        precision=jax.lax.Precision.HIGHEST)
-        l_pl = (xy - m) - logs
+    m = jnp.max(x, axis=-1)                                 # (N, T, Up)
+    e = exp32(x - m[..., None])                             # residual
+    s = jnp.sum(e, axis=-1)
+    logs = log32(s)
+    b_pl = (x[..., blank] - m) - logs
+    # label gather as select+sum (exact: one hot element + zeros), fused by
+    # XLA into the same sweep as the exp/sum reductions
+    oh_y = (jnp.arange(v, dtype=jnp.int32)[None, None, :]
+            == y_ext[:, :, None])                           # (N, Up, V)
+    xy = jnp.sum(jnp.where(oh_y[:, None], x, 0.0), axis=-1)
+    l_pl = (xy - m) - logs
     u_ok = jnp.arange(up)[None] < ul[:, None]               # (N, Up)
     l_pl = jnp.where(u_ok[:, None, :], l_pl, LOG0)
     nll, core = _planes_forward(b_pl, l_pl, il, ul, impl)
-    return nll, (y_ext, m, logs, core)
+    return nll, (y_ext, e, s, core)
 
 
 def _logits_fwd(x, targets, il, ul, blank, v, impl):
     nll, res = _logits_forward(x, targets, il, ul, blank, impl)
-    return nll, (x, res)
+    return nll, res
 
 
-def _logits_bwd(blank, v, impl, saved, g):
-    x, (y_ext, m, logs, core) = saved
+def _logits_bwd(blank, v, impl, res, g):
+    y_ext, e, s, core = res
     gb, gl = _plane_posteriors(core, impl)                  # (N, T, Up)
-    occ = gb + gl
-    p = exp32((x - m[..., None]) - logs[..., None])         # softmax, 1 pass
+    gb = gb * g[:, None, None]
+    gl = gl * g[:, None, None]
+    c = (gb + gl) / s                                       # (N, T, Up)
     viota = jnp.arange(v, dtype=jnp.int32)
-    oh_b = (viota == blank).astype(jnp.float32)             # (V,)
-    oh_y = (viota[None, None, :] == y_ext[:, :, None]).astype(jnp.float32)
-    grad = (p * occ[..., None]
-            - gb[..., None] * oh_b
-            - gl[..., None] * oh_y[:, None])
-    grad = grad * g[:, None, None, None]
+    oh_b = viota == blank                                   # (V,)
+    oh_y = viota[None, None, :] == y_ext[:, :, None]        # (N, Up, V)
+    grad = (e * c[..., None]
+            - jnp.where(oh_b, gb[..., None], 0.0)
+            - jnp.where(oh_y[:, None], gl[..., None], 0.0))
     return grad, None, None, None
 
 

@@ -28,12 +28,15 @@ overhead, not arithmetic.  These kernels apply the house recipe:
     This is the `ctc_loss_pallas`/`ctc_loss_xla` twin convention
     applied to the transducer family.
 
-Also here: `plane_prep_pallas`, a single-pass fused reduction over the
-vocabulary axis for the from-logits path (max + sum-exp32 + blank/label
-gathers in ONE read of the (N, T, U+1, V) logits, vs three XLA passes).
-Its V-axis sum order differs from XLA's reduction tree, so the from-
-logits pallas path matches the XLA path to ~1e-5 (documented, tested)
-rather than bitwise; the DP itself stays bit-exact.
+NOT here (tried and rejected, chip-measured 2026-08-19): a Pallas
+single-pass plane-prep kernel for the from-logits vocabulary reduction.
+Mosaic ran every variant of it (lane-reduce and MXU-dot sums, block rows
+256-1024) at 2.9-3.7 ms on the (8, 400, 81, 256) bench shape, while
+XLA's own fusion of max + exp32 + sum + select-gather — while ALSO
+materializing the exp residual the fused backward reuses — runs at
+1.07 ms.  The prep therefore stays in XLA (rnnt_loss._logits_forward)
+and only the sequential wavefront DP, where XLA pays per-step loop
+overhead, is kernelized.
 
 The lane axis is U+1 padded to 128; the batch rides the sublanes —
 the reference's per-sample threading (SURVEY.md §3.1 N4) dissolved into
@@ -49,7 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fastmath import exp32, log32, logaddexp2_acc, round_to_half
+from .fastmath import exp32, logaddexp2_acc, round_to_half
 from .semiring import LOG0, LOG0_THRESHOLD
 
 _VMEM_BUDGET = 12 * 1024 * 1024
@@ -306,62 +309,3 @@ def posteriors_pallas(sk_b, sk_l, a_tape, a_rcum, il, ul, z_small, z_off):
     return ib[:, :n, :up], ilab[:, :n, :up]
 
 
-# ---------------------------------------------------------------------------
-# From-logits plane prep: one pass over the vocabulary axis
-# ---------------------------------------------------------------------------
-
-
-def _prep_kernel(v, blank, x_ref, y_ref, b_ref, l_ref, m_ref, logs_ref):
-    rc, vlanes = x_ref.shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rc, vlanes), 1)
-    x = x_ref[:]
-    xm = jnp.where(lane < v, x, LOG0)
-    m = jnp.max(xm, axis=1, keepdims=True)
-    e = jnp.where(lane < v, exp32(x - m), 0.0)
-    s = jnp.sum(e, axis=1, keepdims=True)
-    logs = log32(s)
-    xb = x[:, blank:blank + 1]
-    xy = jnp.sum(jnp.where(lane == y_ref[:], x, 0.0), axis=1, keepdims=True)
-    b_ref[:] = (xb - m) - logs
-    l_ref[:] = (xy - m) - logs
-    m_ref[:] = m
-    logs_ref[:] = logs
-
-
-def plane_prep_supported(v):
-    vlanes = _pad_up(v, 128)
-    return 8 * vlanes * 4 * 6 <= _VMEM_BUDGET
-
-
-def plane_prep_pallas(x, y_full, blank):
-    """Fused from-logits plane prep: ONE read of the (N, T, U+1, V) logits
-    produces the blank plane, the (unmasked) label plane, and the softmax
-    stats (max, log-sum-exp) the fused logits gradient re-uses.
-
-    XLA needs three passes for the same (max reduce, sum-exp reduce,
-    one-hot MXU gather); at the bench shape the logits are ~265 MB, so
-    this is the difference between ~1 ms and ~0.33 ms of HBM traffic.
-    V-axis sum order differs from XLA's reduction tree: results match the
-    XLA prep to ~1e-5 (tests/test_rnnt_pallas.py), not bitwise.
-    """
-    n, t_max, up, v = x.shape
-    rows = n * t_max * up
-    vlanes = _pad_up(v, 128)
-    xf = x.reshape(rows, v)
-    yf = y_full.reshape(rows, 1).astype(jnp.int32)
-    rc = max(8, min(1024, (2 * 1024 * 1024 // (vlanes * 4)) // 8 * 8))
-    n_chunks = -(-rows // rc)
-    xspec = pl.BlockSpec((rc, vlanes), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((rc, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    b_c, l_c, m_c, logs_c = pl.pallas_call(
-        partial(_prep_kernel, v, blank),
-        grid=(n_chunks,),
-        in_specs=[xspec, cspec],
-        out_specs=[cspec, cspec, cspec, cspec],
-        out_shape=[jax.ShapeDtypeStruct((rows, 1), jnp.float32)] * 4,
-        interpret=_interpret(),
-    )(xf, yf)
-    shp = (n, t_max, up)
-    return (b_c.reshape(shp), l_c.reshape(shp), m_c.reshape(shp),
-            logs_c.reshape(shp))

@@ -189,3 +189,165 @@ class StreamingBeamDecoder:
         out = _beam_stream_finish(state, self.beam_width, self.lm,
                                   self.lm_alpha)
         return out if return_timestamps else out[:3]
+
+
+# --------------------------------------------------------------------------
+# Transducer (RNN-T) — greedy and ALSD beam, chunk-at-a-time
+# --------------------------------------------------------------------------
+
+class StreamingRNNTGreedyDecoder:
+    """Chunk-at-a-time greedy transducer decoding; exact vs the one-shot
+    `rnnt_greedy_decode` (same scan, split at chunk boundaries — the
+    cursor freezes at the chunk edge and resumes identically).
+
+    Unlike CTC, the transducer consumes ENCODER chunks (N, Tc, H), not
+    log-prob chunks — the joint runs inside.  The greedy cursor never
+    looks back, so no frame history is carried.
+
+    Usage::
+
+        dec = StreamingRNNTGreedyDecoder(pred_step, init_hidden, joint_fn)
+        state = dec.init(batch_size)
+        for chunk, chunk_len in stream:      # chunk: (N, Tc, H)
+            state = dec.step(state, chunk, chunk_len)
+        tokens, lengths, scores = dec.finish(state)
+
+    `finish()` is pure — call it mid-stream for partial hypotheses.
+    """
+
+    def __init__(self, predictor_step, init_hidden, joint_fn, *,
+                 blank: int = 0, max_symbols: int = 256,
+                 max_symbols_per_frame: int = 4):
+        self.pred_step = predictor_step
+        self.init_hidden = init_hidden
+        self.joint_fn = joint_fn
+        self.blank = int(blank)
+        self.s_cap = int(max_symbols)
+        self.mpf = int(max_symbols_per_frame)
+
+    def init(self, batch_size: int):
+        from .rnnt_decode import _greedy_carry0
+
+        n = batch_size
+        hidden0 = jax.tree.map(
+            lambda x: _bcast(jnp.asarray(x), n), self.init_hidden)
+        return (_greedy_carry0(n, self.s_cap, hidden0),
+                jnp.zeros((n,), jnp.int32))
+
+    def step(self, state, encoder_chunk, chunk_lengths=None):
+        from .rnnt_decode import _rnnt_greedy_scan
+
+        carry, avail = state
+        enc = jnp.asarray(encoder_chunk, jnp.float32)
+        n, tc, _ = enc.shape
+        if chunk_lengths is None:
+            chunk_lengths = np.full((n,), tc, np.int32)
+        cl = jnp.asarray(chunk_lengths, jnp.int32)
+        avail_new = avail + cl
+        carry = _rnnt_greedy_scan(
+            enc, avail_new, avail_new, avail, carry, self.pred_step,
+            self.joint_fn, self.blank, self.s_cap, self.mpf,
+            tc + self.s_cap)
+        return carry, avail_new
+
+    def finish(self, state, return_timestamps: bool = False):
+        carry, _ = state
+        _, u, _, _, tokens, times, score = carry
+        out = (tokens, jnp.minimum(u, self.s_cap), score, times)
+        return out if return_timestamps else out[:3]
+
+
+class StreamingRNNTBeamDecoder:
+    """Chunk-at-a-time ALSD transducer beam search; exact vs the one-shot
+    `rnnt_beam_decode` (same scan; a sample freezes whole — all beams
+    together, preserving the alignment-length sync d = t + u — whenever
+    any live beam needs a frame beyond the chunk edge).
+
+    ALSD beams at the same step sit at DIFFERENT frames (t = d - u), so
+    resuming needs a bounded lookback: the state carries the last
+    `max_symbols` encoder frames — exactly the worst-case beam t-spread
+    (u differs by at most the symbol cap), so streaming is exact
+    UNCONDITIONALLY, with O(N * max_symbols * H) carried frames.
+
+    LM shallow fusion (`lm=`, ops/lm.py protocol or NeuralLM) rides the
+    carried state across chunks like every other beam component.
+
+    `finish()` is pure AND closing: it runs the final drain (remaining
+    frames + trailing blanks) on a copy of the state, so mid-stream calls
+    give exact best-so-far hypotheses without disturbing the stream.
+    """
+
+    def __init__(self, predictor_step, init_hidden, joint_fn, *,
+                 beam_width: int = 4, prune_k: int | None = None,
+                 blank: int = 0, max_symbols: int = 256,
+                 lm=None, lm_alpha: float = 0.0, lm_beta: float = 0.0):
+        self.pred_step = predictor_step
+        self.init_hidden = init_hidden
+        self.joint_fn = joint_fn
+        self.W = int(beam_width)
+        self.prune_k = prune_k
+        self.blank = int(blank)
+        self.s_cap = int(max_symbols)
+        self.lm = lm
+        self.lm_alpha = float(lm_alpha)
+        self.lm_beta = float(lm_beta)
+
+    def _k(self, h_enc):
+        probe = jax.eval_shape(self.joint_fn,
+                               jax.ShapeDtypeStruct((h_enc,), jnp.float32),
+                               self.init_hidden)
+        v = probe.shape[-1]
+        k = (int(self.prune_k) if self.prune_k is not None
+             else min(2 * self.W, v - 1))
+        return max(1, min(k, v - 1))
+
+    def init(self, batch_size: int, h_enc: int):
+        """h_enc: encoder feature size (sizes the carried frame history)."""
+        from .rnnt_decode import _beam_carry0
+
+        n = batch_size
+        hidden0 = jax.tree.map(
+            lambda x: _bcast(_bcast(jnp.asarray(x), self.W), n),
+            self.init_hidden)
+        carry = _beam_carry0(n, self.W, self.s_cap, hidden0, self.lm)
+        hist = jnp.zeros((n, self.s_cap, h_enc), jnp.float32)
+        return carry, hist, jnp.zeros((n,), jnp.int32)
+
+    def step(self, state, encoder_chunk, chunk_lengths=None):
+        from .rnnt_decode import _rnnt_beam_scan
+
+        carry, hist, avail = state
+        enc = jnp.asarray(encoder_chunk, jnp.float32)
+        n, tc, h_enc = enc.shape
+        if chunk_lengths is None:
+            chunk_lengths = np.full((n,), tc, np.int32)
+        cl = jnp.asarray(chunk_lengths, jnp.int32)
+        lb = self.s_cap
+        enc_eff = jnp.concatenate([hist, enc], axis=1)   # frames avail-lb..
+        avail_new = avail + cl
+        far = jnp.full((n,), np.int32(2 ** 30))          # stream still open
+        carry = _rnnt_beam_scan(
+            enc_eff, far, avail_new, avail - lb, carry, self.pred_step,
+            self.joint_fn, self.blank, self.W, self._k(h_enc), self.s_cap,
+            tc + self.s_cap, lm=self.lm, lm_alpha=self.lm_alpha,
+            lm_beta=self.lm_beta)
+        hist_new = jax.vmap(
+            lambda e, o: jax.lax.dynamic_slice_in_dim(e, o, lb, axis=0)
+        )(enc_eff, cl)
+        return carry, hist_new, avail_new
+
+    def finish(self, state, return_timestamps: bool = False):
+        from .rnnt_decode import _rnnt_beam_finish, _rnnt_beam_scan
+
+        carry, hist, avail = state
+        n, lb, h_enc = hist.shape
+        # close the stream on a copy: remaining lookback frames + trailing
+        # blanks until every live hypothesis has consumed frame avail-1
+        carry = _rnnt_beam_scan(
+            hist, avail, avail, avail - lb, carry, self.pred_step,
+            self.joint_fn, self.blank, self.W, self._k(h_enc), self.s_cap,
+            lb + self.s_cap + 1, lm=self.lm, lm_alpha=self.lm_alpha,
+            lm_beta=self.lm_beta)
+        out = _rnnt_beam_finish(carry, self.W, lm=self.lm,
+                                lm_alpha=self.lm_alpha)
+        return out if return_timestamps else out[:3]
