@@ -373,6 +373,45 @@ def bench_rnnt_fused(B, T, U, V, J=128, chunk_t=64, r_long=3):
     return dt, B * T * (U + 1) / dt
 
 
+def bench_rnnt_fused_pallas(B, T, U, V, J=128, r_long=5):
+    """Online-softmax fused joint (ops/rnnt_joint_pallas.py): the logits
+    never exist in HBM in either pass (bf16-storage f32-accumulate MXU;
+    chip-measured 74 ms/iter vs ~460-540 ms for every chunked-XLA
+    configuration at this shape — the chunked path is HBM-bound on the
+    logit buffer).  Baseline: the torch chunked-checkpoint formulation
+    (scripts/baseline_rnnt_torch.py --fused)."""
+    from end2end_tpu.ops.rnnt_joint_pallas import rnnt_nll_fused_pallas
+
+    rng = np.random.default_rng(0)
+    enc_p = jax.device_put(jnp.asarray(
+        rng.standard_normal((B, T, J)).astype(np.float32)))
+    pred_p = jax.device_put(jnp.asarray(
+        rng.standard_normal((B, U + 1, J)).astype(np.float32)))
+    w_out = jnp.asarray(
+        (rng.standard_normal((J, V)) / np.sqrt(J)).astype(np.float32))
+    b_out = jnp.zeros((V,), jnp.float32)
+    tgt = jnp.asarray(rng.integers(1, V, (B, U)).astype(np.int32))
+    il = jnp.asarray(np.full(B, T, np.int32))
+    ul = jnp.asarray(np.full(B, U, np.int32))
+
+    def make_run(r):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                v_, g = jax.value_and_grad(
+                    lambda e: jnp.mean(rnnt_nll_fused_pallas(
+                        e, pred_p, w_out, b_out, tgt, il, ul)))(c)
+                return c.at[0, 0, 0].add(1e-9 * (v_ + g.sum())), v_
+
+            _, vs = jax.lax.scan(body, x, None, length=r)
+            return vs.sum()
+
+        return lambda: run(enc_p)
+
+    dt = chained_time(make_run, r_long)
+    return dt, B * T * (U + 1) / dt
+
+
 def _rnnt_decoder(N, T, V, seed=0, h_enc=256, emb=128, hid=256, jdim=256):
     """Production-flavored transducer decode setup: (N, T, 256) encoder
     outputs, GRU-256 predictor, 256-dim additive joint."""
@@ -441,6 +480,38 @@ def bench_rnnt_beam(N, T, V, W, r_long=5, s_cap=128):
                 toks, lens, scores = rnnt_beam_decode(
                     c, il, pred, init_h, joint, beam_width=W,
                     max_symbols=s_cap)
+                return c.at[0, 0, 0].add(1e-6 * scores.sum()), scores[0, 0]
+
+            _, vs = jax.lax.scan(body, x, None, length=r)
+            return vs.sum()
+
+        return lambda: run(enc)
+
+    dt = chained_time(make_run, r_long)
+    return dt, N / dt
+
+
+def bench_rnnt_beam_lm(N, T, V, W, r_long=5, s_cap=128):
+    """ALSD transducer beam search WITH bigram shallow fusion — the LM
+    state rides the ALSD carry, advance deferred to survivors
+    (ops/rnnt_decode.py lm=).  Baseline: the Python dict-beam loop (same
+    class as the no-LM row; LM adds one table gather per candidate)."""
+    from end2end_tpu.ops.lm import NGramLM
+    from end2end_tpu.ops.rnnt_decode import rnnt_beam_decode
+
+    enc, il, pred, init_h, joint = _rnnt_decoder(N, T, V)
+    rng = np.random.default_rng(1)
+    tbl = rng.normal(size=(V, V)).astype(np.float32)
+    tbl = tbl - np.log(np.exp(tbl).sum(1, keepdims=True))
+    lm = NGramLM(jnp.asarray(tbl))
+
+    def make_run(r):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                toks, lens, scores = rnnt_beam_decode(
+                    c, il, pred, init_h, joint, beam_width=W,
+                    max_symbols=s_cap, lm=lm, lm_alpha=0.5, lm_beta=0.2)
                 return c.at[0, 0, 0].add(1e-6 * scores.sum()), scores[0, 0]
 
             _, vs = jax.lax.scan(body, x, None, length=r)
@@ -537,7 +608,14 @@ def main():
         dt, sps = bench_rnnt_beam(16, 400, 256, 4)
         emit("rnnt_beam4 seq/s (B=16,T=400,V=256,GRU-256)", sps, "seq/s",
              BASELINE_RNNT_BEAM_SEQ_PER_S)
+        dt, sps = bench_rnnt_beam_lm(16, 400, 256, 4)
+        emit("rnnt_beam4+bigramLM seq/s (B=16,T=400,V=256,GRU-256)", sps,
+             "seq/s", BASELINE_RNNT_BEAM_SEQ_PER_S)
         dt, cps = bench_rnnt_fused(8, 400, 80, 32768)
+        emit("rnnt_fused_f32_loss+grad cells/s (B=8,T=400,U=80,V=32768,"
+             "J=128)", cps / 1e6, "M cells/s",
+             BASELINE_RNNT_FUSED_CELLS_PER_S / 1e6)
+        dt, cps = bench_rnnt_fused_pallas(8, 400, 80, 32768)
         emit("rnnt_fused_loss+grad cells/s (B=8,T=400,U=80,V=32768,J=128)",
              cps / 1e6, "M cells/s", BASELINE_RNNT_FUSED_CELLS_PER_S / 1e6)
 

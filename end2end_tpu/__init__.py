@@ -20,6 +20,8 @@ from .ops.confidence import (
     aggregate_confidence,
     frame_confidence,
     greedy_decode_with_confidence,
+    rnnt_greedy_decode_with_confidence,
+    rnnt_token_confidence,
     token_confidence,
     word_confidences,
 )
@@ -31,7 +33,7 @@ from .ops.lm import (
     NGramLM,
     WordNGramLM,
 )
-from .ops.mwer import mwer_loss, mwer_loss_from_nbest
+from .ops.mwer import mwer_loss, mwer_loss_from_nbest, rnnt_mwer_loss
 from .ops.neural_lm import NeuralLM
 from .ops.rescore import rescore_nbest
 from .ops.rnnt_decode import (additive_joint, rnnt_beam_decode,
@@ -39,7 +41,10 @@ from .ops.rnnt_decode import (additive_joint, rnnt_beam_decode,
 from .ops.rnnt_loss import (RNNTLoss, fused_additive_joint,
                             rnnt_loss, rnnt_loss_fused, rnnt_nll,
                             rnnt_nll_from_planes, rnnt_nll_fused)
-from .ops.streaming_decode import StreamingBeamDecoder, StreamingGreedyDecoder
+from .ops.streaming_decode import (StreamingBeamDecoder,
+                                       StreamingGreedyDecoder,
+                                       StreamingRNNTBeamDecoder,
+                                       StreamingRNNTGreedyDecoder)
 from .utils.lm_train import (
     train_ngram_arpa,
     train_ngram_lm,
@@ -56,6 +61,8 @@ __all__ = [
     "greedy_decode",
     "greedy_decode_with_timestamps",
     "greedy_decode_with_confidence",
+    "rnnt_greedy_decode_with_confidence",
+    "rnnt_token_confidence",
     "frame_confidence",
     "token_confidence",
     "aggregate_confidence",
@@ -74,6 +81,7 @@ __all__ = [
     "CompositeLM",
     "NeuralLM",
     "mwer_loss",
+    "rnnt_mwer_loss",
     "mwer_loss_from_nbest",
     "rnnt_loss",
     "rnnt_nll",
@@ -91,5 +99,7 @@ __all__ = [
     "word_lm_from_corpus",
     "StreamingGreedyDecoder",
     "StreamingBeamDecoder",
+    "StreamingRNNTBeamDecoder",
+    "StreamingRNNTGreedyDecoder",
     "__version__",
 ]

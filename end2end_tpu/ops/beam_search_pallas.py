@@ -91,7 +91,7 @@ def _pad_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, *refs):
+def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, ext_k, *refs):
     n_in = 4 + (1 if n_ctx else 0) + (_N_STATE if resume else 0)
     n_out = 3 + (_N_STATE if resume else 0)
     in_refs, out_refs = refs[:n_in], refs[n_in:n_in + n_out]
@@ -106,8 +106,8 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, *refs):
     tc_len, _, b = lpk_ref.shape
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, b), 0)
     k_iota2 = jax.lax.broadcasted_iota(jnp.int32, (K, b), 0)
-    k_iota3 = jax.lax.broadcasted_iota(jnp.int32, (K, W, b), 0)
-    w_iota3 = jax.lax.broadcasted_iota(jnp.int32, (K, W, b), 1)
+    k_iota3 = jax.lax.broadcasted_iota(jnp.int32, (ext_k, W, b), 0)
+    w_iota3 = jax.lax.broadcasted_iota(jnp.int32, (ext_k, W, b), 1)
     # Does candidate ranking carry an LM bonus?  True with in-kernel fusion
     # (n_ctx) and in resume/chunked mode, where the bonus accumulated by
     # earlier chunks steers this chunk's pruning (per-frame increments are
@@ -115,7 +115,7 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, *refs):
     track_lm = bool(n_ctx) or resume
     # Candidate codes in the XLA scan's ranking order (ties break identically):
     # stay candidates first (code = w), then extends row-major (W + w*K + k).
-    code_ext = W + w_iota3 * K + k_iota3  # (K, W, b)
+    code_ext = W + w_iota3 * ext_k + k_iota3  # (ext_k, W, b)
     code_stay = w_iota                    # (W, b)
 
     @pl.when(i == 0)
@@ -158,14 +158,24 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, *refs):
         lms = lm_s[:]  # (W, b) accumulated alpha*lm + beta bonus
         total = _laddexp2(pb, pnb)  # (W, b)
 
-        lpk3 = lpk[:, None, :]  # (K, 1, b) -> broadcasts over beams
-        ck3 = ck[:, None, :]
-        same = ck3 == last[None]  # (K, W, b)
+        # Extension candidates come from the first ext_k slots; the STAY
+        # lookup below reads ALL K streamed slots — with the default 2x
+        # window (beam_search_pallas stay_k) a repeat demoted just past
+        # the extension prune line keeps its exact frame probability
+        # (round-4 mitigation; the optimistic-floor alternative was tried
+        # and REJECTED: it inflates weak repeats and LOWERED adversarial
+        # top-1 agreement 31/32 -> 27/32, measured 2026-08-19).
+        lpk_all = lpk[:, None, :]   # (K, 1, b)
+        same_all = ck[:, None, :] == last[None]
+        # NB: x[:ext_k, None, :] routes through jnp's gather path, which
+        # Mosaic cannot lower — slice and expand in two steps.
+        lpk3 = jax.lax.slice_in_dim(lpk, 0, ext_k, axis=0)[:, None, :]
+        ck3 = jax.lax.slice_in_dim(ck, 0, ext_k, axis=0)[:, None, :]
+        same = ck3 == last[None]  # (ext_k, W, b)
 
         # --- stay candidates: same prefix ---------------------------------
-        # repeat-last probability from the top-K set (the documented prune;
-        # exact whenever the last symbol is in this frame's top-K)
-        rep = jnp.max(jnp.where(same, lpk3, LOG0), axis=0)  # (W, b)
+        # repeat-last probability read over the FULL streamed window
+        rep = jnp.max(jnp.where(same_all, lpk_all, LOG0), axis=0)  # (W, b)
         pb_stay = total + lpb
         pnb_stay = jnp.where(last >= 0, pnb + rep, LOG0)
 
@@ -183,18 +193,20 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, *refs):
         # fori_loop — constant code size, identical numerics.
         if n_ctx:
             ctx = jnp.where(last >= 0, last, n_ctx - 1)  # (W, b)
-            delta0 = jnp.zeros((K, W, b), jnp.float32)
+            delta0 = jnp.zeros((ext_k, W, b), jnp.float32)
             if W <= 16:
                 delta = delta0
                 for c in range(n_ctx):
-                    delta = jnp.where(
-                        (ctx == c)[None], lm_ref[tc, c][:, None, :], delta
-                    )
+                    row = jax.lax.slice_in_dim(lm_ref[tc, c], 0, ext_k,
+                                               axis=0)
+                    delta = jnp.where((ctx == c)[None], row[:, None, :],
+                                      delta)
             else:
                 def lm_row(c, acc):
-                    return jnp.where(
-                        (ctx == c)[None], lm_ref[tc, c][:, None, :], acc
-                    )
+                    row = jax.lax.slice_in_dim(lm_ref[tc, c], 0, ext_k,
+                                               axis=0)
+                    return jnp.where((ctx == c)[None], row[:, None, :],
+                                     acc)
 
                 delta = jax.lax.fori_loop(0, n_ctx, lm_row, delta0)
             lm_tot = lms[None] + delta  # (K, W, b) candidate total bonus
@@ -470,23 +482,31 @@ def _beam_pallas_jit(log_probs, il, W, K, s_cap, blank, interpret,
     # identical semantics either way.
     from .topk_pallas import topk_pallas, topk_pallas_fits_vmem
 
-    if approx_topk and K < v:
-        lpk, ck = jax.lax.approx_max_k(log_probs, K)
+    # Stream a slightly wider window: extensions use the first K slots,
+    # the stay lookup reads all of them (see _beam_kernel) — a repeat
+    # demoted just past the prune line keeps its exact probability.  +8
+    # (not 2x): the top-K extraction kernel's cost is linear in K and was
+    # ~27% of the beam-8 decode; widening by a fixed margin keeps that
+    # row's throughput while covering every demote-past-the-line case
+    # the adversarial grid constructs (rank K+1).
+    ks = min(K + 8, v)
+    if approx_topk and ks < v:
+        lpk, ck = jax.lax.approx_max_k(log_probs, ks)
     elif interpret or v <= 256 or not topk_pallas_fits_vmem(n, v):
         # small rows: XLA's sort wins; huge rows: the kernel's minimum
         # block would blow scoped VMEM — either way lax.top_k (identical
         # semantics) keeps the beam kernel path usable
-        lpk, ck = jax.lax.top_k(log_probs, K)  # (T, N, K)
+        lpk, ck = jax.lax.top_k(log_probs, ks)  # (T, N, ks)
     else:
-        lpk, ck = topk_pallas(log_probs, K)
+        lpk, ck = topk_pallas(log_probs, ks)
     from .beam_search import apply_token_min_logp
 
     lpk, ck = apply_token_min_logp(lpk, ck, token_min_logp)
     lpb = log_probs[:, :, blank]  # (T, N)
     return _beam_pallas_from_topk_jit(
-        lpk, ck, lpb, il, W, K, s_cap, blank, interpret, t_max, n, v,
+        lpk, ck, lpb, il, W, ks, s_cap, blank, interpret, t_max, n, v,
         lm_table=lm_table, lm_eos=lm_eos, lm_alpha=lm_alpha,
-        lm_beta=lm_beta,
+        lm_beta=lm_beta, ext_k=K,
     )
 
 
@@ -514,7 +534,7 @@ def beam_state_init(W, b_pad):
 
 
 def _run_beam_kernel(inputs, in_specs, t_pad, tc, b_pad, W, K, s_cap, blank,
-                     n_ctx, interpret, state_in=None):
+                     n_ctx, interpret, state_in=None, ext_k=None):
     """Build and invoke the pallas_call.  With `state_in` (a 9-tuple of
     (W, b_pad) arrays, see beam_state_init) the kernel resumes from that
     carry and additionally returns the final carry — the primitive the
@@ -543,7 +563,8 @@ def _run_beam_kernel(inputs, in_specs, t_pad, tc, b_pad, W, K, s_cap, blank,
         out_specs += [state_spec] * _N_STATE
         out_shape += [jax.ShapeDtypeStruct((W, b_pad), d)
                       for d in _STATE_DTYPES]
-    kern = partial(_beam_kernel, W, K, s_cap, blank, n_ctx, resume)
+    kern = partial(_beam_kernel, W, K, s_cap, blank, n_ctx, resume,
+                   K if ext_k is None else ext_k)
     out = pl.pallas_call(
         kern,
         grid=(b_pad // _LANES, t_pad // tc),
@@ -562,12 +583,13 @@ def _run_beam_kernel(inputs, in_specs, t_pad, tc, b_pad, W, K, s_cap, blank,
     jax.jit,
     static_argnames=(
         "W", "K", "s_cap", "blank", "interpret",
-        "t_max", "n", "v", "lm_alpha", "lm_beta",
+        "t_max", "n", "v", "lm_alpha", "lm_beta", "ext_k",
     ),
 )
 def _beam_pallas_from_topk_jit(lpk, ck, lpb, il, W, K, s_cap, blank,
                                interpret, t_max, n, v, lm_table=None,
-                               lm_eos=None, lm_alpha=0.0, lm_beta=0.0):
+                               lm_eos=None, lm_alpha=0.0, lm_beta=0.0,
+                               ext_k=None):
     """Pallas scan kernel + XLA backtrace from precomputed candidates."""
     ck = ck.astype(jnp.int32)
     use_lm = lm_table is not None
@@ -615,16 +637,17 @@ def _beam_pallas_from_topk_jit(lpk, ck, lpb, il, W, K, s_cap, blank,
             vspec((tc, c_pad, K, _LANES), lambda bt, i: (i, 0, 0, bt))
         )
 
+    ext_k = K if ext_k is None else ext_k
     bp, scores, last_out, _ = _run_beam_kernel(
         inputs, in_specs, t_pad, tc, b_pad, W, K, s_cap, blank, n_ctx,
-        interpret, state_in=None,
+        interpret, state_in=None, ext_k=ext_k,
     )
     if use_lm:
         # end-of-sequence bonus, matching the XLA scan's lm.final():
         # alpha * eos[last] for nonempty prefixes
         eos = jnp.take(lm_eos, jnp.clip(last_out, 0, v - 1), axis=0)
         scores = scores + jnp.where(last_out >= 0, lm_alpha * eos, 0.0)
-    return _backtrace(bp, ck, scores, W, K, s_cap, t_max, n)
+    return _backtrace(bp, ck, scores, W, ext_k, s_cap, t_max, n)
 
 
 _LM_CTX_CAP = 64  # max context rows for in-kernel LM (select-ladder cost)
@@ -671,7 +694,8 @@ def beam_pallas_supported(t_max, v, beam_width, prune_k, lm,
         # finding, round 2 — within the current envelope this always holds,
         # but the guard keeps 'auto' safe if the caps above ever widen).
         c_pad = _pad_up(lm._v + 1, 8)
-        if 2 * _input_frame_bytes(k, c_pad) > (10 << 20):
+        # the streamed candidate window is 2x the extension prune
+        if 2 * _input_frame_bytes(min(2 * k, v), c_pad) > (10 << 20):
             return False, ("in-kernel LM fusion: per-frame input blocks "
                            "exceed the VMEM budget at this (V, prune_k); "
                            "falling back to the XLA scan")
@@ -726,7 +750,8 @@ def beam_search_pallas(log_probs, input_lengths=None, beam_width: int = 8,
 def beam_search_pallas_from_topk(lpk, ck, lpb, input_lengths, beam_width=8,
                                  blank=0, max_symbols=None, v=None,
                                  lm=None, lm_alpha=0.0, lm_beta=0.0,
-                                 interpret=None, return_timestamps=False):
+                                 interpret=None, return_timestamps=False,
+                                 ext_k: int | None = None):
     """Pallas beam search from PRECOMPUTED candidates — the kernel twin of
     `beam_search.beam_search_from_topk` (identical candidate-only
     semantics).  Used by the vocab-sharded decode so tensor-parallel
@@ -754,5 +779,6 @@ def beam_search_pallas_from_topk(lpk, ck, lpb, input_lengths, beam_width=8,
         bool(interpret), t_max, n, int(v),
         lm_table=lm_table, lm_eos=lm_eos,
         lm_alpha=float(lm_alpha), lm_beta=float(lm_beta),
+        ext_k=None if ext_k is None else int(ext_k),
     )
     return out if return_timestamps else out[:3]

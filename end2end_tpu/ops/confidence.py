@@ -29,6 +29,7 @@ about); gate on length separately.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from .indexing import flat_take
@@ -182,3 +183,98 @@ def word_confidences(ids, times, token_conf, space_id=None, alphabet=None,
         cur.append((i, t, c))
     flush()
     return out
+
+
+# --------------------------------------------------------------------------
+# Transducer (RNN-T) confidence
+# --------------------------------------------------------------------------
+
+def rnnt_token_confidence(encoder_out, tokens, lengths, times,
+                          predictor_step, init_hidden, joint_fn,
+                          method: str = "tsallis", alpha: float = 1 / 3,
+                          blank: int = 0, exclude_blank: bool = True,
+                          aggregation: str = "mean"):
+    """Entropy-family confidence for decoded TRANSDUCER hypotheses.
+
+    The distribution that emitted token u is the joint softmax at
+    (frame times[u], predictor state after tokens[:u]) — both are pure
+    functions of the decode outputs, so the rows are recomputed here
+    EXACTLY as the scan saw them (same predictor unroll, same joint):
+    one batched predictor sweep over the hypothesis + one batched joint
+    call per token position, no decoder changes.  Works for greedy
+    shapes (tokens (N, S), times (N, S)) and beam shapes ((N, W, S)).
+
+    Returns (token_conf, utterance_conf) with token_conf matching the
+    tokens shape (0 where padded) and utterance_conf (N,) or (N, W).
+    """
+    enc = jnp.asarray(encoder_out, jnp.float32)
+    tokens = jnp.asarray(tokens, jnp.int32)
+    lengths = jnp.asarray(lengths, jnp.int32)
+    times = jnp.asarray(times, jnp.int32)
+    n, t_max, h_enc = enc.shape
+    lead = tokens.shape[:-1]            # (N,) or (N, W)
+    s = tokens.shape[-1]
+    m = int(np.prod(lead))
+    w = m // n
+    toks = jnp.maximum(tokens.reshape(m, s), 0)
+    lens = lengths.reshape(m)
+    tms = jnp.clip(times.reshape(m, s), 0, t_max - 1)
+
+    h0 = jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
+                                   (m,) + jnp.asarray(x).shape),
+        init_hidden)
+    step_b = jax.vmap(predictor_step)
+
+    def step(h, tok_col):
+        h2 = step_b(h, tok_col)
+        return h2, h
+    # prefix states h_u BEFORE consuming token u, for u = 0..S-1
+    _, states = jax.lax.scan(step, h0, toks.T)          # (S, M, ...)
+
+    # encoder rows at the emission frames (flat row gather)
+    samp = jnp.arange(m, dtype=jnp.int32)[:, None] // max(w, 1)
+    f_rows = enc.reshape(n * t_max, h_enc)[samp * t_max + tms]  # (M, S, H)
+
+    joint_b = jax.vmap(joint_fn)
+
+    def lp_col(args):
+        f_col, h_col = args
+        return jax.nn.log_softmax(joint_b(f_col, h_col), axis=-1)
+    lp = jax.lax.map(lp_col, (jnp.moveaxis(f_rows, 1, 0), states))  # (S,M,V)
+
+    fc = frame_confidence(lp, method=method, alpha=alpha, blank=blank,
+                          exclude_blank=exclude_blank).T        # (M, S)
+    valid = jnp.arange(s, dtype=jnp.int32)[None] < lens[:, None]
+    tc = jnp.where(valid, fc, 0.0)
+    utt = aggregate_confidence(tc, lens, aggregation)
+    return tc.reshape(lead + (s,)), utt.reshape(lead)
+
+
+def rnnt_greedy_decode_with_confidence(encoder_out, input_lengths,
+                                       predictor_step, init_hidden,
+                                       joint_fn, blank: int = 0,
+                                       max_symbols=None,
+                                       max_symbols_per_frame: int = 4,
+                                       method: str = "tsallis",
+                                       alpha: float = 1 / 3,
+                                       exclude_blank: bool = True,
+                                       aggregation: str = "mean"):
+    """`rnnt_greedy_decode` + per-token and per-utterance confidence in
+    one compiled program (the transducer twin of
+    `greedy_decode_with_confidence`).
+
+    Returns (tokens, lengths, scores, times, token_conf, utt_conf).
+    """
+    from .rnnt_decode import rnnt_greedy_decode
+
+    tokens, lengths, scores, times = rnnt_greedy_decode(
+        encoder_out, input_lengths, predictor_step, init_hidden, joint_fn,
+        blank=blank, max_symbols=max_symbols,
+        max_symbols_per_frame=max_symbols_per_frame,
+        return_timestamps=True)
+    tc, utt = rnnt_token_confidence(
+        encoder_out, tokens, lengths, jnp.where(times < 0, 0, times),
+        predictor_step, init_hidden, joint_fn, method=method, alpha=alpha,
+        blank=blank, exclude_blank=exclude_blank, aggregation=aggregation)
+    return tokens, lengths, scores, times, tc, utt

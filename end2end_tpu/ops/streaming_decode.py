@@ -202,7 +202,9 @@ class StreamingRNNTGreedyDecoder:
 
     Unlike CTC, the transducer consumes ENCODER chunks (N, Tc, H), not
     log-prob chunks — the joint runs inside.  The greedy cursor never
-    looks back, so no frame history is carried.
+    looks back, so no frame history is carried.  Tokens/lengths/times
+    are bit-exact vs one-shot; scores past a bound symbol cap match to
+    f32 summation order (the vectorized blank-tail fast path).
 
     Usage::
 
@@ -268,6 +270,11 @@ class StreamingRNNTBeamDecoder:
     `max_symbols` encoder frames — exactly the worst-case beam t-spread
     (u differs by at most the symbol cap), so streaming is exact
     UNCONDITIONALLY, with O(N * max_symbols * H) carried frames.
+    (One refinement: once a hypothesis is symbol-capped, its remaining
+    all-blank mass is summed in one vectorized pass — see
+    rnnt_decode._rnnt_beam_scan — so SCORES past the cap match the
+    one-shot decode to f32 summation order ~1e-5; tokens, lengths, and
+    timestamps stay bit-exact, and so do scores while the cap is slack.)
 
     LM shallow fusion (`lm=`, ops/lm.py protocol or NeuralLM) rides the
     carried state across chunks like every other beam component.

@@ -65,10 +65,16 @@ def _metrics(pt, pl_, ps, xt, xl, xs, W, B):
 
 @pytest.mark.parametrize("W,K", [(4, 4), (8, 8), (8, 16), (16, 8)])
 def test_repeat_prune_divergence_bounds(W, K):
-    """Measured round-3 values on this construction (seed 7, B=8, T=40,
-    V=24): top-1 agreement 29/32 across the grid (worst single config 6/8),
-    matching-top-1 score gap <= 0.70, beam-set Jaccard mean >= 0.80.
-    Asserted with margin; STATUS.md cites these numbers."""
+    """Round-4: the kernel streams a 2x candidate window for the STAY
+    lookup (extensions still prune at K), so the engineered demote-to-
+    rank-K+1 repeat keeps its exact probability.  Measured on this
+    construction (seed 7, B=8, T=40, V=24): top-1 agreement 32/32 across
+    the grid (every config 8/8), matching-top-1 score gap <= 0.13,
+    beam-set Jaccard mean >= 0.95 (round 3, K-wide window: 29/32, worst
+    6/8, gap 0.70, Jaccard >= 0.6).  Asserted with a small margin;
+    STATUS.md cites these numbers.  (An optimistic lpk-min floor for
+    missing repeats was tried instead and REJECTED: it inflates weak
+    repeats and DROPPED agreement to 27/32.)"""
     rng = np.random.default_rng(7)
     B, T, V = 8, 40, 24
     lp = _adversarial_lattice(rng, B, T, V, K)
@@ -76,9 +82,9 @@ def test_repeat_prune_divergence_bounds(W, K):
     xt, xl, xs = beam_search_decode(lp, beam_width=W, prune_k=K,
                                     implementation="xla")
     top1, gap, jac = _metrics(pt, pl_, ps, xt, xl, xs, W, B)
-    assert top1 >= B - 2, (W, K, top1)
-    assert gap <= 1.0, (W, K, gap)
-    assert jac >= 0.6, (W, K, jac)
+    assert top1 >= B - 1, (W, K, top1)
+    assert gap <= 0.3, (W, K, gap)
+    assert jac >= 0.9, (W, K, jac)
 
     # vs the exact (prune_k = V) decode: total pruning damage on the same
     # adversarial inputs — the scan shares most of it, the kernel adds the
