@@ -85,6 +85,43 @@ def test_decoder_to_subtitles_end_to_end():
     assert "hi yo" in srt and "-->" in srt
 
 
+def test_rnnt_decoder_to_subtitles_end_to_end():
+    """Transducer timestamps drive the same subtitle path as CTC.
+
+    `rnnt_greedy_decode(..., return_timestamps=True)` emission frames plug
+    straight into `word_spans` -> `group_word_spans` -> `to_srt` — the
+    serving pipeline the reference's decoder-timings role implies
+    (SURVEY §6.3), transducer edition.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from end2end_tpu.ops.rnnt_decode import rnnt_greedy_decode
+    from end2end_tpu.utils.text import asr_alphabet, word_spans
+
+    ab = asr_alphabet()
+    ids = ab.encode("hi yo")
+    t = 2 * len(ids) + 2
+    # Encoder frames ARE the joint logits (joint ignores the predictor);
+    # per-frame cap 1 makes each peaked frame emit its token exactly once.
+    enc = np.zeros((1, t, len(ab)), np.float32)
+    for i, c in enumerate(ids):
+        enc[0, 2 * i, c] = 5.0  # odd frames peak nothing -> blank advances
+
+    toks, lens, _, times = rnnt_greedy_decode(
+        enc, jnp.asarray([t], jnp.int32),
+        lambda hid, tok: hid, jnp.zeros((1,), jnp.float32),
+        lambda f, hid: f, max_symbols_per_frame=1, return_timestamps=True)
+    n = int(lens[0])
+    assert [int(x) for x in toks[0, :n]] == list(ids)
+    assert [int(x) for x in times[0, :n]] == [2 * i for i in range(len(ids))]
+    spans = word_spans(np.asarray(toks[0, :n]), np.asarray(times[0, :n]),
+                       space_id=ab.encode(" ")[0], alphabet=ab)
+    assert [s[0] for s in spans] == ["hi", "yo"]
+    srt = to_srt(group_word_spans(spans, 0.04, max_gap_s=0.05), 0.04)
+    assert "hi" in srt and "yo" in srt and "-->" in srt
+
+
 def test_errors():
     with pytest.raises(ValueError, match="positive"):
         to_srt(SPANS, 0.0)
