@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .semiring import LOG0, LOG0_THRESHOLD, logaddexp2
+from .fastmath import log_softmax_acc
 
 _M1 = np.uint32(2654435761)
 _M2 = np.uint32(0x85EBCA6B)
@@ -423,7 +424,7 @@ def beam_search_decode(
         # stays f64 and falls back to the XLA scan (the kernel is f32-only).
         log_probs = log_probs.astype(jnp.float32)
     if from_logits:
-        log_probs = jax.nn.log_softmax(log_probs, axis=-1)
+        log_probs = log_softmax_acc(log_probs, axis=-1)
     t_max, n, v = log_probs.shape
     if input_lengths is None:
         input_lengths = jnp.full((n,), t_max, jnp.int32)

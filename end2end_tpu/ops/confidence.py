@@ -32,6 +32,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
+from .fastmath import exp32, log32, log_softmax_acc
 from .indexing import flat_take
 
 _METHODS = ("max_prob", "shannon", "tsallis", "renyi")
@@ -54,20 +55,27 @@ def frame_confidence(log_probs, method: str = "tsallis", alpha: float = 1 / 3,
         v = v - 1
     if method == "max_prob":
         return jnp.exp(jnp.max(lp, axis=-1))
+    # ln V is a host f64 constant: jnp.log would lower to the chip's
+    # native f32 log, whose ~1e-5-class error lands in every frame score.
+    log_v = float(np.log(float(v)))
     if method == "shannon":
         p = jnp.exp(lp)
         h = -jnp.sum(jnp.where(p > 0, p * lp, 0.0), axis=-1)
-        return jnp.clip(1.0 - h / jnp.log(float(v)), 0.0, 1.0)
+        return jnp.clip(1.0 - h / log_v, 0.0, 1.0)
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
-    # sum p^alpha, computed stably in log space
-    log_sum_pa = jax.nn.logsumexp(alpha * lp, axis=-1)
+    # sum_c p^alpha via fastmath exp32 (~1 ulp): each term is in [0, 1]
+    # since alpha*lp <= 0 (exp32 maps the -inf of excluded lanes to 0),
+    # so the direct sum needs no logsumexp.  The TPU's native exp/log
+    # carry ~1e-5-class error that breaks hand-computed parity on chip.
+    sum_pa = jnp.sum(exp32(alpha * lp), axis=-1)
     if method == "tsallis":
-        s = jnp.expm1(log_sum_pa) / (1.0 - alpha)
+        s = (sum_pa - 1.0) / (1.0 - alpha)
         s_max = (float(v) ** (1.0 - alpha) - 1.0) / (1.0 - alpha)
         return jnp.clip(1.0 - s / s_max, 0.0, 1.0)
-    h = log_sum_pa / (1.0 - alpha)  # renyi
-    return jnp.clip(1.0 - h / jnp.log(float(v)), 0.0, 1.0)
+    # renyi; sum p^alpha >= 1 for alpha < 1, inside log32's normal domain
+    h = log32(sum_pa) / (1.0 - alpha)
+    return jnp.clip(1.0 - h / log_v, 0.0, 1.0)
 
 
 def token_confidence(frame_conf, times, lengths, time_axis_first: bool = True):
@@ -130,7 +138,7 @@ def greedy_decode_with_confidence(log_probs, input_lengths=None,
     if batch_first:
         lp = jnp.swapaxes(lp, 0, 1)
     if from_logits:
-        lp = jax.nn.log_softmax(lp, axis=-1)
+        lp = log_softmax_acc(lp, axis=-1)
     tokens, lengths, scores, times = greedy_decode_with_timestamps(
         lp, input_lengths, blank=blank, pad_id=pad_id)
     fc = frame_confidence(lp, method=method, alpha=alpha, blank=blank,
@@ -240,7 +248,7 @@ def rnnt_token_confidence(encoder_out, tokens, lengths, times,
 
     def lp_col(args):
         f_col, h_col = args
-        return jax.nn.log_softmax(joint_b(f_col, h_col), axis=-1)
+        return log_softmax_acc(joint_b(f_col, h_col), axis=-1)
     lp = jax.lax.map(lp_col, (jnp.moveaxis(f_rows, 1, 0), states))  # (S,M,V)
 
     fc = frame_confidence(lp, method=method, alpha=alpha, blank=blank,

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ctc_loss_xla import ctc_nll_xla
+from .fastmath import log_softmax_acc
 
 _IMPLEMENTATIONS = ("auto", "xla", "pallas")
 
@@ -136,7 +137,7 @@ def ctc_loss(
         # cast to the caller's dtype by the autodiff convert rule
         log_probs = log_probs.astype(jnp.float32)
     if from_logits:
-        log_probs = jax.nn.log_softmax(log_probs, axis=-1)
+        log_probs = log_softmax_acc(log_probs, axis=-1)
     n = log_probs.shape[1]
     if not isinstance(targets, jax.core.Tracer) and np.asarray(targets).ndim == 1:
         targets = _unpack_flat_targets(targets, target_lengths, n)

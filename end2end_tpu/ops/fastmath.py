@@ -127,6 +127,23 @@ def log_softmax32(x, axis=-1):
     return u - log32(s)
 
 
+def log_softmax_acc(x, axis=-1):
+    """Backend-stable log_softmax for API `from_logits=` paths.
+
+    float32 inputs route through log_softmax32 (the chip's native f32
+    exp/log carry ~1e-4 absolute error, which breaks decode/score parity
+    vs host-normalized inputs at the suite's 1e-5 tolerances); float64
+    keeps the native lowering (accurate at that width, and log32/exp32
+    are f32-only).  Half dtypes normalize in f32.
+    """
+    x = jnp.asarray(x)
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        x = x.astype(jnp.float32)
+    if x.dtype == jnp.float32:
+        return log_softmax32(x, axis=axis)
+    return jax.nn.log_softmax(x, axis=axis)
+
+
 def logaddexp2_acc(a, b):
     """~1-ulp log(e^a + e^b) in the finite log-zero convention."""
     m = jnp.maximum(a, b)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from .fastmath import log_softmax_acc
 
 
 def greedy_decode(log_probs, input_lengths=None, blank: int = 0, pad_id: int = -1,
@@ -38,7 +39,7 @@ def greedy_decode(log_probs, input_lengths=None, blank: int = 0, pad_id: int = -
     if batch_first:
         log_probs = jnp.swapaxes(log_probs, 0, 1)
     if from_logits:
-        log_probs = jax.nn.log_softmax(log_probs, axis=-1)
+        log_probs = log_softmax_acc(log_probs, axis=-1)
     t_max, n, _ = log_probs.shape
     if input_lengths is None:
         input_lengths = jnp.full((n,), t_max, dtype=jnp.int32)
@@ -92,7 +93,7 @@ def greedy_decode_with_timestamps(log_probs, input_lengths=None, blank: int = 0,
     if batch_first:
         log_probs = jnp.swapaxes(log_probs, 0, 1)
     if from_logits:
-        log_probs = jax.nn.log_softmax(log_probs, axis=-1)
+        log_probs = log_softmax_acc(log_probs, axis=-1)
     t_max, n, _ = log_probs.shape
     if input_lengths is None:
         input_lengths = jnp.full((n,), t_max, dtype=jnp.int32)

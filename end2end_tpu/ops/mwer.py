@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from ..utils.metrics import batch_edit_distance
 from .ctc_loss import ctc_nll
 from .beam_search import beam_search_decode
+from .fastmath import log_softmax_acc
 
 _FNV_OFFSET = jnp.uint32(2166136261)
 _FNV_PRIME = jnp.uint32(16777619)
@@ -277,7 +278,7 @@ def mwer_loss(
     if batch_first:
         log_probs = jnp.swapaxes(log_probs, 0, 1)
     if from_logits:
-        log_probs = jax.nn.log_softmax(log_probs, axis=-1)
+        log_probs = log_softmax_acc(log_probs, axis=-1)
     tokens, lengths, scores = beam_search_decode(
         jax.lax.stop_gradient(log_probs),
         input_lengths,

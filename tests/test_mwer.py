@@ -196,6 +196,8 @@ class TestMWERValue:
 
 class TestMWERGradient:
     def test_finite_differences_f64(self):
+        if jax.default_backend() == "tpu":
+            pytest.skip("TPU has no float64 (enable_x64 computes in f32 there)")
         rng = np.random.default_rng(4)
         with jax.enable_x64(True):
             lp, tgt, il, tl = _rand_problem(rng, b=2, t=10, s=3, v=5)
