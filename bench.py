@@ -418,7 +418,7 @@ def _rnnt_decoder(N, T, V, seed=0, h_enc=256, emb=128, hid=256, jdim=256):
     from functools import partial
 
     from end2end_tpu.ops.neural_lm import gru_step, random_gru_params
-    from end2end_tpu.ops.rnnt_decode import additive_joint
+    from end2end_tpu.ops.rnnt_decode import FactoredAdditiveJoint
 
     rng = np.random.default_rng(seed)
     enc = jax.device_put(jnp.asarray(
@@ -431,8 +431,10 @@ def _rnnt_decoder(N, T, V, seed=0, h_enc=256, emb=128, hid=256, jdim=256):
         return jnp.asarray((rng.standard_normal(shape) * 0.5
                             / np.sqrt(shape[0])).astype(np.float32))
 
-    joint = additive_joint(w(h_enc, jdim), w(hid, jdim), 0.1 * w(jdim),
-                           w(jdim, V), 0.1 * w(V))
+    # Factored joint: the recommended decode configuration — the frame
+    # projection leaves the sequential loop (one batched MXU matmul).
+    joint = FactoredAdditiveJoint(w(h_enc, jdim), w(hid, jdim),
+                                  0.1 * w(jdim), w(jdim, V), 0.1 * w(V))
     pred = partial(gru_step, params)
     init_h = jnp.zeros((hid,), jnp.float32)
     il = jnp.asarray(np.full(N, T, np.int32))

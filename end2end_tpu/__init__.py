@@ -36,8 +36,8 @@ from .ops.lm import (
 from .ops.mwer import mwer_loss, mwer_loss_from_nbest, rnnt_mwer_loss
 from .ops.neural_lm import NeuralLM
 from .ops.rescore import rescore_nbest
-from .ops.rnnt_decode import (additive_joint, rnnt_beam_decode,
-                              rnnt_greedy_decode)
+from .ops.rnnt_decode import (FactoredAdditiveJoint, additive_joint,
+                              rnnt_beam_decode, rnnt_greedy_decode)
 from .ops.rnnt_loss import (RNNTLoss, fused_additive_joint,
                             rnnt_loss, rnnt_loss_fused, rnnt_nll,
                             rnnt_nll_from_planes, rnnt_nll_fused)
@@ -93,6 +93,7 @@ __all__ = [
     "rnnt_greedy_decode",
     "rnnt_beam_decode",
     "additive_joint",
+    "FactoredAdditiveJoint",
     "rescore_nbest",
     "train_ngram_lm",
     "train_ngram_arpa",

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.neural_lm import gru_step, random_gru_params
-from ..ops.rnnt_decode import (additive_joint, rnnt_beam_decode,
+from ..ops.rnnt_decode import (FactoredAdditiveJoint, rnnt_beam_decode,
                                rnnt_greedy_decode)
 from ..ops.rnnt_loss import rnnt_loss
 from .conformer import ConformerEncoder
@@ -133,13 +133,15 @@ class ConformerTransducer:
     # -- inference ---------------------------------------------------------
     def decoder_fns(self, params):
         """(predictor_step, init_hidden, joint_fn) protocol triple for the
-        ops/rnnt_decode.py scans and the streaming decoders."""
+        ops/rnnt_decode.py scans and the streaming decoders.  The joint is
+        a `FactoredAdditiveJoint`, so the decode scans hoist the frame
+        projection out of their sequential loops (same math)."""
         c = self.config
         j = params["joint"]
         return (partial(gru_step, params["pred"]),
                 jnp.zeros((c.pred_hidden,), jnp.float32),
-                additive_joint(j["w_enc"], j["w_pred"], j["b"],
-                               j["w_out"], j["b_out"]))
+                FactoredAdditiveJoint(j["w_enc"], j["w_pred"], j["b"],
+                                      j["w_out"], j["b_out"]))
 
     def decode(self, params, feats, lengths, beam_width: int = 0,
                prune_k: int | None = None, max_symbols: int | None = None,

@@ -21,6 +21,11 @@ Protocol (matches the functional GRU in ``ops/neural_lm.py``):
   predictor_step(hidden, token) -> hidden'   (single sample; vmapped here)
   joint_fn(f_vec, hidden) -> (V,) logits     (single sample; vmapped here)
 
+A joint_fn exposing ``precompute_frames`` / ``from_projected`` (see
+`FactoredAdditiveJoint`) gets the frame-side projection hoisted out of
+the sequential loop — one batched MXU matmul up front instead of one
+matmul per while_loop step on the latency-critical chain.
+
 ``max_symbols_per_frame`` bounds consecutive emissions at one frame (the
 standard transducer safety valve against non-blank loops); when the cap
 hits, the decoder consumes the frame's blank and moves on.
@@ -35,6 +40,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from .indexing import flat_take
+
+
+def _resolve_joint(joint_fn, enc):
+    """Factored-joint fast path: if `joint_fn` exposes `precompute_frames`
+    (see FactoredAdditiveJoint), project the encoder frames ONCE as a
+    batched MXU matmul and hand the sequential loop the per-step
+    `from_projected` call — the frame-side projection leaves the
+    sequential dependency chain entirely.  Plain joint_fns pass through.
+    `joint_fn` is a static argument, so this branches at trace time."""
+    if hasattr(joint_fn, "precompute_frames"):
+        return joint_fn.precompute_frames(enc), joint_fn.from_projected
+    return enc, joint_fn
 
 
 @partial(jax.jit, static_argnames=("pred_step", "joint_fn", "blank",
@@ -63,20 +80,26 @@ def _rnnt_greedy_scan(enc, il, avail, t_off, carry0, pred_step, joint_fn,
     differs at all.  At the bench shape (B=16, T=400, V=256, s_cap=128,
     emission-saturated random joints) this cuts 528 sequential steps to
     ~170 + one batched pass."""
+    enc, joint_one = _resolve_joint(joint_fn, enc)
     n, t_max, h_enc = enc.shape
     enc_flat = enc.reshape(n * t_max, h_enc)
     row0 = jnp.arange(n, dtype=jnp.int32) * t_max
     u_iota = jnp.arange(s_cap, dtype=jnp.int32)[None]      # (1, s_cap)
 
     step_b = jax.vmap(pred_step)
-    joint_b = jax.vmap(joint_fn)
+    joint_b = jax.vmap(joint_one)
 
     def step(carry):
         it, t, u, syms, hidden, tokens, times, score = carry
         t_loc = jnp.clip(t - t_off, 0, t_max - 1)
         f_t = enc_flat[row0 + t_loc]                        # (N, H)
-        lp = jax.nn.log_softmax(joint_b(f_t, hidden), axis=-1)
-        k = jnp.argmax(lp, axis=-1).astype(jnp.int32)       # (N,)
+        # Only argmax + two gathered log-probs are needed: one logsumexp
+        # and two gathers instead of normalizing the full (N, V) row
+        # (tokens bit-identical; scores move by f32 re-association ulps).
+        logits = joint_b(f_t, hidden)                       # (N, V)
+        m = jnp.max(logits, axis=-1)
+        lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[:, None]), axis=-1))
+        k = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # (N,)
         active = (t < il) & (t < avail)
         forced = (syms >= max_per_frame) | (u >= s_cap)
         is_blank = (k == blank) | forced | ~active
@@ -92,8 +115,8 @@ def _rnnt_greedy_scan(enc, il, avail, t_off, carry0, pred_step, joint_fn,
                 emit.reshape((n,) + (1,) * (a.ndim - 1)), a, b),
             hidden_adv, hidden)
 
-        lp_blank = lp[:, blank]
-        lp_k = flat_take(lp, k[:, None])[:, 0]
+        lp_blank = logits[:, blank] - lse
+        lp_k = flat_take(logits, k[:, None])[:, 0] - lse
         score = score + jnp.where(active,
                                   jnp.where(is_blank, lp_blank, lp_k), 0.0)
         t = t + is_blank.astype(jnp.int32) * active.astype(jnp.int32)
@@ -114,7 +137,7 @@ def _rnnt_greedy_scan(enc, il, avail, t_off, carry0, pred_step, joint_fn,
     capped = (u >= s_cap) & (t < limit)
     t_iota = jnp.arange(t_max, dtype=jnp.int32)[None]       # (1, Tc)
     logits = jax.vmap(lambda e_n, h_n: jax.vmap(
-        lambda f: joint_fn(f, h_n))(e_n))(enc, hidden)      # (N, Tc, V)
+        lambda f: joint_one(f, h_n))(e_n))(enc, hidden)     # (N, Tc, V)
     lpb_all = jax.nn.log_softmax(logits, axis=-1)[..., blank]
     tmask = ((t_iota >= (t - t_off)[:, None])
              & (t_iota < (limit - t_off)[:, None]))
@@ -240,6 +263,7 @@ def _rnnt_beam_scan(enc, il, avail, t_off, carry0, pred_step, joint_fn,
     avail = il, t_off = 0; frames are indexed at t - t_off)."""
     from .semiring import LOG0, LOG0_THRESHOLD
 
+    enc, joint_one = _resolve_joint(joint_fn, enc)
     n, t_max, h_enc = enc.shape
     enc_flat = enc.reshape(n * t_max, h_enc)
     row0 = jnp.arange(n, dtype=jnp.int32)[:, None] * t_max   # (N, 1)
@@ -252,7 +276,7 @@ def _rnnt_beam_scan(enc, il, avail, t_off, carry0, pred_step, joint_fn,
         jnp.arange(K + 1, dtype=jnp.int32) > 0, W)                   # (C,)
 
     step_b = jax.vmap(jax.vmap(pred_step))
-    joint_b = jax.vmap(jax.vmap(joint_fn))
+    joint_b = jax.vmap(jax.vmap(joint_one))
 
     def body(carry, _):
         it, t, u, score, h1, h2, tokens, times, hidden, lm_state = carry
@@ -265,14 +289,21 @@ def _rnnt_beam_scan(enc, il, avail, t_off, carry0, pred_step, joint_fn,
         t_loc = jnp.clip(t - t_off[:, None], 0, t_max - 1)
         f = enc_flat[(row0 + t_loc).reshape(-1)]
         f = f.reshape(n, W, h_enc)
-        lp = jax.nn.log_softmax(joint_b(f, hidden), axis=-1)  # (N, W, V)
+        # Normalize only what the candidates read: blank + top-K rows get
+        # a shared per-row logsumexp instead of a full (N, W, V) normalize
+        # (top-K order on logits == on log-probs; scores move by ulps).
+        logits = joint_b(f, hidden)                          # (N, W, V)
+        m = jnp.max(logits, axis=-1)
+        lse = m + jnp.log(
+            jnp.sum(jnp.exp(logits - m[..., None]), axis=-1))
 
         # --- candidate generation: 1 blank/hold + K token extensions -----
-        lp_blank = lp[..., blank]
+        lp_blank = logits[..., blank] - lse
         sc_b = score + jnp.where(live, lp_blank, 0.0)        # hold when done
         sc_b = jnp.where(alive, sc_b, LOG0)
-        lpnb = lp.at[..., blank].set(LOG0)
-        lpk, ck = jax.lax.top_k(lpnb, K)                     # (N, W, K)
+        lgnb = logits.at[..., blank].set(LOG0)
+        lgk, ck = jax.lax.top_k(lgnb, K)                     # (N, W, K)
+        lpk = lgk - lse[..., None]
         can_emit = live & (u < s_cap)
         # Shallow fusion: each token extension pays its LM delta UP FRONT
         # (steers pruning); hash-equal candidates share a prefix, hence an
@@ -395,7 +426,7 @@ def _rnnt_beam_scan(enc, il, avail, t_off, carry0, pred_step, joint_fn,
     tailable = alive & (u >= s_cap) & (t < lim[:, None])     # (N, W)
     logits = jax.vmap(
         lambda e_n, h_n: jax.vmap(
-            lambda h_w: jax.vmap(lambda f: joint_fn(f, h_w))(e_n)
+            lambda h_w: jax.vmap(lambda f: joint_one(f, h_w))(e_n)
         )(h_n)
     )(enc, hidden)                                           # (N, W, Tc, V)
     lpb_all = jax.nn.log_softmax(logits, axis=-1)[..., blank]
@@ -536,8 +567,50 @@ def additive_joint(w_enc, w_pred, b_joint, w_out, b_out):
     Returns a closure suitable for `rnnt_greedy_decode` / the fused loss;
     `hidden` is the predictor output vector (for composite predictor
     states pass a wrapper that extracts the output leaf).
+
+    For decoding, prefer `FactoredAdditiveJoint` — same math, but the
+    decoders hoist the frame projection out of the sequential loop.
     """
     def joint_fn(f_vec, h_vec):
         z = jnp.tanh(f_vec @ w_enc + h_vec @ w_pred + b_joint)
         return z @ w_out + b_out
     return joint_fn
+
+
+class FactoredAdditiveJoint:
+    """`additive_joint` with the encoder-side projection factored out of
+    the sequential decode loop.
+
+    ``W_enc f`` is loop-invariant per frame: the decoders (greedy scan,
+    ALSD beam, streaming wrappers) detect `precompute_frames` and compute
+    the whole utterance's ``enc @ W_enc`` ONCE as a batched MXU matmul
+    before entering the while_loop; each sequential step then runs only
+    the predictor-dependent half (``tanh(f_proj + W_pred h + b) @ W_out``)
+    — one fewer matmul on the latency-critical dependency chain.  Same
+    math as `additive_joint` (scores differ by f32 matmul tiling only,
+    tokens identical; parity-tested in tests/test_rnnt.py).
+
+    Also a plain protocol `joint_fn`: calling the instance with an
+    UNPROJECTED frame vector applies the full joint, so every consumer
+    that doesn't know about the factoring (serving confidence, MWER,
+    the loss) works unchanged.
+    """
+
+    def __init__(self, w_enc, w_pred, b_joint, w_out, b_out):
+        self.w_enc = jnp.asarray(w_enc, jnp.float32)
+        self.w_pred = jnp.asarray(w_pred, jnp.float32)
+        self.b_joint = jnp.asarray(b_joint, jnp.float32)
+        self.w_out = jnp.asarray(w_out, jnp.float32)
+        self.b_out = jnp.asarray(b_out, jnp.float32)
+
+    def precompute_frames(self, enc):
+        """(..., H_enc) -> (..., J): the batched frame-side projection."""
+        return enc @ self.w_enc
+
+    def from_projected(self, f_proj, h_vec):
+        """Protocol joint on a PRE-PROJECTED frame row."""
+        z = jnp.tanh(f_proj + h_vec @ self.w_pred + self.b_joint)
+        return z @ self.w_out + self.b_out
+
+    def __call__(self, f_vec, h_vec):
+        return self.from_projected(f_vec @ self.w_enc, h_vec)

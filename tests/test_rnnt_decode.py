@@ -124,3 +124,70 @@ class TestGreedy:
         assert int(lens[1]) == 0
         assert float(scores[1]) == 0.0
         assert np.all(np.asarray(toks)[1] == -1)
+
+
+class TestFactoredJoint:
+    """FactoredAdditiveJoint: the decoders hoist the frame projection out
+    of the sequential loop — outputs must match the plain closure."""
+
+    def _factored(self, mats):
+        from end2end_tpu.ops.rnnt_decode import FactoredAdditiveJoint
+        return FactoredAdditiveJoint(*mats)
+
+    def test_call_protocol_matches_plain(self):
+        # The instance is itself a protocol joint_fn (unprojected input)
+        # for consumers that don't know about the factoring.
+        enc, pred, init_h, joint, mats = _setup(3)
+        fj = self._factored(mats)
+        f = jnp.asarray(enc[0, 0])
+        h = jnp.asarray(np.random.default_rng(0).normal(size=(5,))
+                        .astype(np.float32))
+        np.testing.assert_allclose(np.asarray(fj(f, h)),
+                                   np.asarray(joint(f, h)), atol=1e-6)
+
+    def test_greedy_factored_matches_plain(self):
+        enc, pred, init_h, joint, mats = _setup(4)
+        fj = self._factored(mats)
+        il = np.array([12, 7, 10])
+        tp, lp_, sp, mp = rnnt_greedy_decode(enc, il, pred, init_h, joint,
+                                             max_symbols=16,
+                                             return_timestamps=True)
+        tf_, lf, sf, mf = rnnt_greedy_decode(enc, il, pred, init_h, fj,
+                                             max_symbols=16,
+                                             return_timestamps=True)
+        np.testing.assert_array_equal(np.asarray(tp), np.asarray(tf_))
+        np.testing.assert_array_equal(np.asarray(lp_), np.asarray(lf))
+        np.testing.assert_array_equal(np.asarray(mp), np.asarray(mf))
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(sf),
+                                   atol=1e-4)
+
+    def test_beam_factored_matches_plain(self):
+        from end2end_tpu.ops.rnnt_decode import rnnt_beam_decode
+        enc, pred, init_h, joint, mats = _setup(5)
+        fj = self._factored(mats)
+        il = np.array([12, 9, 12])
+        tp, lp_, sp = rnnt_beam_decode(enc, il, pred, init_h, joint,
+                                       beam_width=4, max_symbols=16)
+        tf_, lf, sf = rnnt_beam_decode(enc, il, pred, init_h, fj,
+                                       beam_width=4, max_symbols=16)
+        np.testing.assert_array_equal(np.asarray(tp), np.asarray(tf_))
+        np.testing.assert_array_equal(np.asarray(lp_), np.asarray(lf))
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(sf),
+                                   atol=1e-4)
+
+    def test_streaming_greedy_factored_exact_vs_oneshot(self):
+        from end2end_tpu.ops.streaming_decode import (
+            StreamingRNNTGreedyDecoder)
+        enc, pred, init_h, joint, mats = _setup(6)
+        fj = self._factored(mats)
+        il = np.array([12, 12, 12])
+        one = rnnt_greedy_decode(enc, il, pred, init_h, fj, max_symbols=16)
+        dec = StreamingRNNTGreedyDecoder(pred, init_h, fj, max_symbols=16)
+        st = dec.init(3)
+        for lo, hi in ((0, 5), (5, 8), (8, 12)):
+            st = dec.step(st, enc[:, lo:hi])
+        toks, lens, scores = dec.finish(st)
+        np.testing.assert_array_equal(np.asarray(one[0]), np.asarray(toks))
+        np.testing.assert_array_equal(np.asarray(one[1]), np.asarray(lens))
+        np.testing.assert_allclose(np.asarray(one[2]), np.asarray(scores),
+                                   atol=1e-4)
