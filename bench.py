@@ -59,6 +59,9 @@ BASELINE_RNNT_CELLS_PER_S = 0.201e6
 # (scripts/baseline_rnnt_torch.py --decode): greedy 69.1 ms/seq, ALSD
 # beam-4 750.7 ms/seq.
 BASELINE_RNNT_GREEDY_SEQ_PER_S = 14.5
+# blank-dominated (realistic ASR) greedy workload, 5% emission rate:
+# scripts/baseline_rnnt_torch.py --decode-rt (measured 2026-08-19)
+BASELINE_RNNT_GREEDY_RT_SEQ_PER_S = 23.8
 BASELINE_RNNT_BEAM_SEQ_PER_S = 1.33
 # Chunked fused-joint loss+grad in torch (checkpointed chunks + autograd,
 # 1 thread), measured 2026-08-19 at V=4096: 233.6 s/iter; the V=32768
@@ -412,9 +415,13 @@ def bench_rnnt_fused_pallas(B, T, U, V, J=128, r_long=5):
     return dt, B * T * (U + 1) / dt
 
 
-def _rnnt_decoder(N, T, V, seed=0, h_enc=256, emb=128, hid=256, jdim=256):
+def _rnnt_decoder(N, T, V, seed=0, h_enc=256, emb=128, hid=256, jdim=256,
+                  blank_bias=0.0):
     """Production-flavored transducer decode setup: (N, T, 256) encoder
-    outputs, GRU-256 predictor, 256-dim additive joint."""
+    outputs, GRU-256 predictor, 256-dim additive joint.  `blank_bias`
+    biases the joint's blank output (blank_bias=1.1 gives a ~5% emission
+    rate — the blank-dominated realistic ASR regime; 0.0 is the
+    emission-saturated random joint)."""
     from functools import partial
 
     from end2end_tpu.ops.neural_lm import gru_step, random_gru_params
@@ -433,8 +440,13 @@ def _rnnt_decoder(N, T, V, seed=0, h_enc=256, emb=128, hid=256, jdim=256):
 
     # Factored joint: the recommended decode configuration — the frame
     # projection leaves the sequential loop (one batched MXU matmul).
-    joint = FactoredAdditiveJoint(w(h_enc, jdim), w(hid, jdim),
-                                  0.1 * w(jdim), w(jdim, V), 0.1 * w(V))
+    # Draw order matches scripts/baseline_rnnt_torch.py (same RNG stream).
+    w_e, w_p, b_j, w_o = w(h_enc, jdim), w(hid, jdim), 0.1 * w(jdim), \
+        w(jdim, V)
+    b_out = 0.1 * w(V)
+    if blank_bias:
+        b_out = b_out.at[0].add(blank_bias)
+    joint = FactoredAdditiveJoint(w_e, w_p, b_j, w_o, b_out)
     pred = partial(gru_step, params)
     init_h = jnp.zeros((hid,), jnp.float32)
     il = jnp.asarray(np.full(N, T, np.int32))
@@ -456,6 +468,36 @@ def bench_rnnt_greedy(N, T, V, r_long=9, s_cap=128):
             def body(c, _):
                 toks, lens, scores = rnnt_greedy_decode(
                     c, il, pred, init_h, joint, max_symbols=s_cap)
+                return c.at[0, 0, 0].add(1e-6 * scores.sum()), scores[0]
+
+            _, vs = jax.lax.scan(body, x, None, length=r)
+            return vs.sum()
+
+        return lambda: run(enc)
+
+    dt = chained_time(make_run, r_long)
+    return dt, N / dt
+
+
+def bench_rnnt_greedy_rt(N, T, V, r_long=9, s_cap=128, lookahead=8):
+    """Greedy transducer decode on the BLANK-DOMINATED workload (~5%
+    emission rate — the realistic ASR regime) with `lookahead` frames
+    evaluated per sequential step: the leading run of blank frames is
+    consumed in one step (predictor state is loop-invariant across
+    blanks), cutting the sequential step count up to lookahead-fold.
+    Baseline: the same host NumPy loop on the same workload
+    (scripts/baseline_rnnt_torch.py --decode-rt)."""
+    from end2end_tpu.ops.rnnt_decode import rnnt_greedy_decode
+
+    enc, il, pred, init_h, joint = _rnnt_decoder(N, T, V, blank_bias=1.1)
+
+    def make_run(r):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                toks, lens, scores = rnnt_greedy_decode(
+                    c, il, pred, init_h, joint, max_symbols=s_cap,
+                    lookahead=lookahead)
                 return c.at[0, 0, 0].add(1e-6 * scores.sum()), scores[0]
 
             _, vs = jax.lax.scan(body, x, None, length=r)
@@ -607,6 +649,9 @@ def main():
         dt, sps = bench_rnnt_greedy(16, 400, 256)
         emit("rnnt_greedy seq/s (B=16,T=400,V=256,GRU-256)", sps, "seq/s",
              BASELINE_RNNT_GREEDY_SEQ_PER_S)
+        dt, sps = bench_rnnt_greedy_rt(16, 400, 256)
+        emit("rnnt_greedy_rt seq/s (B=16,T=400,V=256,blank-dom,"
+             "lookahead=8)", sps, "seq/s", BASELINE_RNNT_GREEDY_RT_SEQ_PER_S)
         dt, sps = bench_rnnt_beam(16, 400, 256, 4)
         emit("rnnt_beam4 seq/s (B=16,T=400,V=256,GRU-256)", sps, "seq/s",
              BASELINE_RNNT_BEAM_SEQ_PER_S)

@@ -146,21 +146,25 @@ class ConformerTransducer:
     def decode(self, params, feats, lengths, beam_width: int = 0,
                prune_k: int | None = None, max_symbols: int | None = None,
                return_timestamps: bool = False, lm=None,
-               lm_alpha: float = 0.0, lm_beta: float = 0.0):
+               lm_alpha: float = 0.0, lm_beta: float = 0.0,
+               lookahead: int = 1):
         """Greedy when beam_width == 0, else ALSD beam search (optionally
         LM-fused — any ops/lm.py protocol LM or NeuralLM).
 
         Greedy returns (tokens (N, S), lengths, scores); beam returns the
         full sorted beam (tokens (N, W, S), lengths, scores).  Timestamps
         (emission frames in ENCODER frames — multiply by the subsampling
-        factor for feature frames) appended when requested.
+        factor for feature frames) appended when requested.  `lookahead`
+        (greedy only) evaluates that many frames per sequential step —
+        worth 4-8 on blank-dominated (realistic) audio; results are
+        bit-identical either way.
         """
         enc, enc_len = self.encode(params, feats, lengths)
         pred, init_h, joint = self.decoder_fns(params)
         if beam_width == 0:
             return rnnt_greedy_decode(
                 enc, enc_len, pred, init_h, joint, blank=0,
-                max_symbols=max_symbols,
+                max_symbols=max_symbols, lookahead=lookahead,
                 return_timestamps=return_timestamps)
         return rnnt_beam_decode(
             enc, enc_len, pred, init_h, joint, blank=0,

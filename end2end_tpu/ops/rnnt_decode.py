@@ -55,9 +55,10 @@ def _resolve_joint(joint_fn, enc):
 
 
 @partial(jax.jit, static_argnames=("pred_step", "joint_fn", "blank",
-                                   "s_cap", "max_per_frame", "n_steps"))
+                                   "s_cap", "max_per_frame", "n_steps",
+                                   "lookahead"))
 def _rnnt_greedy_scan(enc, il, avail, t_off, carry0, pred_step, joint_fn,
-                      blank, s_cap, max_per_frame, n_steps):
+                      blank, s_cap, max_per_frame, n_steps, lookahead=1):
     """The greedy decode over ONE encoder chunk, resumable.
 
     `carry0` holds per-sample (t, u, syms, hidden, tokens, times, score)
@@ -79,7 +80,18 @@ def _rnnt_greedy_scan(enc, il, avail, t_off, carry0, pred_step, joint_fn,
     order (~1e-6) rather than bitwise — before the cap binds nothing
     differs at all.  At the bench shape (B=16, T=400, V=256, s_cap=128,
     emission-saturated random joints) this cuts 528 sequential steps to
-    ~170 + one batched pass."""
+    ~170 + one batched pass.
+
+    `lookahead=F > 1` evaluates the joint for F CONSECUTIVE frames per
+    sequential step (one (N*F)-row batched joint — the predictor state is
+    loop-invariant while blanks are consumed) and consumes the leading
+    run of blank frames plus at most one emission in a single step.
+    Decisions are per-frame argmaxes of the same logits, so tokens,
+    lengths, and timestamps are BIT-IDENTICAL to lookahead=1; scores sum
+    the same per-frame terms (masked window sum vs sequential adds, f32
+    re-association only).  Blank-dominated workloads — the realistic ASR
+    regime, ~90% blank frames — cut sequential steps up to F×; the extra
+    per-step rows ride the same dispatch latency."""
     enc, joint_one = _resolve_joint(joint_fn, enc)
     n, t_max, h_enc = enc.shape
     enc_flat = enc.reshape(n * t_max, h_enc)
@@ -124,6 +136,69 @@ def _rnnt_greedy_scan(enc, il, avail, t_off, carry0, pred_step, joint_fn,
         syms = jnp.where(is_blank, 0, jnp.where(emit, syms + 1, syms))
         return (it + 1, t, u, syms, hidden, tokens, times, score)
 
+    F = int(lookahead)
+    f_iota = jnp.arange(F, dtype=jnp.int32)[None]           # (1, F)
+
+    def step_window(carry):
+        """Lookahead step: consume the leading run of blank frames in the
+        F-frame window (predictor state is invariant across blanks), then
+        at most one emission — per-frame decisions identical to step()."""
+        it, t, u, syms, hidden, tokens, times, score = carry
+        t_loc = jnp.clip(t[:, None] + f_iota - t_off[:, None],
+                         0, t_max - 1)                      # (N, F)
+        f_nf = enc_flat[(row0[:, None] + t_loc).reshape(-1)]
+        f_nf = f_nf.reshape(n, F, -1)                       # (N, F, H)
+        logits = jax.vmap(jax.vmap(joint_one, in_axes=(0, None)))(
+            f_nf, hidden)                                   # (N, F, V)
+        m = jnp.max(logits, axis=-1)
+        lse = m + jnp.log(jnp.sum(jnp.exp(logits - m[..., None]), axis=-1))
+        k_f = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (N, F)
+
+        t_glob = t[:, None] + f_iota                        # (N, F)
+        valid = (t_glob < il[:, None]) & (t_glob < avail[:, None])
+        # forced blanks: total-symbol cap (any frame — u is invariant until
+        # the window's single emission); consecutive-emission cap (frame 0
+        # only — later frames follow >=1 consumed blank, so syms is 0 there)
+        blank_eff = ((k_f == blank) | (u >= s_cap)[:, None]
+                     | ((f_iota == 0) & (syms >= max_per_frame)[:, None]))
+        consume = valid & blank_eff                         # leading blanks
+        lead = jnp.cumprod(consume.astype(jnp.int32), axis=1).astype(bool)
+        j = jnp.sum(lead.astype(jnp.int32), axis=1)         # (N,) 0..F
+
+        sel = f_iota == jnp.minimum(j, F - 1)[:, None]      # stop frame
+        stop_valid = jnp.any(sel & valid, axis=1)
+        stop_blank = jnp.any(sel & blank_eff, axis=1)
+        emit = (j < F) & stop_valid & ~stop_blank           # (N,)
+
+        k = jnp.sum(jnp.where(sel, k_f, 0), axis=1)         # (N,)
+        t_new = t + j                                       # emission frame
+        wmask = emit[:, None] & (u_iota == u[:, None])      # (N, s_cap)
+        tokens = jnp.where(wmask, k[:, None], tokens)
+        times = jnp.where(wmask, t_new[:, None], times)
+
+        hidden_adv = step_b(hidden, k)
+        hidden = jax.tree.map(
+            lambda a, b: jnp.where(
+                emit.reshape((n,) + (1,) * (a.ndim - 1)), a, b),
+            hidden_adv, hidden)
+
+        lp_blank = logits[..., blank] - lse                 # (N, F)
+        score = score + jnp.sum(jnp.where(lead, lp_blank, 0.0), axis=1)
+        logits_stop = jnp.sum(jnp.where(sel[..., None], logits, 0.0),
+                              axis=1)                       # (N, V)
+        lse_stop = jnp.sum(jnp.where(sel, lse, 0.0), axis=1)
+        lp_k = flat_take(logits_stop, k[:, None])[:, 0] - lse_stop
+        score = score + jnp.where(emit, lp_k, 0.0)
+
+        t = t_new
+        u = u + emit.astype(jnp.int32)
+        syms = jnp.where(emit, jnp.where(j > 0, 1, syms + 1),
+                         jnp.where(j > 0, 0, syms))
+        return (it + 1, t, u, syms, hidden, tokens, times, score)
+
+    if F > 1:
+        step = step_window
+
     def cond(carry):
         it, t, u, syms, hidden, tokens, times, score = carry
         live = (t < il) & (t < avail) & (u < s_cap)
@@ -159,6 +234,7 @@ def rnnt_greedy_decode(encoder_out, input_lengths, predictor_step,
                        init_hidden, joint_fn, *, blank: int = 0,
                        max_symbols: int | None = None,
                        max_symbols_per_frame: int = 4,
+                       lookahead: int = 1,
                        return_timestamps: bool = False):
     """Batched greedy transducer decoding.
 
@@ -176,6 +252,11 @@ def rnnt_greedy_decode(encoder_out, input_lengths, predictor_step,
       max_symbols: cap on total emitted tokens (default min(T, 256)); also
         the width of the returned token buffer.
       max_symbols_per_frame: consecutive-emission cap per frame.
+      lookahead: frames evaluated per sequential step (>=1).  Tokens,
+        lengths, and timestamps are bit-identical for every value; scores
+        match to f32 re-association.  >1 pays off on blank-dominated
+        (realistic ASR) joints — up to `lookahead`x fewer sequential
+        steps; 4-8 is a good range.
       return_timestamps: also return per-token emission frames (N, S_cap).
 
     Returns:
@@ -199,7 +280,7 @@ def rnnt_greedy_decode(encoder_out, input_lengths, predictor_step,
     carry = _rnnt_greedy_scan(
         enc, il, il, jnp.zeros_like(il), _greedy_carry0(n, s_cap, hidden0),
         predictor_step, joint_fn, int(blank), s_cap,
-        int(max_symbols_per_frame), n_steps)
+        int(max_symbols_per_frame), n_steps, int(lookahead))
     _, u, _, _, tokens, times, score = carry
     out = (tokens, u, score, times)
     return out if return_timestamps else out[:3]

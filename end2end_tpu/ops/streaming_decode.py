@@ -219,13 +219,14 @@ class StreamingRNNTGreedyDecoder:
 
     def __init__(self, predictor_step, init_hidden, joint_fn, *,
                  blank: int = 0, max_symbols: int = 256,
-                 max_symbols_per_frame: int = 4):
+                 max_symbols_per_frame: int = 4, lookahead: int = 1):
         self.pred_step = predictor_step
         self.init_hidden = init_hidden
         self.joint_fn = joint_fn
         self.blank = int(blank)
         self.s_cap = int(max_symbols)
         self.mpf = int(max_symbols_per_frame)
+        self.lookahead = int(lookahead)
 
     def init(self, batch_size: int):
         from .rnnt_decode import _greedy_carry0
@@ -249,7 +250,7 @@ class StreamingRNNTGreedyDecoder:
         carry = _rnnt_greedy_scan(
             enc, avail_new, avail_new, avail, carry, self.pred_step,
             self.joint_fn, self.blank, self.s_cap, self.mpf,
-            tc + self.s_cap)
+            tc + self.s_cap, self.lookahead)
         return carry, avail_new
 
     def finish(self, state, return_timestamps: bool = False):

@@ -222,9 +222,41 @@ def bench_decode(n=16, t=400, v=256, W=4, s_cap=128, blank=0):
           f"{dt / n * 1e3:.1f} ms/seq, {n / dt:.3f} seq/s")
 
 
+def bench_decode_rt(n=16, t=400, v=256, s_cap=128, blank=0, bias=1.1):
+    """Greedy host-loop baseline on the BLANK-DOMINATED (realistic ASR)
+    workload: same setup/RNG stream as bench.py::_rnnt_decoder with
+    `blank_bias` added to the joint's blank output bias, giving a ~5-10%
+    emission rate instead of the emission-saturated random joint."""
+    enc, params, init_h, mats = _decode_setup(n, t, v)
+    w_enc, w_pred, b_j, w_out, b_out = mats
+    b_out = b_out.copy()
+    b_out[blank] += bias
+    mats = (w_enc, w_pred, b_j, w_out, b_out)
+
+    emitted = 0
+    t0 = time.perf_counter()
+    for b in range(n):
+        h, tt, syms, toks = init_h, 0, 0, []
+        while tt < t:
+            lp = _np_joint_lp(enc[b, tt], h, mats)
+            k = int(np.argmax(lp))
+            if k == blank or syms >= 4 or len(toks) >= s_cap:
+                tt += 1
+                syms = 0
+            else:
+                toks.append(k)
+                h = _np_gru_step(params, h, k)
+                syms += 1
+        emitted += len(toks)
+    dt = time.perf_counter() - t0
+    print(f"numpy-CPU rnnt greedy-rt B={n},T={t},V={v},GRU-256,"
+          f"bias={bias}: {dt / n * 1e3:.1f} ms/seq, {n / dt:.2f} seq/s "
+          f"(emission rate {emitted / (n * t):.3f})")
+
+
 def bench_fused(n=8, t=400, u=80, v=4096, j=128, tc=16, iters=1):
     """Chunked fused-joint loss+grad in torch (the V=32768 bench config's
-    materialized joint is 68 GB, infeasible even for the baseline, so the
+    materialized joint is ~34 GB, infeasible even for the baseline, so the
     torch comparator uses the SAME chunked-planes trick: per-chunk logits
     -> log_softmax -> blank/label planes -> the wavefront DP; autograd
     through chunks via torch.utils.checkpoint).  Measured at V=4096 (one
@@ -301,7 +333,9 @@ def bench_fused(n=8, t=400, u=80, v=4096, j=128, tc=16, iters=1):
 
 
 if __name__ == "__main__":
-    if "--decode" in sys.argv:
+    if "--decode-rt" in sys.argv:
+        bench_decode_rt()
+    elif "--decode" in sys.argv:
         bench_decode()
     elif "--fused" in sys.argv:
         bench_fused()

@@ -191,3 +191,94 @@ class TestFactoredJoint:
         np.testing.assert_array_equal(np.asarray(one[1]), np.asarray(lens))
         np.testing.assert_allclose(np.asarray(one[2]), np.asarray(scores),
                                    atol=1e-4)
+
+
+class TestLookahead:
+    """lookahead=F: F-frame windowed greedy steps — tokens/lengths/times
+    bit-identical to lookahead=1, scores to f32 re-association."""
+
+    def _parity(self, enc, pred, init_h, joint, il, F, **kw):
+        a = rnnt_greedy_decode(enc, il, pred, init_h, joint,
+                               return_timestamps=True, **kw)
+        b = rnnt_greedy_decode(enc, il, pred, init_h, joint,
+                               lookahead=F, return_timestamps=True, **kw)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+        np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(b[3]))
+        np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]),
+                                   atol=1e-4)
+
+    def test_random_joint_f2_f4_f8(self):
+        enc, pred, init_h, joint, mats = _setup(7)
+        il = np.array([12, 9, 11])
+        for F in (2, 4, 8):
+            self._parity(enc, pred, init_h, joint, il, F, max_symbols=16)
+
+    def test_blank_dominated(self):
+        # Bias the joint output toward blank so windows consume runs of
+        # blanks — the regime lookahead exists for.
+        enc, pred, init_h, joint, mats = _setup(8, t=20)
+        w_enc, w_pred, b_j, w_out, b_out = mats
+        b_out = b_out.copy()
+        b_out[0] += 4.0                                   # blank = 0
+        from end2end_tpu.ops.rnnt_decode import additive_joint
+        joint = additive_joint(*[jnp.asarray(m) for m in
+                                 (w_enc, w_pred, b_j, w_out, b_out)])
+        il = np.array([20, 17, 20])
+        self._parity(enc, pred, init_h, joint, il, 4, max_symbols=16)
+
+    def test_factored_joint_lookahead(self):
+        from end2end_tpu.ops.rnnt_decode import FactoredAdditiveJoint
+        enc, pred, init_h, joint, mats = _setup(9)
+        fj = FactoredAdditiveJoint(*mats)
+        il = np.array([12, 12, 10])
+        self._parity(enc, pred, init_h, fj, il, 4, max_symbols=16)
+
+    def test_per_frame_cap_forced_blank(self):
+        # A joint that always prefers one token exercises the
+        # consecutive-emission cap inside the window (forced blank at
+        # frame 0, emission later in the same window).
+        enc, pred, init_h, joint, mats = _setup(10)
+        w_enc, w_pred, b_j, w_out, b_out = mats
+        b_out = b_out.copy()
+        b_out[3] += 6.0
+        from end2end_tpu.ops.rnnt_decode import additive_joint
+        joint = additive_joint(*[jnp.asarray(m) for m in
+                                 (w_enc, w_pred, b_j, w_out, b_out)])
+        il = np.array([12, 12, 12])
+        self._parity(enc, pred, init_h, joint, il, 4,
+                     max_symbols=32, max_symbols_per_frame=2)
+
+    def test_oracle_parity_lookahead(self):
+        enc, pred, init_h, joint, mats = _setup(11)
+        il = np.array([12, 9, 12])
+        toks, lens, scores, tms = rnnt_greedy_decode(
+            enc, il, pred, init_h, joint, max_symbols=16, lookahead=4,
+            return_timestamps=True)
+        o_toks, o_lens, o_scores, o_tms = _oracle(enc, pred, init_h, mats,
+                                                  il, s_cap=16)
+        for b in range(3):
+            L = int(lens[b])
+            assert L == o_lens[b]
+            assert list(np.asarray(toks)[b][:L]) == o_toks[b]
+            assert list(np.asarray(tms)[b][:L]) == o_tms[b]
+            np.testing.assert_allclose(float(scores[b]), o_scores[b],
+                                       atol=1e-4)
+
+    def test_streaming_lookahead_exact_vs_oneshot(self):
+        from end2end_tpu.ops.streaming_decode import (
+            StreamingRNNTGreedyDecoder)
+        enc, pred, init_h, joint, mats = _setup(12, t=16)
+        il = np.array([16, 16, 16])
+        one = rnnt_greedy_decode(enc, il, pred, init_h, joint,
+                                 max_symbols=16, lookahead=4)
+        dec = StreamingRNNTGreedyDecoder(pred, init_h, joint,
+                                         max_symbols=16, lookahead=4)
+        st = dec.init(3)
+        for lo, hi in ((0, 5), (5, 11), (11, 16)):
+            st = dec.step(st, enc[:, lo:hi])
+        toks, lens, scores = dec.finish(st)
+        np.testing.assert_array_equal(np.asarray(one[0]), np.asarray(toks))
+        np.testing.assert_array_equal(np.asarray(one[1]), np.asarray(lens))
+        np.testing.assert_allclose(np.asarray(one[2]), np.asarray(scores),
+                                   atol=1e-4)
