@@ -31,6 +31,7 @@ from .ops.lm import (
     HashedWordNGramLM,
     HotwordBoostLM,
     NGramLM,
+    QuantizedBigramGuide,
     WordNGramLM,
 )
 from .ops.mwer import mwer_loss, mwer_loss_from_nbest, rnnt_mwer_loss
@@ -74,6 +75,7 @@ __all__ = [
     "ctc_forced_alignment",
     "ForcedAlignment",
     "NGramLM",
+    "QuantizedBigramGuide",
     "WordNGramLM",
     "HashedNGramLM",
     "HashedWordNGramLM",

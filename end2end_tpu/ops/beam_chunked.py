@@ -105,7 +105,8 @@ def _chunk_emissions(bp_c, ck_c, W, K, chunk_t):
 )
 def _beam_chunked_jit(log_probs, il, W, K, s_cap, blank, interpret, chunk_t,
                       t_max, n, v, lm, lm_alpha, lm_beta,
-                      token_min_logp=None, guide_table=None):
+                      token_min_logp=None, guide_table=None,
+                      guide_cls_map=None):
     from .topk_pallas import topk_pallas, topk_pallas_fits_vmem
 
     # --- full-lattice top-K prep (identical routing to the no-LM kernel) --
@@ -119,7 +120,8 @@ def _beam_chunked_jit(log_probs, il, W, K, s_cap, blank, interpret, chunk_t,
     lpb = log_probs[:, :, blank]
     return _beam_chunked_from_topk_jit(
         lpk, ck, lpb, il, W, K, s_cap, blank, interpret, chunk_t, t_max, n,
-        v, lm, lm_alpha, lm_beta, guide_table=guide_table)
+        v, lm, lm_alpha, lm_beta, guide_table=guide_table,
+        guide_cls_map=guide_cls_map)
 
 
 @partial(
@@ -129,17 +131,25 @@ def _beam_chunked_jit(log_probs, il, W, K, s_cap, blank, interpret, chunk_t,
 )
 def _beam_chunked_from_topk_jit(lpk, ck, lpb, il, W, K, s_cap, blank,
                                 interpret, chunk_t, t_max, n, v, lm,
-                                lm_alpha, lm_beta, guide_table=None):
+                                lm_alpha, lm_beta, guide_table=None,
+                                guide_cls_map=None):
     """Chunked decode from PRECOMPUTED per-frame candidates (lpk/ck (T,N,K),
     lpb (T,N)) — the seam the vocab-sharded decoder enters through after its
-    merged top-K prep (parallel/vocab_parallel.py)."""
+    merged top-K prep (parallel/vocab_parallel.py).
+
+    `guide_table` rows are context SYMBOL ids (v + 1 rows, char-scale) or,
+    with `guide_cls_map` (V,) also given, context CLASSES (QuantizedBigram-
+    Guide — any vocab; the kernel then tracks class-of-last from a streamed
+    per-candidate class block)."""
     ck = ck.astype(jnp.int32)
+    use_cls = guide_cls_map is not None
     b_pad = _pad_up(max(n, 1), _LANES)
     t_pad = _pad_up(t_max, chunk_t)
     n_chunks = t_pad // chunk_t
-    n_ctx = v + 1 if guide_table is not None else 0
+    n_ctx = int(guide_table.shape[0]) if guide_table is not None else 0
     c_pad = _pad_up(n_ctx, 8) if n_ctx else 0
-    tc = _chunk_tc(chunk_t, K, c_pad)
+    # the streamed class block costs one extra c-row of bytes per frame
+    tc = _chunk_tc(chunk_t, K, c_pad + (1 if use_cls else 0))
 
     lpk_full = jnp.full((t_pad, K, b_pad), LOG0, jnp.float32)
     lpk_full = lpk_full.at[:t_max, :, :n].set(jnp.moveaxis(lpk, 2, 1))
@@ -158,6 +168,8 @@ def _beam_chunked_from_topk_jit(lpk, ck, lpb, il, W, K, s_cap, blank,
     if n_ctx:
         in_specs_shapes.append(
             ((tc, c_pad, K, _LANES), lambda bt, i: (i, 0, 0, bt)))
+    if use_cls:
+        in_specs_shapes.append(((tc, K, _LANES), lambda bt, i: (i, 0, bt)))
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -175,31 +187,54 @@ def _beam_chunked_from_topk_jit(lpk, ck, lpb, il, W, K, s_cap, blank,
         jnp.arange(n_chunks, dtype=jnp.int32),
     )
     if n_ctx:
-        # per-frame GUIDE increments alpha*guide(ck | last) + beta in the
-        # kernel's layout (same one-hot MXU emission as the fused path —
-        # beam_search_pallas._beam_pallas_from_topk_jit).  The guide only
-        # STEERS mid-chunk pruning; its accumulated bonus is replaced by
-        # the exact `lm` replay bonus at every chunk boundary.
-        oh = jax.nn.one_hot(jnp.clip(ck, 0, v - 1), v, dtype=jnp.float32)
-        col = jnp.einsum("tnkv,cv->tckn", oh, guide_table,
-                         precision=jax.lax.Precision.HIGHEST)
+        # per-frame GUIDE increments alpha*guide(ck | context) + beta in
+        # the kernel's layout.  The guide only STEERS mid-chunk pruning;
+        # its accumulated bonus is replaced by the exact `lm` replay bonus
+        # at every chunk boundary.
+        ckc = jnp.clip(ck, 0, v - 1)
+        if use_cls:
+            # class-keyed (QuantizedBigramGuide, any vocab): table[c, ck]
+            # as one flat 1-D gather (the fast TPU form — a V-wide one-hot
+            # einsum would materialize (T, N, K, V)), then the streamed
+            # per-candidate class block the kernel's class register eats.
+            flat = guide_table.reshape(-1)
+            c_iota = jnp.arange(n_ctx, dtype=jnp.int32)
+            col = flat[c_iota[:, None, None, None] * v + ckc[None]]
+            col = jnp.moveaxis(col, (0, 3), (1, 2))  # (T, C, K, N)
+            cls_ck = guide_cls_map.astype(jnp.int32)[ckc]  # (T, N, K)
+            cls_full = jnp.zeros((t_pad, K, b_pad), jnp.int32)
+            cls_full = cls_full.at[:t_max, :, :n].set(
+                jnp.moveaxis(cls_ck, 2, 1))
+        else:
+            # symbol-keyed (char-scale): one-hot MXU emission directly in
+            # the kernel layout (same as the fused path — 21x faster than
+            # gather+transpose at these shapes, bit-exact).
+            oh = jax.nn.one_hot(ckc, v, dtype=jnp.float32)
+            col = jnp.einsum("tnkv,cv->tckn", oh, guide_table,
+                             precision=jax.lax.Precision.HIGHEST)
         col = lm_alpha * col + lm_beta
         lm_full = jnp.zeros((t_pad, c_pad, K, b_pad), jnp.float32)
         lm_full = lm_full.at[:t_max, :n_ctx, :, :n].set(col)
         xs = xs + (lm_full.reshape(n_chunks, chunk_t, c_pad, K, b_pad),)
+        if use_cls:
+            xs = xs + (cls_full.reshape(n_chunks, chunk_t, K, b_pad),)
 
     def body(carry, x):
         kstate, lm_state = carry
-        if n_ctx:
+        if use_cls:
+            lpk_c, ck_c, lpb_c, ci, lm_c, cls_c = x
+        elif n_ctx:
             lpk_c, ck_c, lpb_c, ci, lm_c = x
         else:
             lpk_c, ck_c, lpb_c, ci = x
         pre_bonus = kstate[8]  # exact replay bonus up to this chunk
         il_c = il_full - ci * chunk_t
-        kin = [lpk_c, ck_c, lpb_c, il_c] + ([lm_c] if n_ctx else [])
+        kin = ([lpk_c, ck_c, lpb_c, il_c] + ([lm_c] if n_ctx else [])
+               + ([cls_c] if use_cls else []))
         bp_c, _, _, kstate = _run_beam_kernel(
             kin, in_specs, chunk_t, tc, b_pad,
             W, K, s_cap, blank, n_ctx, interpret, state_in=kstate,
+            use_cls=use_cls,
         )
         lane0, toks, n_emit = _chunk_emissions(bp_c, ck_c, W, K, chunk_t)
         # re-home LM state: end-of-chunk lane w descends from lane0[b, w].
@@ -229,7 +264,7 @@ def _beam_chunked_from_topk_jit(lpk, ck, lpb, il, W, K, s_cap, blank,
             base8 = rehome(pre_bonus.reshape(m_rows)).reshape(W, b_pad)
         else:
             base8 = kstate[8]
-        kstate = kstate[:8] + (base8 + bonus,)
+        kstate = kstate[:8] + (base8 + bonus,) + kstate[9:]
         return (kstate, lm_state), bp_c
 
     (kstate, lm_state), bp = jax.lax.scan(body, (state0, lm_state0), xs)
@@ -238,6 +273,41 @@ def _beam_chunked_from_topk_jit(lpk, ck, lpb, il, W, K, s_cap, blank,
     scores = logaddexp2(pb, pnb) + lm_bonus
     scores = scores + lm_alpha * lm.final(lm_state).reshape(W, b_pad)
     return _backtrace(bp, ck, scores, W, K, s_cap, t_max, n)
+
+
+def _resolve_guide(guide_lm, t_max, v, W, k):
+    """Validate a `guide_lm` and return its kernel inputs
+    (guide_table, guide_cls_map) — (None, None) when absent.
+
+    Accepts a dense `NGramLM` (symbol-keyed, vocab + 1 <= 64 context rows)
+    or a `QuantizedBigramGuide` (class-keyed: ANY vocab, n_classes + 1
+    <= 64 rows — the lift of the char-scale cap)."""
+    if guide_lm is None:
+        return None, None
+    from .beam_search_pallas import _LM_CTX_CAP, beam_pallas_supported
+    from .lm import NGramLM, QuantizedBigramGuide
+
+    if isinstance(guide_lm, QuantizedBigramGuide):
+        if guide_lm._v != v:
+            raise ValueError(f"guide_lm vocab ({guide_lm._v}) != lattice "
+                             f"vocab ({v})")
+        if guide_lm._n_classes + 1 > _LM_CTX_CAP:
+            raise ValueError(
+                f"QuantizedBigramGuide supports n_classes + 1 <= "
+                f"{_LM_CTX_CAP} context rows (got "
+                f"{guide_lm._n_classes + 1})")
+        if W > 32:
+            raise ValueError("guide_lm fusion supports beam_width <= 32")
+        return guide_lm._table, guide_lm._cls_map
+    if not isinstance(guide_lm, NGramLM):
+        raise ValueError("guide_lm must be a dense NGramLM (symbol-keyed, "
+                         "fused in-kernel) or a QuantizedBigramGuide "
+                         "(class-keyed, any vocab)")
+    ok_g, why = beam_pallas_supported(t_max, v, W, k, lm=guide_lm)
+    if not ok_g:
+        raise ValueError(f"guide_lm outside the fused-kernel envelope: "
+                         f"{why}")
+    return guide_lm._table, None
 
 
 def beam_search_chunked_lm_from_topk(lpk, ck, lpb, input_lengths, *,
@@ -265,19 +335,8 @@ def beam_search_chunked_lm_from_topk(lpk, ck, lpb, input_lengths, *,
     ok, reason = beam_pallas_supported(t_max, v, int(beam_width), k, lm=None)
     if not ok:  # the ACOUSTIC kernel envelope (the LM side is chunk-scored)
         raise ValueError(f"beam_search_chunked_lm_from_topk: {reason}")
-    guide_table = None
-    if guide_lm is not None:
-        from .lm import NGramLM
-
-        if not isinstance(guide_lm, NGramLM):
-            raise ValueError("guide_lm must be a dense NGramLM (it is "
-                             "fused in-kernel)")
-        ok_g, why = beam_pallas_supported(t_max, v, int(beam_width), k,
-                                          lm=guide_lm)
-        if not ok_g:
-            raise ValueError(f"guide_lm outside the fused-kernel "
-                             f"envelope: {why}")
-        guide_table = guide_lm._table
+    guide_table, guide_cls_map = _resolve_guide(
+        guide_lm, t_max, int(v), int(beam_width), k)
     W = int(beam_width)
     s_cap = int(max_symbols or min(t_max, 512))
     chunk_t = int(min(chunk_t, _pad_up(t_max, 8)))
@@ -288,7 +347,8 @@ def beam_search_chunked_lm_from_topk(lpk, ck, lpb, input_lengths, *,
         jnp.asarray(lpb, jnp.float32),
         jnp.asarray(input_lengths, jnp.int32), W, k, s_cap, int(blank),
         bool(interpret), chunk_t, t_max, n, int(v), lm, float(lm_alpha),
-        float(lm_beta), guide_table=guide_table)
+        float(lm_beta), guide_table=guide_table,
+        guide_cls_map=guide_cls_map)
     return out if return_timestamps else out[:3]
 
 
@@ -307,13 +367,14 @@ def beam_search_chunked_lm(log_probs, input_lengths=None, beam_width: int = 8,
     steering granularity against speed (see module docstring); the default
     128 re-ranks the beams every 128 frames.
 
-    `guide_lm` (optional): a dense `NGramLM` fused IN-KERNEL purely to
-    steer pruning PER FRAME between chunk boundaries (e.g. a char bigram
-    approximating the word LM) — its accumulated bonus is replaced by the
-    exact `lm` replay bonus at every boundary, so returned scores are
+    `guide_lm` (optional): fused IN-KERNEL purely to steer pruning PER
+    FRAME between chunk boundaries — its accumulated bonus is replaced by
+    the exact `lm` replay bonus at every boundary, so returned scores are
     exactly the `lm`-fused scores; only which beams survive mid-chunk
-    pruning improves.  Must satisfy the in-kernel fusion envelope
-    (vocab + 1 <= 64 context rows); steered with the same
+    pruning improves.  Either a dense `NGramLM` (symbol-keyed contexts:
+    vocab + 1 <= 64 rows, char-scale) or a `QuantizedBigramGuide`
+    (class-keyed contexts: ANY vocab, n_classes + 1 <= 64 — build with
+    QuantizedBigramGuide.from_bigram).  Steered with the same
     lm_alpha/lm_beta.
     """
     from .beam_search_pallas import beam_pallas_supported
@@ -330,19 +391,9 @@ def beam_search_chunked_lm(log_probs, input_lengths=None, beam_width: int = 8,
                                        lm=None)
     if not ok:  # the ACOUSTIC kernel envelope (the LM side is chunk-scored)
         raise ValueError(f"beam_search_chunked_lm: {reason}")
-    guide_table = None
-    if guide_lm is not None:
-        from .lm import NGramLM
-
-        if not isinstance(guide_lm, NGramLM):
-            raise ValueError("guide_lm must be a dense NGramLM (it is "
-                             "fused in-kernel)")
-        ok_g, why = beam_pallas_supported(t_max, v, int(beam_width),
-                                          prune_k, lm=guide_lm)
-        if not ok_g:
-            raise ValueError(f"guide_lm outside the fused-kernel "
-                             f"envelope: {why}")
-        guide_table = guide_lm._table
+    guide_table, guide_cls_map = _resolve_guide(
+        guide_lm, t_max, v, int(beam_width),
+        min(int(prune_k or v), v))
     if input_lengths is None:
         input_lengths = np.full((n,), t_max, np.int32)
     W = int(beam_width)
@@ -357,6 +408,6 @@ def beam_search_chunked_lm(log_probs, input_lengths=None, beam_width: int = 8,
         float(lm_alpha), float(lm_beta),
         token_min_logp=(None if token_min_logp is None
                         else float(token_min_logp)),
-        guide_table=guide_table,
+        guide_table=guide_table, guide_cls_map=guide_cls_map,
     )
     return out if return_timestamps else out[:3]

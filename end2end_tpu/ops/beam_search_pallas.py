@@ -76,7 +76,7 @@ _NOPARENT = np.int32(0x5EED0000)  # parent-prefix hash that matches nothing
 _BIG = np.int32(1 << 30)
 
 _LANES = 128  # batch tile width
-_N_STATE = 9  # per-beam state arrays: pb pnb h1 h2 hp1 hp2 last len lm
+_N_STATE = 10  # per-beam state: pb pnb h1 h2 hp1 hp2 last len lm lcls
 
 
 def _laddexp2(a, b):
@@ -91,13 +91,19 @@ def _pad_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, ext_k, *refs):
-    n_in = 4 + (1 if n_ctx else 0) + (_N_STATE if resume else 0)
+def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, ext_k, use_cls, *refs):
+    n_in = (4 + (1 if n_ctx else 0) + (1 if use_cls else 0)
+            + (_N_STATE if resume else 0))
     n_out = 3 + (_N_STATE if resume else 0)
     in_refs, out_refs = refs[:n_in], refs[n_in:n_in + n_out]
     (pb_s, pnb_s, h1_s, h2_s, hp1_s, hp2_s, last_s, len_s,
-     lm_s) = refs[n_in + n_out:]
-    if n_ctx:  # in-kernel LM fusion: one extra input block of LM increments
+     lm_s, lcls_s) = refs[n_in + n_out:]
+    if use_cls:  # quantized-context guide: LM block keyed by CONTEXT CLASS
+        # (row id = class of the beam's last symbol, tracked in lcls_s from
+        # the streamed per-candidate class ids) instead of the symbol id —
+        # lifts the <= 64-context-row cap to arbitrary vocabularies.
+        lpk_ref, ck_ref, lpb_ref, il_ref, lm_ref, cls_ref = in_refs[:6]
+    elif n_ctx:  # in-kernel LM fusion: one extra block of LM increments
         lpk_ref, ck_ref, lpb_ref, il_ref, lm_ref = in_refs[:5]
     else:
         lpk_ref, ck_ref, lpb_ref, il_ref = in_refs[:4]
@@ -122,7 +128,7 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, ext_k, *refs):
     def _():
         if resume:  # chunked decode: continue from the carried-in state
             (pb_i, pnb_i, h1_i, h2_i, hp1_i, hp2_i, last_i, len_i,
-             lm_i) = in_refs[n_in - _N_STATE:]
+             lm_i, lcls_i) = in_refs[n_in - _N_STATE:]
             pb_s[:] = pb_i[:]
             pnb_s[:] = pnb_i[:]
             h1_s[:] = h1_i[:]
@@ -132,6 +138,7 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, ext_k, *refs):
             last_s[:] = last_i[:]
             len_s[:] = len_i[:]
             lm_s[:] = lm_i[:]
+            lcls_s[:] = lcls_i[:]
         else:
             live0 = w_iota == 0
             pb_s[:] = jnp.where(live0, 0.0, LOG0)
@@ -143,6 +150,7 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, ext_k, *refs):
             last_s[:] = jnp.full((W, b), -1, jnp.int32)
             len_s[:] = jnp.zeros((W, b), jnp.int32)
             lm_s[:] = jnp.zeros((W, b), jnp.float32)
+            lcls_s[:] = jnp.full((W, b), -1, jnp.int32)
 
     il = il_ref[:]  # (1, b)
 
@@ -192,7 +200,11 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, ext_k, *refs):
         # W <= 16 LM cap), so wide beams run the same ladder as a
         # fori_loop — constant code size, identical numerics.
         if n_ctx:
-            ctx = jnp.where(last >= 0, last, n_ctx - 1)  # (W, b)
+            if use_cls:
+                lcls = lcls_s[:]
+                ctx = jnp.where(last >= 0, lcls, n_ctx - 1)  # (W, b)
+            else:
+                ctx = jnp.where(last >= 0, last, n_ctx - 1)  # (W, b)
             delta0 = jnp.zeros((ext_k, W, b), jnp.float32)
             if W <= 16:
                 delta = delta0
@@ -264,6 +276,7 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, ext_k, *refs):
         new_hp2 = _NOPARENT + w_iota
         new_last = jnp.full((W, b), -1, jnp.int32)
         new_len = jnp.zeros((W, b), jnp.int32)
+        new_lcls = jnp.full((W, b), -1, jnp.int32)
         bp_row = code_stay
         for w_out in range(W):
             mx_e = jnp.max(jnp.max(cand_ext, axis=0), axis=0, keepdims=True)
@@ -312,6 +325,12 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, ext_k, *refs):
             ck_k = jnp.sum(
                 jnp.where(k_iota2 == kk, ck, 0), axis=0, keepdims=True
             )
+            if use_cls:
+                cls_k = jnp.sum(
+                    jnp.where(k_iota2 == kk, cls_ref[tc], 0), axis=0,
+                    keepdims=True,
+                )
+                n_lcls = jnp.where(is_stay, pick_i(lcls), cls_k)
             if track_lm:
                 # acoustic mass / LM bonus of the selected ext candidate
                 # (oh_e is exact-onehot; mx alone would include the bonus)
@@ -352,6 +371,9 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, ext_k, *refs):
             n_h2 = jnp.where(dead, _DEADBASE + w_out, n_h2)
             n_hp1 = jnp.where(dead, _NOPARENT + w_out, n_hp1)
             n_hp2 = jnp.where(dead, _NOPARENT + w_out, n_hp2)
+            if use_cls:
+                n_lcls = jnp.where(dead, -1, n_lcls)
+                new_lcls = jnp.where(w_iota == w_out, n_lcls, new_lcls)
             dst = w_iota == w_out
             new_pb = jnp.where(dst, n_pb, new_pb)
             new_pnb = jnp.where(dst, n_pnb, new_pnb)
@@ -373,6 +395,8 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, ext_k, *refs):
         hp2_s[:] = jnp.where(upd, new_hp2, hp2)
         last_s[:] = jnp.where(upd, new_last, last)
         len_s[:] = jnp.where(upd, new_len, lens)
+        if use_cls:
+            lcls_s[:] = jnp.where(upd, new_lcls, lcls)
         if track_lm:
             lm_s[:] = jnp.where(upd, new_lm, lms)
         bp_ref[tc] = jnp.where(upd, bp_row, code_stay)
@@ -386,7 +410,7 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, ext_k, *refs):
         last_ref[:] = last_s[:]
         if resume:  # export the full carry for the next chunk
             (pb_o, pnb_o, h1_o, h2_o, hp1_o, hp2_o, last_o, len_o,
-             lm_o) = out_refs[3:]
+             lm_o, lcls_o) = out_refs[3:]
             pb_o[:] = pb_s[:]
             pnb_o[:] = pnb_s[:]
             h1_o[:] = h1_s[:]
@@ -396,6 +420,7 @@ def _beam_kernel(W, K, s_cap, blank, n_ctx, resume, ext_k, *refs):
             last_o[:] = last_s[:]
             len_o[:] = len_s[:]
             lm_o[:] = lm_s[:]
+            lcls_o[:] = lcls_s[:]
 
 
 def _compose(a, b):
@@ -511,7 +536,7 @@ def _beam_pallas_jit(log_probs, il, W, K, s_cap, blank, interpret,
 
 
 _STATE_DTYPES = (jnp.float32, jnp.float32, jnp.int32, jnp.int32, jnp.int32,
-                 jnp.int32, jnp.int32, jnp.int32, jnp.float32)
+                 jnp.int32, jnp.int32, jnp.int32, jnp.float32, jnp.int32)
 
 
 def beam_state_init(W, b_pad):
@@ -530,16 +555,20 @@ def beam_state_init(W, b_pad):
         jnp.full((W, b_pad), -1, jnp.int32),                    # last
         jnp.zeros((W, b_pad), jnp.int32),                       # len
         jnp.zeros((W, b_pad), jnp.float32),                     # lm bonus
+        jnp.full((W, b_pad), -1, jnp.int32),                    # lcls
     )
 
 
 def _run_beam_kernel(inputs, in_specs, t_pad, tc, b_pad, W, K, s_cap, blank,
-                     n_ctx, interpret, state_in=None, ext_k=None):
-    """Build and invoke the pallas_call.  With `state_in` (a 9-tuple of
+                     n_ctx, interpret, state_in=None, ext_k=None,
+                     use_cls=False):
+    """Build and invoke the pallas_call.  With `state_in` (a 10-tuple of
     (W, b_pad) arrays, see beam_state_init) the kernel resumes from that
     carry and additionally returns the final carry — the primitive the
     chunked LM decode (beam_chunked.py) alternates with XLA-side LM
-    scoring."""
+    scoring.  `use_cls`: the LM-increment block is keyed by context CLASS
+    and the caller appended a (tc, K, lanes) i32 per-candidate class block
+    after it (quantized-context guide; see beam_chunked.py)."""
     resume = state_in is not None
     vspec = lambda shape, imap: pl.BlockSpec(shape, imap,
                                              memory_space=pltpu.VMEM)
@@ -564,7 +593,7 @@ def _run_beam_kernel(inputs, in_specs, t_pad, tc, b_pad, W, K, s_cap, blank,
         out_shape += [jax.ShapeDtypeStruct((W, b_pad), d)
                       for d in _STATE_DTYPES]
     kern = partial(_beam_kernel, W, K, s_cap, blank, n_ctx, resume,
-                   K if ext_k is None else ext_k)
+                   K if ext_k is None else ext_k, use_cls)
     out = pl.pallas_call(
         kern,
         grid=(b_pad // _LANES, t_pad // tc),

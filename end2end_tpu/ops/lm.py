@@ -306,6 +306,98 @@ def bigram_from_counts(counts, smoothing: float = 1.0):
     return np.log(probs).astype(np.float32)
 
 
+class QuantizedBigramGuide:
+    """Class-quantized dense bigram for IN-KERNEL mid-chunk steering at
+    ANY vocabulary size (BPE included).
+
+    The exact in-kernel guide (`guide_lm=NGramLM`) keys its streamed
+    increment block by the last symbol id, capping it at vocab + 1 <= 64
+    context rows (beam_search_pallas._LM_CTX_CAP) — char-scale only.  This
+    guide keys the block by a CONTEXT CLASS instead: `cls_map` sends each
+    token id to one of `n_classes` (< 64) context classes, and
+    `table[c, k] ~ log p(k | context class c)` approximates the bigram row
+    of every context in class c.  The beam kernel tracks the class of each
+    beam's last symbol in a dedicated register fed by streamed
+    per-candidate class ids (beam_search_pallas.py `use_cls`).
+
+    Like every guide, it only STEERS mid-chunk pruning — the accumulated
+    bonus is replaced by the exact `lm` replay at each chunk boundary, so
+    returned scores are exactly the `lm`-fused scores regardless of how
+    coarse the quantization is.
+
+    Build from a dense bigram with `from_bigram` (k-means over context
+    rows) or construct directly from a linguistically motivated partition
+    (e.g. BPE word-starter vs continuation classes).
+    """
+
+    def __init__(self, cls_map, table):
+        """cls_map: (V,) int class of each token id, values in
+        [0, n_classes); table: (n_classes + 1, V) log-prob-like guide rows,
+        row n_classes = the exact start-of-sequence row."""
+        self._cls_map = jnp.asarray(cls_map, jnp.int32)
+        self._table = jnp.asarray(table, jnp.float32)
+        self._v = int(self._cls_map.shape[0])
+        self._n_classes = int(self._table.shape[0]) - 1
+        if self._table.shape[1] != self._v:
+            raise ValueError(f"table columns ({self._table.shape[1]}) must "
+                             f"match cls_map length ({self._v})")
+        if int(jnp.max(self._cls_map)) >= self._n_classes or \
+                int(jnp.min(self._cls_map)) < 0:
+            raise ValueError("cls_map values must lie in [0, n_classes)")
+
+    @classmethod
+    def from_bigram(cls, lm, n_classes: int = 63, iters: int = 10,
+                    seed: int = 0, max_cols: int = 1024,
+                    floor: float = -30.0):
+        """Quantize an `NGramLM`'s context rows by k-means.
+
+        Rows are floored at `floor` (log-domain; deeper mass is
+        steering-irrelevant) and distances computed on a random column
+        subsample of at most `max_cols` (bounds build cost at large V);
+        class rows are full-width means of their member rows.  The
+        start-of-sequence context keeps its EXACT row.  Build-time NumPy —
+        O(V * max_cols * n_classes * iters).
+        """
+        if not isinstance(lm, NGramLM):
+            raise ValueError("from_bigram takes a dense NGramLM")
+        v = lm._v
+        n_classes = int(min(n_classes, v))
+        X = np.maximum(np.asarray(lm._table[:v], np.float32), floor)
+        rng = np.random.default_rng(seed)
+        cols = (np.arange(v) if v <= max_cols
+                else rng.choice(v, max_cols, replace=False))
+        Xd = X[:, cols]
+        cent = Xd[rng.choice(v, n_classes, replace=False)]
+        assign = np.zeros(v, np.int64)
+        for _ in range(int(iters)):
+            d = ((Xd[:, None, :] - cent[None]) ** 2).sum(-1) \
+                if v * n_classes * len(cols) < (1 << 27) else None
+            if d is None:  # blockwise distances at large V
+                d = np.empty((v, n_classes), np.float32)
+                x2 = (Xd ** 2).sum(1)
+                for c0 in range(0, n_classes, 16):
+                    cc = cent[c0:c0 + 16]
+                    d[:, c0:c0 + 16] = (x2[:, None]
+                                        - 2.0 * Xd @ cc.T
+                                        + (cc ** 2).sum(1)[None])
+            assign = d.argmin(1)
+            for c in range(n_classes):
+                m = assign == c
+                if m.any():
+                    cent[c] = Xd[m].mean(0)
+                else:  # reseed empty clusters to the farthest point
+                    far = int(d.min(1).argmax())
+                    cent[c] = Xd[far]
+                    assign[far] = c
+        rows = np.zeros((n_classes + 1, v), np.float32)
+        for c in range(n_classes):
+            m = assign == c
+            rows[c] = X[m].mean(0) if m.any() else floor
+        rows[n_classes] = np.maximum(
+            np.asarray(lm._table[v], np.float32), floor)
+        return cls(assign.astype(np.int32), rows)
+
+
 _BUCKET = 8        # entries per hash bucket (one gathered row)
 _PROBE_MAX = 8192  # entry count below which the probe layout wins
 

@@ -343,3 +343,146 @@ def test_guide_lm_validation(rng, tmp_path):
     with pytest.raises(ValueError, match="envelope"):
         beam_search_chunked_lm(lp, il, lm=word, lm_alpha=0.5,
                                guide_lm=bad_v)
+
+
+# ---------------------------------------------------------------------------
+# QuantizedBigramGuide: class-keyed in-kernel steering (any vocab size)
+# ---------------------------------------------------------------------------
+
+
+def test_quantized_guide_identity_matches_symbol_guide(rng):
+    """cls_map = identity (one class per token, centroid rows = the exact
+    bigram rows): the class-keyed kernel path must reproduce the
+    symbol-keyed guide decode exactly, across chunk boundaries."""
+    from end2end_tpu.ops.lm import NGramLM, QuantizedBigramGuide
+
+    B, T, V, W = 3, 40, 5, 6
+    lm = NGramLM(bigram_from_counts(rng.integers(0, 20, (V, V))),
+                 start_logp=rng.standard_normal(V).astype(np.float32),
+                 eos_logp=rng.standard_normal(V).astype(np.float32))
+    qg = QuantizedBigramGuide(np.arange(V, dtype=np.int32),
+                              np.asarray(lm._table))
+    lp = lsm(rng.standard_normal((T, B, V)) * 1.5).astype(np.float32)
+    il = rng.integers(T // 2, T + 1, B).astype(np.int32)
+    a, b_ = 0.8, 0.3
+    st, sl, ss = beam_search_chunked_lm(lp, il, beam_width=W, lm=lm,
+                                        lm_alpha=a, lm_beta=b_, chunk_t=8,
+                                        guide_lm=lm)
+    qt, ql, qs = beam_search_chunked_lm(lp, il, beam_width=W, lm=lm,
+                                        lm_alpha=a, lm_beta=b_, chunk_t=8,
+                                        guide_lm=qg)
+    np.testing.assert_array_equal(np.asarray(st), np.asarray(qt))
+    np.testing.assert_array_equal(np.asarray(sl), np.asarray(ql))
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(qs),
+                               atol=1e-5, rtol=1e-6)
+
+
+def test_quantized_guide_recovers_scan_at_large_vocab():
+    """THE lift: V = 80 > the 64-row symbol-keyed cap — the dense guide is
+    rejected, the class-keyed guide steers per frame and recovers the
+    fused scan's answer that chunk-only steering loses."""
+    from end2end_tpu.ops.lm import NGramLM, QuantizedBigramGuide
+
+    V, T = 80, 24
+    big = np.full((V, V), -8.0, np.float32)
+    big[:, 1] = -0.1   # the LM strongly prefers token 1...
+    big[:, 2] = -4.0
+    start = np.full((V,), -8.0, np.float32)
+    start[1], start[2] = -0.1, -4.0
+    lm = NGramLM(big, start_logp=start)
+    lp = np.full((T, 1, V), -9.0, np.float32)
+    for t in range(T):
+        if t % 3 == 2:
+            lp[t, 0, 0] = -0.05
+        else:
+            lp[t, 0, 2] = -0.6   # ...while acoustics mildly prefer 2
+            lp[t, 0, 1] = -1.0
+    lp = lsm(lp.astype(np.float64)).astype(np.float32)
+    il = np.array([T], np.int32)
+    kw = dict(beam_width=2, prune_k=2, lm=lm, lm_alpha=1.2, lm_beta=0.0)
+    st, sl, _ = beam_search_decode(lp, il, implementation="xla", **kw)
+    ut, ul, _ = beam_search_chunked_lm(lp, il, chunk_t=24, **kw)
+    with pytest.raises(ValueError, match="context rows"):
+        beam_search_chunked_lm(lp, il, chunk_t=24, guide_lm=lm, **kw)
+    qg = QuantizedBigramGuide.from_bigram(lm, n_classes=4)
+    gt, gl, _ = beam_search_chunked_lm(lp, il, chunk_t=24, guide_lm=qg,
+                                       **kw)
+    top = lambda tk, ln: np.asarray(tk)[0, 0, : int(ln[0, 0])].tolist()
+    assert top(st, sl) == [1] * 8
+    assert top(ut, ul) == [2] * 8      # chunk-only steering loses the path
+    assert top(gt, gl) == top(st, sl)  # the class guide recovers it
+
+
+def test_quantized_guide_word_lm_peaked_matches_scan(rng, tmp_path):
+    """Quantized guide + word LM on peaked lattices: the guide must not
+    perturb acoustically forced configurations (top-1 and scores match
+    the fused scan)."""
+    from end2end_tpu.ops.lm import NGramLM, QuantizedBigramGuide
+
+    B, T, V, W = 4, 30, 5, 8
+    lm = _lms(rng, tmp_path, V)["word2"]
+    guide = QuantizedBigramGuide.from_bigram(
+        NGramLM(bigram_from_counts(rng.integers(0, 20, (V, V)))),
+        n_classes=3)
+    lp = _peaked_lattice(rng, B, T, V)
+    il = rng.integers(T - 6, T + 1, B).astype(np.int32)
+    a, b_ = 0.7, 0.2
+    ct, cl, cs = beam_search_chunked_lm(lp, il, beam_width=W, lm=lm,
+                                        lm_alpha=a, lm_beta=b_, chunk_t=7,
+                                        guide_lm=guide)
+    xt, xl, xs = beam_search_decode(lp, il, beam_width=W, lm=lm,
+                                    lm_alpha=a, lm_beta=b_,
+                                    implementation="xla")
+    for i in range(B):
+        top_c = np.asarray(ct)[i, 0, : int(cl[i, 0])].tolist()
+        top_x = np.asarray(xt)[i, 0, : int(xl[i, 0])].tolist()
+        assert top_c == top_x, i
+        np.testing.assert_allclose(float(cs[i, 0]), float(xs[i, 0]),
+                                   atol=2e-3, rtol=1e-4)
+
+
+def test_from_bigram_recovers_block_structure(rng):
+    """k-means quantization: contexts with identical bigram rows land in
+    one class whose row equals the shared row (floored)."""
+    from end2end_tpu.ops.lm import NGramLM, QuantizedBigramGuide
+
+    V, G = 12, 3
+    rows = rng.standard_normal((G, V)).astype(np.float32)
+    rows = lsm(rows)
+    groups = np.repeat(np.arange(G), V // G)
+    big = rows[groups]
+    lm = NGramLM(big)
+    qg = QuantizedBigramGuide.from_bigram(lm, n_classes=G, iters=8)
+    cm = np.asarray(qg._cls_map)
+    for g in range(G):
+        members = cm[groups == g]
+        assert len(set(members.tolist())) == 1, (g, members)
+        row = np.asarray(qg._table)[members[0]]
+        np.testing.assert_allclose(row, np.maximum(rows[g], -30.0),
+                                   atol=1e-5)
+    # distinct groups get distinct classes
+    assert len({cm[groups == g][0] for g in range(G)}) == G
+
+
+def test_quantized_guide_validation(rng):
+    from end2end_tpu.ops.lm import NGramLM, QuantizedBigramGuide
+
+    V = 5
+    lm = NGramLM(bigram_from_counts(rng.integers(0, 9, (V, V))))
+    lp = lsm(rng.standard_normal((10, 1, V)) * 1.5).astype(np.float32)
+    il = np.array([10], np.int32)
+    with pytest.raises(ValueError, match="cls_map values"):
+        QuantizedBigramGuide(np.array([0, 1, 2, 3, 9]),
+                             np.zeros((4, V), np.float32))
+    with pytest.raises(ValueError, match="table columns"):
+        QuantizedBigramGuide(np.zeros(V, np.int32),
+                             np.zeros((4, V + 2), np.float32))
+    big = QuantizedBigramGuide(np.zeros(V, np.int32),
+                               np.zeros((70, V), np.float32))
+    with pytest.raises(ValueError, match="n_classes"):
+        beam_search_chunked_lm(lp, il, lm=lm, lm_alpha=0.5, guide_lm=big)
+    wrong_v = QuantizedBigramGuide(np.zeros(V + 2, np.int32),
+                                   np.zeros((4, V + 2), np.float32))
+    with pytest.raises(ValueError, match="vocab"):
+        beam_search_chunked_lm(lp, il, lm=lm, lm_alpha=0.5,
+                               guide_lm=wrong_v)
