@@ -50,6 +50,15 @@ BASELINE_LOSS_CELLS_PER_S = {
 }
 BASELINE_GREEDY_SEQ_PER_S = 399.0  # torch-CPU argmax + py collapse
 BASELINE_BEAM_SEQ_PER_S = 1.1      # pure-Python prefix beam (width 8)
+# Pure-Python prefix beam at BASELINE configs 3/4's exact decode shapes,
+# measured 2026-08-20 (beam_search_decode_ref, 1 vCPU): OCR W=10,K=16 at
+# T=256,V=96 -> 437.6 ms/seq; BPE W=16,K=32 at T=1500,V=1024 -> 12.11 s/seq.
+BASELINE_BEAM_OCR_SEQ_PER_S = 2.29
+BASELINE_BEAM_BPE_SEQ_PER_S = 0.083
+# Config 5 end-to-end long-form pipeline: torch-CPU conformer-256x4 encoder
+# (1 thread, 8.0 s) + pure-Python beam-8 decode (5.2 s) at B=8, 30 s audio
+# = 13.2 s/iter (scripts/baseline_pipeline_torch.py, measured 2026-08-20).
+BASELINE_PIPELINE_SEQ_PER_S = 0.605
 # Fastest practical pure-torch wavefront DP + autograd, 1 thread, measured
 # 2026-08-18 (scripts/baseline_rnnt_torch.py): 1287 ms/iter at the row's
 # config.  torch ships no native transducer loss.
@@ -86,7 +95,15 @@ def make_lattice(B, T, V, seed=0):
 
 
 def chained_time(make_run, r_long=9, reps=3):
-    """Median of `reps` paired (t(1), t(r_long)) chained estimates."""
+    """Median of `reps` paired (t(1), t(r_long)) chained estimates.
+
+    The raw delta is used — NO lower clamp.  A clamp like max(delta, eps)
+    biases the median UP when the per-iter time is comparable to tunnel
+    noise (the round-4 greedy row published a physically impossible
+    4.5M seq/s that way); instead, callers pick r_long large enough that
+    the chained delta dwarfs the noise, and `emit` enforces a physical
+    HBM-bandwidth floor on every row.  A non-positive median means the
+    measurement is pure noise — fail loudly rather than publish it."""
     run1, runl = make_run(1), make_run(r_long)
     float(run1())
     float(runl())
@@ -98,8 +115,14 @@ def chained_time(make_run, r_long=9, reps=3):
         t0 = time.perf_counter()
         float(runl())
         tl = time.perf_counter() - t0
-        est.append(max(tl - t1, 1e-9) / (r_long - 1))
-    return float(np.median(est))
+        est.append((tl - t1) / (r_long - 1))
+    med = float(np.median(est))
+    if med <= 0:
+        print(f"bench: non-positive chained estimate {med:.3e}s "
+              f"(r_long={r_long} too small for this op vs timing noise) — "
+              "refusing to publish", file=sys.stderr, flush=True)
+        sys.exit(4)
+    return med
 
 
 def bench_loss_grad(B, T, S, V, implementation="auto", r_long=9):
@@ -135,7 +158,9 @@ def bench_loss_grad(B, T, S, V, implementation="auto", r_long=9):
     return dt, B * T * (2 * S + 1) / dt
 
 
-def bench_greedy(B, T, V, r_long=17):
+def bench_greedy(B, T, V, r_long=129):
+    # r_long=129: the ~0.2 ms op needs ~25 ms of chained work so the paired
+    # delta dwarfs tunnel timing noise (round 4's r=17 published noise).
     lp = make_lattice(B, T, V)
     il = jnp.asarray(np.full(B, T, np.int32))
 
@@ -301,6 +326,39 @@ def bench_rescore(B, T, V, W, K, r_long=9, max_symbols=256):
             return vs.sum()
 
         return lambda: run(lp)
+
+    dt = chained_time(make_run, r_long)
+    return dt, B / dt
+
+
+def bench_pipeline(B=8, seconds=30, r_long=3, W=8, K=16):
+    """End-to-end Conformer-CTC long-form pipeline (BASELINE config 5):
+    waveform -> log-mel -> encoder -> fused beam decode in ONE jitted
+    program.  Baseline: the same architecture in torch-CPU (1 thread) +
+    the pure-Python prefix beam (scripts/baseline_pipeline_torch.py)."""
+    from end2end_tpu.models.pipeline import ConformerCTCPipeline, PipelineConfig
+
+    pipe = ConformerCTCPipeline(PipelineConfig(
+        vocab_size=32, d_model=256, num_layers=4, num_heads=4))
+    rng = np.random.default_rng(0)
+    n_samp = seconds * 16000
+    wav = jax.device_put(jnp.asarray(
+        rng.standard_normal((B, n_samp)).astype(np.float32)))
+    ns = jnp.asarray(np.full(B, n_samp, np.int32))
+    params = pipe.init(jax.random.key(0), wav, ns)
+
+    def make_run(r):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                toks, lens, scores = pipe.decode(
+                    params, c, ns, beam_width=W, prune_k=K)
+                return c.at[0, 0].add(1e-6 * scores.sum()), scores[0]
+
+            _, vs = jax.lax.scan(body, x, None, length=r)
+            return vs.sum()
+
+        return lambda: run(wav)
 
     dt = chained_time(make_run, r_long)
     return dt, B / dt
@@ -567,8 +625,29 @@ def bench_rnnt_beam_lm(N, T, V, W, r_long=5, s_cap=128):
     return dt, N / dt
 
 
-def emit(metric, value, unit, baseline):
-    """One JSON metric line on stdout (the driver parses the LAST line)."""
+# Generous per-chip HBM bandwidth ceiling (B/s).  v5e is ~0.82 TB/s, v5p
+# ~2.8 TB/s; 3.5 TB/s passes any real chip while still catching the
+# noise-artifact class (round 4 published a greedy row implying 18 TB/s).
+HBM_BW_CEILING = 3.5e12
+
+
+def emit(metric, value, unit, baseline, dt=None, min_hbm_bytes=None):
+    """One JSON metric line on stdout (the driver parses the LAST line).
+
+    When (dt, min_hbm_bytes) are given, the row must be PHYSICALLY possible:
+    the op provably moves at least min_hbm_bytes through HBM per iteration
+    (e.g. one read of the input lattice), so dt below min_hbm_bytes /
+    HBM_BW_CEILING can only be a measurement artifact — fail loudly
+    instead of publishing it."""
+    if dt is not None and min_hbm_bytes is not None:
+        implied = min_hbm_bytes / dt
+        if implied > HBM_BW_CEILING:
+            print(f"bench: IMPOSSIBLE row '{metric}': {dt*1e6:.1f} us/iter "
+                  f"implies {implied/1e12:.1f} TB/s HBM (>= "
+                  f"{min_hbm_bytes/1e6:.0f} MB must move per iter; ceiling "
+                  f"{HBM_BW_CEILING/1e12:.1f} TB/s) — measurement artifact, "
+                  "refusing to publish", file=sys.stderr, flush=True)
+            sys.exit(4)
     print(json.dumps({
         "metric": metric,
         "value": round(float(value), 2),
@@ -623,41 +702,66 @@ def main():
             B, T, S, V, r = LOSS_CONFIGS[name]
             dt, cps = bench_loss_grad(B, T, S, V, args.impl, r_long=r)
             emit(f"ctc_loss+grad {name} (B={B},T={T},S={S},V={V})",
-                 cps / 1e6, "M cells/s", BASELINE_LOSS_CELLS_PER_S[name] / 1e6)
+                 cps / 1e6, "M cells/s", BASELINE_LOSS_CELLS_PER_S[name] / 1e6,
+                 dt=dt, min_hbm_bytes=4 * T * B * V)  # grad write alone
 
         dt, sps = bench_greedy(32, 1000, 1024)
         emit("greedy_decode seq/s (B=32,T=1000,V=1024)", sps, "seq/s",
-             BASELINE_GREEDY_SEQ_PER_S)
+             BASELINE_GREEDY_SEQ_PER_S,
+             dt=dt, min_hbm_bytes=4 * 32 * 1000 * 1024)  # argmax lattice read
         dt, sps, _ = bench_beam(32, 1000, 1024, 8, 16)
         emit("beam8_decode seq/s (B=32,T=1000,V=1024,prune=16)", sps, "seq/s",
-             BASELINE_BEAM_SEQ_PER_S)
+             BASELINE_BEAM_SEQ_PER_S,
+             dt=dt, min_hbm_bytes=4 * 32 * 1000 * 1024)
         dt, sps, _ = bench_beam(32, 1000, 1024, 16, 32)
         emit("beam16_decode seq/s (B=32,T=1000,V=1024,prune=32)", sps,
-             "seq/s", BASELINE_BEAM_SEQ_PER_S)
+             "seq/s", BASELINE_BEAM_SEQ_PER_S,
+             dt=dt, min_hbm_bytes=4 * 32 * 1000 * 1024)
+        # BASELINE.json configs 3 and 4 at their EXACT decode shapes.
+        dt, sps, _ = bench_beam(64, 256, 96, 10, 16, r_long=17)
+        emit("beam10_decode OCR seq/s (B=64,T=256,V=96,prune=16)", sps,
+             "seq/s", BASELINE_BEAM_OCR_SEQ_PER_S,
+             dt=dt, min_hbm_bytes=4 * 64 * 256 * 96)
+        dt, sps, _ = bench_beam(16, 1500, 1024, 16, 32)
+        emit("beam16_decode BPE seq/s (B=16,T=1500,V=1024,prune=32)", sps,
+             "seq/s", BASELINE_BEAM_BPE_SEQ_PER_S,
+             dt=dt, min_hbm_bytes=4 * 16 * 1500 * 1024)
+        # BASELINE.json config 5: the end-to-end long-form pipeline.
+        dt, sps = bench_pipeline(8, 30)
+        emit("pipeline_longform seq/s (B=8,30s audio,conformer-256x4,beam8)",
+             sps, "seq/s", BASELINE_PIPELINE_SEQ_PER_S,
+             dt=dt, min_hbm_bytes=4 * 8 * 30 * 16000)
         dt, sps = bench_beam_lm(128, 1000, 29, 8, 16)
         emit("beam8+bigramLM_fused seq/s (B=128,T=1000,V=29)", sps, "seq/s",
-             BASELINE_BEAM_SEQ_PER_S)
+             BASELINE_BEAM_SEQ_PER_S, dt=dt, min_hbm_bytes=4 * 128 * 1000 * 29)
         dt, sps = bench_beam_word_lm(128, 1000, 29, 8, 16)
         emit("beam8+wordTRIGRAM_chunked seq/s (B=128,T=1000,V=29,2k words)",
-             sps, "seq/s", BASELINE_BEAM_SEQ_PER_S)
+             sps, "seq/s", BASELINE_BEAM_SEQ_PER_S,
+             dt=dt, min_hbm_bytes=4 * 128 * 1000 * 29)
         dt, sps = bench_rescore(128, 1000, 29, 8, 16)
         emit("beam8+wordTRIGRAM_rescore seq/s (B=128,T=1000,V=29,2k words)",
-             sps, "seq/s", BASELINE_BEAM_SEQ_PER_S)
+             sps, "seq/s", BASELINE_BEAM_SEQ_PER_S,
+             dt=dt, min_hbm_bytes=4 * 128 * 1000 * 29)
         dt, cps = bench_rnnt_loss(8, 400, 80, 256)
         emit("rnnt_loss+grad lattice cells/s (B=8,T=400,U=80,V=256)",
-             cps / 1e6, "M cells/s", BASELINE_RNNT_CELLS_PER_S / 1e6)
+             cps / 1e6, "M cells/s", BASELINE_RNNT_CELLS_PER_S / 1e6,
+             dt=dt, min_hbm_bytes=4 * 8 * 400 * 81 * 256)  # grad write
         dt, sps = bench_rnnt_greedy(16, 400, 256)
         emit("rnnt_greedy seq/s (B=16,T=400,V=256,GRU-256)", sps, "seq/s",
-             BASELINE_RNNT_GREEDY_SEQ_PER_S)
+             BASELINE_RNNT_GREEDY_SEQ_PER_S,
+             dt=dt, min_hbm_bytes=4 * 16 * 400 * 256)  # encoder read
         dt, sps = bench_rnnt_greedy_rt(16, 400, 256)
         emit("rnnt_greedy_rt seq/s (B=16,T=400,V=256,blank-dom,"
-             "lookahead=8)", sps, "seq/s", BASELINE_RNNT_GREEDY_RT_SEQ_PER_S)
+             "lookahead=8)", sps, "seq/s", BASELINE_RNNT_GREEDY_RT_SEQ_PER_S,
+             dt=dt, min_hbm_bytes=4 * 16 * 400 * 256)
         dt, sps = bench_rnnt_beam(16, 400, 256, 4)
         emit("rnnt_beam4 seq/s (B=16,T=400,V=256,GRU-256)", sps, "seq/s",
-             BASELINE_RNNT_BEAM_SEQ_PER_S)
+             BASELINE_RNNT_BEAM_SEQ_PER_S,
+             dt=dt, min_hbm_bytes=4 * 16 * 400 * 256)
         dt, sps = bench_rnnt_beam_lm(16, 400, 256, 4)
         emit("rnnt_beam4+bigramLM seq/s (B=16,T=400,V=256,GRU-256)", sps,
-             "seq/s", BASELINE_RNNT_BEAM_SEQ_PER_S)
+             "seq/s", BASELINE_RNNT_BEAM_SEQ_PER_S,
+             dt=dt, min_hbm_bytes=4 * 16 * 400 * 256)
         dt, cps = bench_rnnt_fused(8, 400, 80, 32768)
         emit("rnnt_fused_f32_loss+grad cells/s (B=8,T=400,U=80,V=32768,"
              "J=128)", cps / 1e6, "M cells/s",
@@ -670,7 +774,8 @@ def main():
     B, T, S, V, r = LOSS_CONFIGS["metric"]
     dt, cps = bench_loss_grad(B, T, S, V, args.impl, r_long=r)
     emit("ctc_loss+grad lattice cells/sec/chip (B=32,T=1000,S=100,V=1024)",
-         cps / 1e6, "M cells/s", BASELINE_LOSS_CELLS_PER_S["metric"] / 1e6)
+         cps / 1e6, "M cells/s", BASELINE_LOSS_CELLS_PER_S["metric"] / 1e6,
+         dt=dt, min_hbm_bytes=4 * T * B * V)
 
 
 if __name__ == "__main__":
