@@ -72,6 +72,10 @@ BASELINE_RNNT_GREEDY_SEQ_PER_S = 14.5
 # scripts/baseline_rnnt_torch.py --decode-rt (measured 2026-08-19)
 BASELINE_RNNT_GREEDY_RT_SEQ_PER_S = 23.8
 BASELINE_RNNT_BEAM_SEQ_PER_S = 1.33
+# blank-dominated ALSD dict-beam host loop (same blank-biased joint as the
+# greedy rt row): scripts/baseline_rnnt_torch.py --decode-beam-rt,
+# measured 2026-08-20: 700.0 ms/seq.
+BASELINE_RNNT_BEAM_RT_SEQ_PER_S = 1.43
 # Chunked fused-joint loss+grad in torch (checkpointed chunks + autograd,
 # 1 thread), measured 2026-08-19 at V=4096: 233.6 s/iter; the V=32768
 # constant extrapolates x8 (the joint matmul dominates, linear in V).
@@ -593,6 +597,35 @@ def bench_rnnt_beam(N, T, V, W, r_long=5, s_cap=128):
     return dt, N / dt
 
 
+def bench_rnnt_beam_rt(N, T, V, W, r_long=5, s_cap=128, lookahead=8):
+    """ALSD beam on the BLANK-DOMINATED workload (~5% emission rate) with
+    `lookahead` frames' joints evaluated per sequential dispatch — the
+    window replays exact ALSD mini-steps and stops at the first emission
+    (ops/rnnt_decode.py window_body; tokens bit-identical to lookahead=1).
+    Baseline: the Python dict-beam host loop on the same blank-biased
+    joint (scripts/baseline_rnnt_torch.py --decode-beam-rt)."""
+    from end2end_tpu.ops.rnnt_decode import rnnt_beam_decode
+
+    enc, il, pred, init_h, joint = _rnnt_decoder(N, T, V, blank_bias=1.1)
+
+    def make_run(r):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                toks, lens, scores = rnnt_beam_decode(
+                    c, il, pred, init_h, joint, beam_width=W,
+                    max_symbols=s_cap, lookahead=lookahead)
+                return c.at[0, 0, 0].add(1e-6 * scores.sum()), scores[0, 0]
+
+            _, vs = jax.lax.scan(body, x, None, length=r)
+            return vs.sum()
+
+        return lambda: run(enc)
+
+    dt = chained_time(make_run, r_long)
+    return dt, N / dt
+
+
 def bench_rnnt_beam_lm(N, T, V, W, r_long=5, s_cap=128):
     """ALSD transducer beam search WITH bigram shallow fusion — the LM
     state rides the ALSD carry, advance deferred to survivors
@@ -757,6 +790,10 @@ def main():
         dt, sps = bench_rnnt_beam(16, 400, 256, 4)
         emit("rnnt_beam4 seq/s (B=16,T=400,V=256,GRU-256)", sps, "seq/s",
              BASELINE_RNNT_BEAM_SEQ_PER_S,
+             dt=dt, min_hbm_bytes=4 * 16 * 400 * 256)
+        dt, sps = bench_rnnt_beam_rt(16, 400, 256, 4)
+        emit("rnnt_beam4_rt seq/s (B=16,T=400,V=256,blank-dom,lookahead=8)",
+             sps, "seq/s", BASELINE_RNNT_BEAM_RT_SEQ_PER_S,
              dt=dt, min_hbm_bytes=4 * 16 * 400 * 256)
         dt, sps = bench_rnnt_beam_lm(16, 400, 256, 4)
         emit("rnnt_beam4+bigramLM seq/s (B=16,T=400,V=256,GRU-256)", sps,

@@ -155,9 +155,9 @@ class ConformerTransducer:
         full sorted beam (tokens (N, W, S), lengths, scores).  Timestamps
         (emission frames in ENCODER frames — multiply by the subsampling
         factor for feature frames) appended when requested.  `lookahead`
-        (greedy only) evaluates that many frames per sequential step —
-        worth 4-8 on blank-dominated (realistic) audio; results are
-        bit-identical either way.
+        (greedy, and beam when lm is None) evaluates that many frames per
+        sequential step — worth 4-8 on blank-dominated (realistic) audio;
+        tokens/lengths/times are bit-identical either way.
         """
         enc, enc_len = self.encode(params, feats, lengths)
         pred, init_h, joint = self.decoder_fns(params)
@@ -170,4 +170,5 @@ class ConformerTransducer:
             enc, enc_len, pred, init_h, joint, blank=0,
             beam_width=beam_width, prune_k=prune_k,
             max_symbols=max_symbols, return_timestamps=return_timestamps,
-            lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta)
+            lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta,
+            lookahead=lookahead if lm is None else 1)

@@ -326,10 +326,10 @@ def _lm_score_nw(lm, state, ck):
 
 @partial(jax.jit, static_argnames=("pred_step", "joint_fn", "blank", "W",
                                    "K", "s_cap", "n_steps", "lm",
-                                   "lm_alpha", "lm_beta"))
+                                   "lm_alpha", "lm_beta", "lookahead"))
 def _rnnt_beam_scan(enc, il, avail, t_off, carry0, pred_step, joint_fn,
                     blank, W, K, s_cap, n_steps, lm=None, lm_alpha=0.0,
-                    lm_beta=0.0):
+                    lm_beta=0.0, lookahead=1):
     """Batched ALSD transducer beam search over ONE encoder chunk,
     resumable (see rnnt_beam_decode / StreamingRNNTBeamDecoder).
 
@@ -359,32 +359,23 @@ def _rnnt_beam_scan(enc, il, avail, t_off, carry0, pred_step, joint_fn,
     step_b = jax.vmap(jax.vmap(pred_step))
     joint_b = jax.vmap(jax.vmap(joint_one))
 
-    def body(carry, _):
-        it, t, u, score, h1, h2, tokens, times, hidden, lm_state = carry
+    def select_core(t, u, score, h1, h2, lm_state, lp_blank, lpk, ck):
+        """One EXACT ALSD candidate-generation + merge + top-W selection
+        from NORMALIZED candidate log-probs (lp_blank (N, W); lpk/ck
+        (N, W, K)).  Shared verbatim by the stepwise body and the
+        lookahead mini-steps so the two paths cannot drift.  Returns the
+        new (t, u, score, hash) state plus the selection metadata callers
+        need to advance buffers / the predictor (parent, emit, tok, pt,
+        pu) and the sample-level chunk-edge freeze flag."""
         alive = score > LOG0_THRESHOLD                       # (N, W)
         finished = (t >= il[:, None]) & alive
         live = alive & ~finished
         # chunk-edge freeze (one-shot: avail == il, never triggers)
         frozen = jnp.any(live & (t >= avail[:, None]), axis=1)  # (N,)
 
-        t_loc = jnp.clip(t - t_off[:, None], 0, t_max - 1)
-        f = enc_flat[(row0 + t_loc).reshape(-1)]
-        f = f.reshape(n, W, h_enc)
-        # Normalize only what the candidates read: blank + top-K rows get
-        # a shared per-row logsumexp instead of a full (N, W, V) normalize
-        # (top-K order on logits == on log-probs; scores move by ulps).
-        logits = joint_b(f, hidden)                          # (N, W, V)
-        m = jnp.max(logits, axis=-1)
-        lse = m + jnp.log(
-            jnp.sum(jnp.exp(logits - m[..., None]), axis=-1))
-
         # --- candidate generation: 1 blank/hold + K token extensions -----
-        lp_blank = logits[..., blank] - lse
         sc_b = score + jnp.where(live, lp_blank, 0.0)        # hold when done
         sc_b = jnp.where(alive, sc_b, LOG0)
-        lgnb = logits.at[..., blank].set(LOG0)
-        lgk, ck = jax.lax.top_k(lgnb, K)                     # (N, W, K)
-        lpk = lgk - lse[..., None]
         can_emit = live & (u < s_cap)
         # Shallow fusion: each token extension pays its LM delta UP FRONT
         # (steers pruning); hash-equal candidates share a prefix, hence an
@@ -401,14 +392,12 @@ def _rnnt_beam_scan(enc, il, avail, t_off, carry0, pred_step, joint_fn,
         cand_sc = cand_sc.reshape(n, C)
         cand_tok = jnp.concatenate(
             [jnp.full((n, W, 1), -1, jnp.int32), ck], axis=2).reshape(n, C)
-        tok_u = cand_tok.astype(jnp.uint32)
         ch1 = jnp.concatenate(
             [h1[:, :, None], h1[:, :, None] * _M1 + ck.astype(jnp.uint32)],
             axis=2).reshape(n, C)
         ch2 = jnp.concatenate(
             [h2[:, :, None], h2[:, :, None] * _M2 + ck.astype(jnp.uint32)],
             axis=2).reshape(n, C)
-        del tok_u
         cand_dead = cand_sc <= LOG0_THRESHOLD
         ch1 = jnp.where(cand_dead, _DEAD + np.uint32(0x100) + arange_c, ch1)
         ch2 = jnp.where(cand_dead, _DEAD + np.uint32(0x100) + arange_c, ch2)
@@ -440,11 +429,39 @@ def _rnnt_beam_scan(enc, il, avail, t_off, carry0, pred_step, joint_fn,
         new_t = jnp.where(pfin | emit, pt, pt + 1)
         new_u = pu + emit.astype(jnp.int32)
 
+        nh1 = jnp.where(new_alive, nh1, _DEAD + arange_w[None])
+        nh2 = jnp.where(new_alive, nh2, _DEAD + arange_w[None])
+        new_u = jnp.where(new_alive, new_u, 0)
+        new_t = jnp.where(new_alive, new_t, 0)
+        return dict(t=new_t, u=new_u, score=new_score, h1=nh1, h2=nh2,
+                    parent=parent, emit=emit, tok=tok, pt=pt, pu=pu,
+                    sel=sel, lm_ext=lm_ext, frozen=frozen)
+
+    def body(carry, _):
+        it, t, u, score, h1, h2, tokens, times, hidden, lm_state = carry
+        t_loc = jnp.clip(t - t_off[:, None], 0, t_max - 1)
+        f = enc_flat[(row0 + t_loc).reshape(-1)]
+        f = f.reshape(n, W, h_enc)
+        # Normalize only what the candidates read: blank + top-K rows get
+        # a shared per-row logsumexp instead of a full (N, W, V) normalize
+        # (top-K order on logits == on log-probs; scores move by ulps).
+        logits = joint_b(f, hidden)                          # (N, W, V)
+        m = jnp.max(logits, axis=-1)
+        lse = m + jnp.log(
+            jnp.sum(jnp.exp(logits - m[..., None]), axis=-1))
+        lp_blank = logits[..., blank] - lse
+        lgnb = logits.at[..., blank].set(LOG0)
+        lgk, ck = jax.lax.top_k(lgnb, K)                     # (N, W, K)
+        lpk = lgk - lse[..., None]
+
+        s = select_core(t, u, score, h1, h2, lm_state, lp_blank, lpk, ck)
+        parent, emit, tok = s["parent"], s["emit"], s["tok"]
+
         ptokens = jnp.take_along_axis(tokens, parent[:, :, None], axis=1)
         ptimes = jnp.take_along_axis(times, parent[:, :, None], axis=1)
-        wmask = emit[:, :, None] & (u_iota == pu[:, :, None])
+        wmask = emit[:, :, None] & (u_iota == s["pu"][:, :, None])
         new_tokens = jnp.where(wmask, tok[:, :, None], ptokens)
-        new_times = jnp.where(wmask, pt[:, :, None], ptimes)
+        new_times = jnp.where(wmask, s["pt"][:, :, None], ptimes)
 
         # deferred predictor advance: ONE batched step per surviving beam
         phid = jax.tree.map(
@@ -460,24 +477,128 @@ def _rnnt_beam_scan(enc, il, avail, t_off, carry0, pred_step, joint_fn,
         if lm is not None:
             # LM-state re-homing mirrors the predictor: representative
             # candidate of a merged set has the merged prefix's state.
-            kk = jnp.maximum(sel % (K + 1) - 1, 0).astype(jnp.int32)
-            new_lm_state = jax.vmap(lm.select)(lm_state, lm_ext, parent,
-                                               kk, ~emit)
+            kk = jnp.maximum(s["sel"] % (K + 1) - 1, 0).astype(jnp.int32)
+            new_lm_state = jax.vmap(lm.select)(lm_state, s["lm_ext"],
+                                               parent, kk, ~emit)
         else:
             new_lm_state = lm_state
 
-        nh1 = jnp.where(new_alive, nh1, _DEAD + arange_w[None])
-        nh2 = jnp.where(new_alive, nh2, _DEAD + arange_w[None])
-        new_u = jnp.where(new_alive, new_u, 0)
-        new_t = jnp.where(new_alive, new_t, 0)
-        new_carry = (new_t, new_u, new_score, nh1, nh2, new_tokens,
-                     new_times, new_hidden, new_lm_state)
+        new_carry = (s["t"], s["u"], s["score"], s["h1"], s["h2"],
+                     new_tokens, new_times, new_hidden, new_lm_state)
         # frozen samples hold their ENTIRE carry (the step never happened)
         hold = jax.tree.map(
             lambda a, b: jnp.where(
-                frozen.reshape((n,) + (1,) * (a.ndim - 1)), b, a),
+                s["frozen"].reshape((n,) + (1,) * (a.ndim - 1)), b, a),
             new_carry, carry[1:])
         return (it + 1,) + tuple(hold), None
+
+    F = int(lookahead)
+    f_iota_w = jnp.arange(F, dtype=jnp.int32)[None, None]     # (1, 1, F)
+
+    def window_body(carry, _):
+        """Lookahead window: evaluate the joint for F CONSECUTIVE frames of
+        every beam in ONE batched pass (the predictor state — and hence the
+        joint's h-side — is loop-invariant while only blanks are selected),
+        then replay up to F EXACT ALSD steps from the precomputed candidate
+        log-probs inside the same dispatch, stopping at the first step that
+        selects any emission (that step is applied in full) or freezes at a
+        chunk edge.  Each mini-step runs the same `select_core` as the
+        stepwise body, so beams, merges, and scores are step-identical; the
+        predictor advance and the token/time/hash/hidden buffer moves are
+        deferred past the mini-scan through the composed beam permutation
+        (blank steps only ever PERMUTE those buffers; the single emission
+        is applied once at the end).  Blank-dominated workloads cut
+        sequential dispatches up to F-fold."""
+        it, t, u, score, h1, h2, tokens, times, hidden, lm_state = carry
+        t_loc = jnp.clip(t[:, :, None] + f_iota_w - t_off[:, None, None],
+                         0, t_max - 1)                        # (N, W, F)
+        f = enc_flat[(row0[:, :, None] + t_loc).reshape(-1)]
+        f = f.reshape(n, W, F, h_enc)
+        logits = jax.vmap(jax.vmap(jax.vmap(
+            joint_one, in_axes=(0, None))))(f, hidden)        # (N, W, F, V)
+        m = jnp.max(logits, axis=-1)
+        lse = m + jnp.log(
+            jnp.sum(jnp.exp(logits - m[..., None]), axis=-1))
+        lpb_w = logits[..., blank] - lse                      # (N, W, F)
+        lgnb = logits.at[..., blank].set(LOG0)
+        lgk, ck_w = jax.lax.top_k(lgnb, K)                    # (N, W, F, K)
+        lpk_w = lgk - lse[..., None]
+
+        def mini(st, j):
+            stopped, mt, mu, msc, perm, emit_p, tok_p, pu_p, pt_p = st
+            h1c = jnp.take_along_axis(h1, perm, axis=1)
+            h2c = jnp.take_along_axis(h2, perm, axis=1)
+            lpb_j = jnp.take_along_axis(
+                jax.lax.dynamic_slice_in_dim(lpb_w, j, 1, 2)[:, :, 0],
+                perm, axis=1)
+            lpk_j = jnp.take_along_axis(
+                jax.lax.dynamic_slice_in_dim(lpk_w, j, 1, 2)[:, :, 0, :],
+                perm[:, :, None], axis=1)
+            ck_j = jnp.take_along_axis(
+                jax.lax.dynamic_slice_in_dim(ck_w, j, 1, 2)[:, :, 0, :],
+                perm[:, :, None], axis=1)
+            s = select_core(mt, mu, msc, h1c, h2c, None, lpb_j, lpk_j, ck_j)
+            any_emit = jnp.any(s["emit"], axis=1)             # (N,)
+            apply = ~stopped & ~s["frozen"]
+            ap = lambda new, old: jnp.where(
+                apply.reshape((n,) + (1,) * (new.ndim - 1)), new, old)
+            mt = ap(s["t"], mt)
+            mu = ap(s["u"], mu)
+            msc = ap(s["score"], msc)
+            perm = ap(jnp.take_along_axis(perm, s["parent"], axis=1), perm)
+            rec = apply & any_emit                            # stop step
+            rc = lambda new, old: jnp.where(
+                rec.reshape((n,) + (1,) * (new.ndim - 1)), new, old)
+            emit_p = rc(s["emit"], emit_p)
+            tok_p = rc(s["tok"], tok_p)
+            pu_p = rc(s["pu"], pu_p)
+            pt_p = rc(s["pt"], pt_p)
+            stopped = stopped | s["frozen"] | rec
+            return (stopped, mt, mu, msc, perm, emit_p, tok_p, pu_p,
+                    pt_p), None
+
+        perm0 = jnp.broadcast_to(
+            jnp.arange(W, dtype=jnp.int32)[None], (n, W))
+        init = (jnp.zeros((n,), bool), t, u, score, perm0,
+                jnp.zeros((n, W), bool), jnp.full((n, W), -1, jnp.int32),
+                jnp.zeros((n, W), jnp.int32), jnp.zeros((n, W), jnp.int32))
+        (stopped, mt, mu, msc, perm, emit_p, tok_p, pu_p, pt_p), _ = \
+            jax.lax.scan(mini, init, jnp.arange(F))
+
+        # Deferred buffer moves: all pre-stop steps only permuted beams.
+        alive_f = msc > LOG0_THRESHOLD
+        base_h1 = jnp.take_along_axis(h1, perm, axis=1)
+        base_h2 = jnp.take_along_axis(h2, perm, axis=1)
+        tok_u = jnp.maximum(tok_p, 0).astype(jnp.uint32)
+        nh1 = jnp.where(emit_p, base_h1 * _M1 + tok_u, base_h1)
+        nh2 = jnp.where(emit_p, base_h2 * _M2 + tok_u, base_h2)
+        nh1 = jnp.where(alive_f, nh1, _DEAD + arange_w[None])
+        nh2 = jnp.where(alive_f, nh2, _DEAD + arange_w[None])
+
+        ptokens = jnp.take_along_axis(tokens, perm[:, :, None], axis=1)
+        ptimes = jnp.take_along_axis(times, perm[:, :, None], axis=1)
+        wmask = emit_p[:, :, None] & (u_iota == pu_p[:, :, None])
+        new_tokens = jnp.where(wmask, tok_p[:, :, None], ptokens)
+        new_times = jnp.where(wmask, pt_p[:, :, None], ptimes)
+
+        phid = jax.tree.map(
+            lambda a: jnp.take_along_axis(
+                a, perm.reshape((n, W) + (1,) * (a.ndim - 2)), axis=1),
+            hidden)
+        hid_adv = step_b(phid, jnp.maximum(tok_p, 0))
+        new_hidden = jax.tree.map(
+            lambda a, b: jnp.where(
+                emit_p.reshape((n, W) + (1,) * (a.ndim - 2)), a, b),
+            hid_adv, phid)
+
+        return (it + 1, mt, mu, msc, nh1, nh2, new_tokens, new_times,
+                new_hidden, lm_state), None
+
+    if F > 1:
+        if lm is not None:
+            raise ValueError("lookahead > 1 requires lm=None (shallow-"
+                             "fusion LM state advances per step)")
+        body = window_body
 
     # Round-4 fast path: a while_loop that exits once no beam can change
     # anything but its own blank-tail score — every live beam is either
@@ -568,6 +689,7 @@ def rnnt_beam_decode(encoder_out, input_lengths, predictor_step,
                      init_hidden, joint_fn, *, beam_width: int = 4,
                      prune_k: int | None = None, blank: int = 0,
                      max_symbols: int | None = None,
+                     lookahead: int = 1,
                      return_timestamps: bool = False,
                      lm=None, lm_alpha: float = 0.0, lm_beta: float = 0.0):
     """Batched transducer beam search — ALSD, one shape-static scan.
@@ -592,6 +714,15 @@ def rnnt_beam_decode(encoder_out, input_lengths, predictor_step,
         min(2*W, V-1); V-1 = exhaustive).
       max_symbols: emitted-token cap per hypothesis = returned buffer width
         (default min(T, 256)).
+      lookahead: frames whose joints are evaluated per sequential dispatch
+        (>= 1; requires lm=None).  Each dispatch replays up to `lookahead`
+        EXACT ALSD steps from the batched joint outputs (the predictor
+        state is loop-invariant while every beam selects blank) and stops
+        at the first step that selects any emission — beams, merges,
+        tokens, lengths, and timestamps are step-identical to lookahead=1;
+        scores differ only by f32 re-association of the same per-frame
+        terms.  Pays off on blank-dominated (realistic ASR) joints: up to
+        `lookahead`x fewer sequential dispatches; 4-8 is a good range.
       lm / lm_alpha / lm_beta: optional shallow-fusion LM — ANY
         `ShallowFusionLM` protocol object from ops/lm.py (dense/hashed
         token n-gram, word-boundary, hotword, composite) or a `NeuralLM`
@@ -636,7 +767,8 @@ def rnnt_beam_decode(encoder_out, input_lengths, predictor_step,
         enc, il, il, jnp.zeros_like(il),
         _beam_carry0(n, W, s_cap, hidden0, lm),
         predictor_step, joint_fn, int(blank), W, K, s_cap, n_steps,
-        lm=lm, lm_alpha=float(lm_alpha), lm_beta=float(lm_beta))
+        lm=lm, lm_alpha=float(lm_alpha), lm_beta=float(lm_beta),
+        lookahead=int(lookahead))
     out = _rnnt_beam_finish(carry, W, lm=lm, lm_alpha=float(lm_alpha))
     return out if return_timestamps else out[:3]
 

@@ -288,7 +288,8 @@ class StreamingRNNTBeamDecoder:
     def __init__(self, predictor_step, init_hidden, joint_fn, *,
                  beam_width: int = 4, prune_k: int | None = None,
                  blank: int = 0, max_symbols: int = 256,
-                 lm=None, lm_alpha: float = 0.0, lm_beta: float = 0.0):
+                 lm=None, lm_alpha: float = 0.0, lm_beta: float = 0.0,
+                 lookahead: int = 1):
         self.pred_step = predictor_step
         self.init_hidden = init_hidden
         self.joint_fn = joint_fn
@@ -299,6 +300,7 @@ class StreamingRNNTBeamDecoder:
         self.lm = lm
         self.lm_alpha = float(lm_alpha)
         self.lm_beta = float(lm_beta)
+        self.lookahead = int(lookahead)
 
     def _k(self, h_enc):
         probe = jax.eval_shape(self.joint_fn,
@@ -338,7 +340,7 @@ class StreamingRNNTBeamDecoder:
             enc_eff, far, avail_new, avail - lb, carry, self.pred_step,
             self.joint_fn, self.blank, self.W, self._k(h_enc), self.s_cap,
             tc + self.s_cap, lm=self.lm, lm_alpha=self.lm_alpha,
-            lm_beta=self.lm_beta)
+            lm_beta=self.lm_beta, lookahead=self.lookahead)
         hist_new = jax.vmap(
             lambda e, o: jax.lax.dynamic_slice_in_dim(e, o, lb, axis=0)
         )(enc_eff, cl)
@@ -355,7 +357,7 @@ class StreamingRNNTBeamDecoder:
             hist, avail, avail, avail - lb, carry, self.pred_step,
             self.joint_fn, self.blank, self.W, self._k(h_enc), self.s_cap,
             lb + self.s_cap + 1, lm=self.lm, lm_alpha=self.lm_alpha,
-            lm_beta=self.lm_beta)
+            lm_beta=self.lm_beta, lookahead=self.lookahead)
         out = _rnnt_beam_finish(carry, self.W, lm=self.lm,
                                 lm_alpha=self.lm_alpha)
         return out if return_timestamps else out[:3]

@@ -15,6 +15,13 @@ timing.  Run on an otherwise idle box: `python scripts/baseline_rnnt_torch.py`.
 import sys
 import time
 
+import jax
+
+# CPU baseline: must precede any device use (repo imports build jnp
+# constants at import time, which would otherwise initialize — and, while
+# the tunnel is down, hang on — the axon TPU backend).
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import torch
 
@@ -254,6 +261,66 @@ def bench_decode_rt(n=16, t=400, v=256, s_cap=128, blank=0, bias=1.1):
           f"(emission rate {emitted / (n * t):.3f})")
 
 
+def bench_decode_beam_rt(n=16, t=400, v=256, W=4, s_cap=128, blank=0,
+                         bias=1.1):
+    """ALSD dict-beam host-loop baseline on the BLANK-DOMINATED workload
+    (same blank-biased joint as bench_decode_rt; same dict-beam code as
+    bench_decode) — the comparator for bench.py's rnnt_beam4_rt row."""
+    enc, params, init_h, mats = _decode_setup(n, t, v)
+    w_enc, w_pred, b_j, w_out, b_out = mats
+    b_out = b_out.copy()
+    b_out[blank] += bias
+    mats = (w_enc, w_pred, b_j, w_out, b_out)
+
+    K = 2 * W
+    t0 = time.perf_counter()
+    for b in range(n):
+        live = {(): (0.0, init_h)}
+        finished = {}
+        for d in range(t + s_cap):
+            cand, hid = {}, {}
+
+            def add(key, s, h=None):
+                if key in cand:
+                    cand[key] = np.logaddexp(cand[key], s)
+                else:
+                    cand[key] = s
+                    if h is not None:
+                        hid[key] = h
+
+            for p, s in finished.items():
+                add(("F",) + p, s)
+            for p, (s, h) in live.items():
+                tt = d - len(p)
+                lp = _np_joint_lp(enc[b, tt], h, mats)
+                if tt + 1 >= t:
+                    add(("F",) + p, s + lp[blank])
+                else:
+                    add(p, s + lp[blank], h)
+                if len(p) < s_cap:
+                    nb = np.argsort(-np.delete(lp, blank))[:K]
+                    nb = nb + (nb >= blank)
+                    for k in nb:
+                        add(p + (int(k),), s + lp[k],
+                            _np_gru_step(params, h, int(k)))
+            keep = sorted(cand, key=lambda key: -cand[key])[:W]
+            live, new_fin = {}, {}
+            for key in keep:
+                if key and key[0] == "F":
+                    new_fin[key[1:]] = cand[key]
+                else:
+                    live[key] = (cand[key], hid[key])
+            finished = new_fin
+            if not live:
+                break
+        if b == 0:
+            dt1 = time.perf_counter() - t0
+            print(f"  (beam-rt: first sample {dt1 * 1e3:.0f} ms)")
+    dt = time.perf_counter() - t0
+    print(f"numpy-CPU rnnt ALSD beam-{W} RT B={n},T={t},V={v},GRU-256,"
+          f"bias={bias}: {dt / n * 1e3:.1f} ms/seq, {n / dt:.3f} seq/s")
+
+
 def bench_fused(n=8, t=400, u=80, v=4096, j=128, tc=16, iters=1):
     """Chunked fused-joint loss+grad in torch (the V=32768 bench config's
     materialized joint is ~34 GB, infeasible even for the baseline, so the
@@ -333,7 +400,9 @@ def bench_fused(n=8, t=400, u=80, v=4096, j=128, tc=16, iters=1):
 
 
 if __name__ == "__main__":
-    if "--decode-rt" in sys.argv:
+    if "--decode-beam-rt" in sys.argv:
+        bench_decode_beam_rt()
+    elif "--decode-rt" in sys.argv:
         bench_decode_rt()
     elif "--decode" in sys.argv:
         bench_decode()

@@ -215,3 +215,138 @@ def test_beam_zero_length_and_timestamps():
         assert np.all(ts >= 0) and np.all(ts < il[1])
         assert np.all(np.diff(ts) >= 0)          # emission frames monotone
         assert np.all(times[1, w, L:] == -1)
+
+
+class TestBeamLookahead:
+    """lookahead=F replays F exact ALSD mini-steps per dispatch from one
+    batched joint pass (rnnt_decode window_body): beams/tokens/lengths/
+    timestamps must be IDENTICAL to the stepwise scan; scores re-associate
+    the same f32 per-frame terms."""
+
+    def _blank_biased(self, seed, n, t, v, bias, scale=1.0):
+        import jax.numpy as jnp
+
+        enc, pred, init_h, joint0 = _setup(seed, n=n, t=t, v=v, scale=scale)
+        # rebuild the additive joint with a blank-biased output bias
+        rng = np.random.default_rng(seed)
+        w_enc = rng.normal(size=(8, 7)).astype(np.float32) * 0.5
+        w_pred = rng.normal(size=(5, 7)).astype(np.float32) * 0.5
+        b_j = rng.normal(size=(7,)).astype(np.float32) * 0.1
+        w_out = rng.normal(size=(7, v)).astype(np.float32)
+        b_out = rng.normal(size=(v,)).astype(np.float32) * 0.1
+        b_out[0] += bias
+        joint = additive_joint(jnp.asarray(w_enc), jnp.asarray(w_pred),
+                               jnp.asarray(b_j), jnp.asarray(w_out),
+                               jnp.asarray(b_out))
+        return enc, pred, init_h, joint
+
+    def _check(self, enc, il, pred, init_h, joint, F, **kw):
+        ref = rnnt_beam_decode(enc, il, pred, init_h, joint,
+                               return_timestamps=True, **kw)
+        got = rnnt_beam_decode(enc, il, pred, init_h, joint, lookahead=F,
+                               return_timestamps=True, **kw)
+        for i, (a, b) in enumerate(zip(ref, got)):
+            a, b = np.asarray(a), np.asarray(b)
+            if i == 2:
+                np.testing.assert_allclose(a, b, atol=2e-5)
+            else:
+                np.testing.assert_array_equal(a, b)
+
+    def test_identical_emission_saturated(self):
+        n, t_max, v = 4, 14, 7
+        enc, pred, init_h, joint = _setup(23, n=n, t=t_max, v=v, scale=1.1)
+        il = np.array([t_max, t_max - 1, t_max - 5, 3], np.int32)
+        for F in (2, 4, 8):
+            self._check(enc, il, pred, init_h, joint, F,
+                        beam_width=4, max_symbols=8)
+
+    def test_identical_blank_dominated(self):
+        n, t_max, v = 3, 30, 9
+        enc, pred, init_h, joint = self._blank_biased(5, n, t_max, v, 2.5)
+        il = np.array([t_max, t_max - 7, t_max], np.int32)
+        for F in (3, 8):
+            self._check(enc, il, pred, init_h, joint, F,
+                        beam_width=4, max_symbols=16)
+
+    def test_identical_capped_and_narrow(self):
+        """Small s_cap exercises the symbol-cap + blank-tail interaction;
+        W=2/K=1 exercises degenerate widths."""
+        n, t_max, v = 3, 12, 6
+        enc, pred, init_h, joint = _setup(31, n=n, t=t_max, v=v, scale=1.4)
+        il = np.array([t_max, 5, t_max - 2], np.int32)
+        self._check(enc, il, pred, init_h, joint, 5,
+                    beam_width=4, max_symbols=2)
+        self._check(enc, il, pred, init_h, joint, 4,
+                    beam_width=2, max_symbols=6, prune_k=1)
+        self._check(enc, il, pred, init_h, joint, 16,
+                    beam_width=8, max_symbols=6, prune_k=v - 1)
+
+    def test_matches_python_alsd_oracle(self):
+        n, t_max, v, W, K, s_cap = 3, 8, 6, 4, 4, 5
+        enc, pred, init_h, joint = _setup(7, n=n, t=t_max, v=v, scale=1.3)
+        il = np.array([t_max, t_max - 2, t_max], np.int32)
+        toks, lens, scores = rnnt_beam_decode(
+            enc, il, pred, init_h, joint, beam_width=W, prune_k=K, blank=0,
+            max_symbols=s_cap, lookahead=4)
+        toks, lens, scores = map(np.asarray, (toks, lens, scores))
+        for b in range(n):
+            oracle = _alsd_oracle(enc[b], int(il[b]), pred, init_h, joint,
+                                  W, K, s_cap, 0, t_max + s_cap)
+            got = [(tuple(toks[b, w, :lens[b, w]].tolist()),
+                    float(scores[b, w]))
+                   for w in range(W) if scores[b, w] > -1e9]
+            assert got[0][0] == oracle[0][0]
+            odict = dict(oracle)
+            for y, s in got:
+                assert y in odict
+                np.testing.assert_allclose(s, odict[y], atol=2e-3)
+
+    def test_streaming_exact_with_lookahead(self):
+        from end2end_tpu.ops.streaming_decode import StreamingRNNTBeamDecoder
+
+        import jax.numpy as jnp
+
+        n, t_max, v, W = 3, 14, 6, 4
+        enc, pred, init_h, joint = self._blank_biased(13, n, t_max, v, 1.5)
+        il = np.array([t_max, t_max - 3, 6], np.int32)
+
+        def stream(F, cuts):
+            dec = StreamingRNNTBeamDecoder(pred, init_h, joint,
+                                           beam_width=W, prune_k=4,
+                                           max_symbols=5, lookahead=F)
+            st = dec.init(n, enc.shape[2])
+            t = 0
+            for nxt in list(cuts) + [t_max]:
+                if nxt <= t:
+                    continue
+                cl = np.clip(np.asarray(il) - t, 0, nxt - t).astype(np.int32)
+                st = dec.step(st, jnp.asarray(enc[:, t:nxt]), cl)
+                t = nxt
+            return dec.finish(st, return_timestamps=True)
+
+        # Compare streaming F=4 against streaming F=1 at the SAME cuts:
+        # streaming-vs-one-shot already re-associates capped beams' blank
+        # tails (documented ~1e-3 class bound on scores); the lookahead
+        # claim is about the window replay, not that split.
+        for cuts in ([5, 9], [3], []):
+            ref, got = stream(1, cuts), stream(4, cuts)
+            for i, (a, b) in enumerate(zip(ref, got)):
+                a, b = np.asarray(a), np.asarray(b)
+                if i == 2:
+                    np.testing.assert_allclose(a, b, atol=2e-5)
+                else:
+                    np.testing.assert_array_equal(a, b)
+
+    def test_rejects_lm(self):
+        import pytest
+
+        from end2end_tpu.ops.lm import NGramLM, bigram_from_counts
+
+        n, t_max, v = 2, 6, 5
+        enc, pred, init_h, joint = _setup(5, n=n, t=t_max, v=v)
+        lm = NGramLM(bigram_from_counts(
+            np.random.default_rng(0).integers(0, 5, (v, v))))
+        with pytest.raises(ValueError, match="lookahead"):
+            rnnt_beam_decode(enc, np.full(n, t_max, np.int32), pred,
+                             init_h, joint, beam_width=2, lookahead=4,
+                             lm=lm, lm_alpha=0.5)
