@@ -142,3 +142,135 @@ def greedy_decode_data_parallel(log_probs, input_lengths, mesh: Mesh,
         return greedy_decode(lp, il, blank=blank)
 
     return shard_fn(log_probs, input_lengths)
+
+
+def _check_batch(n, mesh):
+    if n % mesh.devices.size:
+        raise ValueError(
+            f"batch {n} must divide evenly over {mesh.devices.size} devices"
+        )
+
+
+def rnnt_greedy_decode_data_parallel(encoder_out, input_lengths,
+                                     predictor_step, init_hidden, joint_fn,
+                                     mesh: Mesh, axis_name: str = "data",
+                                     **kwargs):
+    """Batch-sharded transducer greedy decode (ops/rnnt_decode.py).
+
+    The decode is per-sample — cursors, predictor state, and token buffers
+    all carry a leading batch axis — so DP is exact and communication-free:
+    each device runs the full frame-synchronous scan on its batch shard.
+    Predictor params / joint weights live inside `predictor_step` /
+    `joint_fn` closures as concrete arrays and are replicated as shard_map
+    constants (pass them pre-sharded via GSPMD if they ever need to be
+    model-sharded too).  kwargs are `rnnt_greedy_decode`'s (blank,
+    max_symbols, lookahead, return_timestamps, ...)."""
+    from ..ops.rnnt_decode import rnnt_greedy_decode
+
+    _check_batch(encoder_out.shape[0], mesh)
+    n_out = 4 if kwargs.get("return_timestamps") else 3
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name),) * n_out,
+        check_vma=False,  # per-sample map, no collectives: the decode's
+        # internal scan carries start as unvarying constants
+    )
+    def shard_fn(enc, il):
+        return rnnt_greedy_decode(enc, il, predictor_step, init_hidden,
+                                  joint_fn, **kwargs)
+
+    return shard_fn(encoder_out, jnp.asarray(input_lengths, jnp.int32))
+
+
+def rnnt_beam_decode_data_parallel(encoder_out, input_lengths,
+                                   predictor_step, init_hidden, joint_fn,
+                                   mesh: Mesh, axis_name: str = "data",
+                                   **kwargs):
+    """Batch-sharded ALSD transducer beam search — exact, zero
+    communication (beam state is per-sample; see
+    `rnnt_greedy_decode_data_parallel` for the closure convention).
+    kwargs are `rnnt_beam_decode`'s (beam_width, prune_k, lookahead, lm,
+    ...); LM tables inside `lm` are replicated shard_map constants."""
+    from ..ops.rnnt_decode import rnnt_beam_decode
+
+    _check_batch(encoder_out.shape[0], mesh)
+    n_out = 4 if kwargs.get("return_timestamps") else 3
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name),) * n_out,
+        check_vma=False,  # per-sample map, no collectives: the decode's
+        # internal scan carries start as unvarying constants
+    )
+    def shard_fn(enc, il):
+        return rnnt_beam_decode(enc, il, predictor_step, init_hidden,
+                                joint_fn, **kwargs)
+
+    return shard_fn(encoder_out, jnp.asarray(input_lengths, jnp.int32))
+
+
+class DataParallelStreamingRNNT:
+    """Batch-shard a streaming transducer decoder's carried state over a
+    mesh (SURVEY.md §5.2 item 6 for the RNN-T family).
+
+    Wraps a `StreamingRNNTGreedyDecoder` or `StreamingRNNTBeamDecoder`
+    (ops/streaming_decode.py): every leaf of the carried state — (t, u)
+    cursors, predictor hidden, beam hashes/scores/token buffers, LM state,
+    frame history, availability counters — has a leading batch axis, so
+    the state lives sharded on the devices across the stream's whole
+    lifetime and each `step`/`finish` is a communication-free shard_map.
+    Results are exactly the wrapped decoder's (same compiled scans on the
+    shard).
+
+      dp = DataParallelStreamingRNNT(dec, mesh)
+      st = dp.init(batch, h_enc)           # state placed sharded
+      st = dp.step(st, chunk, chunk_len)   # chunk (N, Tc, H) batch-sharded
+      tokens, lens, scores = dp.finish(st)
+    """
+
+    def __init__(self, decoder, mesh: Mesh, axis_name: str = "data"):
+        self.dec = decoder
+        self.mesh = mesh
+        self.axis = axis_name
+
+    def _shard(self, tree):
+        s = NamedSharding(self.mesh, P(self.axis))
+        return jax.device_put(tree, jax.tree.map(lambda _: s, tree))
+
+    def init(self, batch_size: int, *args):
+        _check_batch(batch_size, self.mesh)
+        return self._shard(self.dec.init(batch_size, *args))
+
+    def step(self, state, encoder_chunk, chunk_lengths=None):
+        n, tc, _ = encoder_chunk.shape
+        if chunk_lengths is None:
+            chunk_lengths = np.full((n,), tc, np.int32)
+        p = P(self.axis)
+
+        @partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=(p, p, p), out_specs=p, check_vma=False,
+        )
+        def shard_fn(st, chunk, cl):
+            return self.dec.step(st, chunk, cl)
+
+        return shard_fn(state, jnp.asarray(encoder_chunk, jnp.float32),
+                        jnp.asarray(chunk_lengths, jnp.int32))
+
+    def finish(self, state, return_timestamps: bool = False):
+        p = P(self.axis)
+        n_out = 4 if return_timestamps else 3
+
+        @partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=(p,), out_specs=(p,) * n_out, check_vma=False,
+        )
+        def shard_fn(st):
+            return self.dec.finish(st, return_timestamps=return_timestamps)
+
+        return shard_fn(state)

@@ -590,3 +590,119 @@ def test_rnnt_data_parallel_grad_matches(rng):
         jnp.asarray(logits))
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_local),
                                rtol=1e-5, atol=1e-7)
+
+
+def _rnnt_decode_setup(rng, n=8, t=20, v=13, h_enc=12, emb=8, hid=12,
+                       jdim=12):
+    from functools import partial
+
+    from end2end_tpu.ops.neural_lm import gru_step, random_gru_params
+    from end2end_tpu.ops.rnnt_decode import FactoredAdditiveJoint
+
+    enc = jnp.asarray(rng.normal(size=(n, t, h_enc)).astype(np.float32))
+    params = jax.tree.map(jnp.asarray,
+                          random_gru_params(rng, v, emb_dim=emb,
+                                            hidden_dim=hid))
+
+    def w(*s):
+        return jnp.asarray(
+            (rng.standard_normal(s) * 0.5 / np.sqrt(s[0])).astype(np.float32))
+
+    joint = FactoredAdditiveJoint(w(h_enc, jdim), w(hid, jdim),
+                                  0.1 * w(jdim), w(jdim, v), 0.1 * w(v))
+    pred = partial(gru_step, params)
+    init_h = jnp.zeros((hid,), jnp.float32)
+    il = jnp.asarray(rng.integers(t // 2, t + 1, n).astype(np.int32))
+    return enc, il, pred, init_h, joint
+
+
+def _assert_decode_matches(ref, got, score_idx=2):
+    for i, (a, b) in enumerate(zip(ref, got)):
+        a, b = np.asarray(a), np.asarray(b)
+        if i == score_idx:
+            np.testing.assert_allclose(a, b, atol=1e-5)
+        else:
+            np.testing.assert_array_equal(a, b)
+
+
+@needs_devices
+def test_rnnt_data_parallel_greedy_matches(rng):
+    from end2end_tpu.ops.rnnt_decode import rnnt_greedy_decode
+    from end2end_tpu.parallel.sharding import (
+        rnnt_greedy_decode_data_parallel)
+
+    enc, il, pred, init_h, joint = _rnnt_decode_setup(rng)
+    mesh = make_mesh(8)
+    for kw in (dict(max_symbols=8), dict(max_symbols=8, lookahead=4),
+               dict(max_symbols=8, return_timestamps=True)):
+        ref = rnnt_greedy_decode(enc, il, pred, init_h, joint, **kw)
+        got = rnnt_greedy_decode_data_parallel(enc, il, pred, init_h,
+                                               joint, mesh, **kw)
+        _assert_decode_matches(ref, got)
+
+
+@needs_devices
+def test_rnnt_data_parallel_beam_matches(rng):
+    from end2end_tpu.ops.rnnt_decode import rnnt_beam_decode
+    from end2end_tpu.parallel.sharding import rnnt_beam_decode_data_parallel
+
+    enc, il, pred, init_h, joint = _rnnt_decode_setup(rng)
+    mesh = make_mesh(8)
+    for kw in (dict(beam_width=4, max_symbols=8),
+               dict(beam_width=4, max_symbols=8, lookahead=4),
+               dict(beam_width=2, max_symbols=6, prune_k=3,
+                    return_timestamps=True)):
+        ref = rnnt_beam_decode(enc, il, pred, init_h, joint, **kw)
+        got = rnnt_beam_decode_data_parallel(enc, il, pred, init_h, joint,
+                                             mesh, **kw)
+        _assert_decode_matches(ref, got)
+
+
+@needs_devices
+def test_rnnt_data_parallel_beam_with_lm(rng):
+    """Shallow-fusion LM tables replicate as shard_map constants; the LM
+    state rides the per-sample carry, so DP stays exact."""
+    from end2end_tpu.ops.lm import NGramLM, bigram_from_counts
+    from end2end_tpu.ops.rnnt_decode import rnnt_beam_decode
+    from end2end_tpu.parallel.sharding import rnnt_beam_decode_data_parallel
+
+    enc, il, pred, init_h, joint = _rnnt_decode_setup(rng, v=9)
+    lm = NGramLM(bigram_from_counts(rng.integers(0, 8, (9, 9))))
+    mesh = make_mesh(8)
+    kw = dict(beam_width=4, max_symbols=6, lm=lm, lm_alpha=0.5, lm_beta=0.1)
+    ref = rnnt_beam_decode(enc, il, pred, init_h, joint, **kw)
+    got = rnnt_beam_decode_data_parallel(enc, il, pred, init_h, joint,
+                                         mesh, **kw)
+    _assert_decode_matches(ref, got)
+
+
+@needs_devices
+def test_rnnt_streaming_state_shards_over_batch(rng):
+    """The carried streaming state (cursors, predictor hidden, beams, frame
+    history) lives batch-sharded on the mesh across step/finish."""
+    from end2end_tpu.ops.streaming_decode import (
+        StreamingRNNTBeamDecoder, StreamingRNNTGreedyDecoder)
+    from end2end_tpu.parallel.sharding import DataParallelStreamingRNNT
+
+    enc, il, pred, init_h, joint = _rnnt_decode_setup(rng)
+    n, t_max, h_enc = enc.shape
+    mesh = make_mesh(8)
+    for dec in (StreamingRNNTGreedyDecoder(pred, init_h, joint,
+                                           max_symbols=8),
+                StreamingRNNTBeamDecoder(pred, init_h, joint, beam_width=4,
+                                         max_symbols=8, lookahead=4)):
+        dp = DataParallelStreamingRNNT(dec, mesh)
+        init_args = (n,) if isinstance(dec, StreamingRNNTGreedyDecoder) \
+            else (n, h_enc)
+        st, st_r = dp.init(*init_args), dec.init(*init_args)
+        # every state leaf is batch-sharded on the mesh
+        for leaf in jax.tree.leaves(st):
+            assert leaf.sharding.spec == P("data"), leaf.sharding
+        for lo, hi in [(0, 7), (7, 14), (14, t_max)]:
+            chunk = enc[:, lo:hi]
+            cl = np.clip(np.asarray(il) - lo, 0, hi - lo).astype(np.int32)
+            st = dp.step(st, chunk, cl)
+            st_r = dec.step(st_r, chunk, cl)
+        got = dp.finish(st, return_timestamps=True)
+        ref = dec.finish(st_r, return_timestamps=True)
+        _assert_decode_matches(ref, got)
