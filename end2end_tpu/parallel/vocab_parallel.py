@@ -408,7 +408,18 @@ def beam_search_decode_vocab_parallel(
 
 # ---------------------------------------------------------------------------
 # Vocab-sharded FUSED transducer loss: TP for the joint projection.
+#
+# Two implementations, mirroring the single-device pair:
+#   * rnnt_nll_fused_vocab_parallel (below) — f32 parity-grade, chunked XLA
+#     logits with one all_gather + three psums per chunk;
+#   * rnnt_nll_fused_pallas_vocab_parallel (re-exported from
+#     ops/rnnt_joint_pallas.py) — the online-softmax KERNEL fast path,
+#     bf16-storage budget, 4 floats exchanged per activation row.
 # ---------------------------------------------------------------------------
+
+from ..ops.rnnt_joint_pallas import (  # noqa: F401  (re-export: TP fast path)
+    rnnt_nll_fused_pallas_vocab_parallel,
+)
 
 def rnnt_nll_fused_vocab_parallel(
         enc_proj, pred_proj, w_out, b_out, targets, input_lengths,

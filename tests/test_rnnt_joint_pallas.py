@@ -90,3 +90,86 @@ class TestJointPlanesParity:
         for _ in range(10):
             w = step(w)
         assert float(loss(w)) < l0 - 0.05
+
+
+class TestVocabParallelKernel:
+    """TP variant of the online-softmax kernel: sharded == unsharded.
+
+    The per-shard tile walk is bit-identical to the single-device kernel
+    (same bf16 products, same f32 tile accumulation); only the cross-tile
+    (max, sum-exp) combine order differs, so value+grads must agree to f32
+    roundoff — tolerances here are 1e-4-grade, NOT the bf16 1e-2 budget.
+    """
+
+    def _mesh(self, d=4):
+        import pytest
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < d:
+            pytest.skip(f"needs >= {d} devices")
+        return Mesh(np.asarray(jax.devices()[:d]), ("model",))
+
+    def _parity(self, seed, v, blank=0, d=4, n=2, t=7, u=3, j=8):
+        from end2end_tpu.ops.rnnt_joint_pallas import (
+            rnnt_nll_fused_pallas_vocab_parallel)
+
+        mesh = self._mesh(d)
+        enc_p, pred_p, w, b, tgt, il, ul = _setup(seed, n=n, t=t, u=u,
+                                                  v=v, j=j)
+        if blank:
+            tgt = jnp.where(tgt == blank, (blank + 1) % v, tgt)
+
+        def l_ref(e, p, ww, bb):
+            return jnp.sum(rnnt_nll_fused_pallas(e, p, ww, bb, tgt, il, ul,
+                                                 blank=blank))
+
+        def l_tp(e, p, ww, bb):
+            return jnp.sum(rnnt_nll_fused_pallas_vocab_parallel(
+                e, p, ww, bb, tgt, il, ul, mesh, blank=blank))
+
+        v_ref, g_ref = jax.value_and_grad(l_ref, argnums=(0, 1, 2, 3))(
+            enc_p, pred_p, w, b)
+        v_tp, g_tp = jax.value_and_grad(l_tp, argnums=(0, 1, 2, 3))(
+            enc_p, pred_p, w, b)
+        np.testing.assert_allclose(float(v_tp), float(v_ref), rtol=0,
+                                   atol=2e-4)
+        for a, c, name in zip(g_ref, g_tp, ("enc_proj", "pred_proj",
+                                            "w_out", "b_out")):
+            np.testing.assert_allclose(
+                np.asarray(c), np.asarray(a), rtol=0, atol=5e-4,
+                err_msg=f"TP-kernel gradient mismatch for {name}")
+
+    def test_tp_matches_unsharded_kernel(self):
+        self._parity(seed=4, v=16)
+
+    def test_tp_blank_owned_by_middle_device(self):
+        # v=16 over 4 devices -> v_loc=4; blank=9 lives on device 2, so the
+        # raw-blank psum and the lane==rel_blank bwd path cross shards.
+        self._parity(seed=5, v=16, blank=9)
+
+    def test_tp_value_close_to_f32_reference(self):
+        # absolute sanity vs the f32 materialized path (bf16 budget)
+        from end2end_tpu.ops.rnnt_joint_pallas import (
+            rnnt_nll_fused_pallas_vocab_parallel)
+
+        mesh = self._mesh(4)
+        enc_p, pred_p, w, b, tgt, il, ul = _setup(6, v=12)
+        got = rnnt_nll_fused_pallas_vocab_parallel(
+            enc_p, pred_p, w, b, tgt, il, ul, mesh)
+        ref = _ref_bf16(enc_p, pred_p, w, b, tgt, il, ul)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_tp_rejects_indivisible_vocab(self):
+        import pytest
+
+        from end2end_tpu.ops.rnnt_joint_pallas import (
+            rnnt_nll_fused_pallas_vocab_parallel)
+
+        mesh = self._mesh(4)
+        with pytest.raises(ValueError, match="divide"):
+            rnnt_nll_fused_pallas_vocab_parallel(
+                jnp.zeros((1, 4, 3)), jnp.zeros((1, 3, 3)),
+                jnp.zeros((3, 9)), jnp.zeros((9,)),
+                jnp.zeros((1, 2), jnp.int32), jnp.array([4]),
+                jnp.array([2]), mesh)
