@@ -41,8 +41,9 @@ def main():
         tgt[i, : len(ids)] = ids
         tl[i] = len(ids)
 
+    n_steps = int(os.environ.get("E2E_DEMO_STEPS", "400"))
     params = pipe.init(jax.random.key(0), wav, ns)
-    opt = optax.adamw(optax.cosine_decay_schedule(5e-3, 400))
+    opt = optax.adamw(optax.cosine_decay_schedule(5e-3, n_steps))
     state = opt.init(params)
 
     @jax.jit
@@ -53,7 +54,7 @@ def main():
         updates, state = opt.update(grads, state, params)
         return optax.apply_updates(params, updates), state, loss
 
-    for i in range(400):
+    for i in range(n_steps):
         params, state, loss = step(params, state)
         if i % 50 == 0:
             print(f"step {i:3d}  ctc loss {float(loss):.3f}")

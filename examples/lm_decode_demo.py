@@ -205,7 +205,7 @@ def main():
 
     train = jax.jit(lambda p: jax.tree.map(
         lambda w, g: w - 0.15 * g, p, jax.grad(nll)(p)))
-    for step_i in range(300):
+    for step_i in range(int(os.environ.get("E2E_DEMO_STEPS", "300"))):
         params = train(params)
     print(f"char GRU LM trained: corpus NLL {float(nll(params)):.2f}")
     gru = e2e.NeuralLM.gru(params)

@@ -55,8 +55,9 @@ def main():
     tgt = np.array(tgt, np.int32)
     tl = np.array(tl, np.int32)
 
+    n_steps = int(os.environ.get("E2E_DEMO_STEPS", "300"))
     params = model.init(jax.random.key(0), jnp.asarray(imgs), jnp.asarray(widths))
-    opt = optax.adamw(optax.cosine_decay_schedule(4e-3, 300))
+    opt = optax.adamw(optax.cosine_decay_schedule(4e-3, n_steps))
     state = opt.init(params)
 
     @jax.jit
@@ -70,7 +71,7 @@ def main():
         updates, state = opt.update(grads, state, params)
         return optax.apply_updates(params, updates), state, loss
 
-    for i in range(300):
+    for i in range(n_steps):
         params, state, loss = step(params, state)
         if i % 50 == 0:
             print(f"step {i:3d}  ctc loss {float(loss):.3f}")

@@ -124,7 +124,7 @@ def main():
 
     x = lp
     e0 = expected_wer_errs(x)
-    for _ in range(15):
+    for _ in range(int(os.environ.get("E2E_DEMO_STEPS", "15"))):
         x = x - 1.5 * jax.grad(objective)(x)
     e1 = expected_wer_errs(x)
     print(f"  MWER fine-tune: expected word errors {e0:.2f} -> {e1:.2f}")
