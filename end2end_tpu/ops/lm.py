@@ -439,6 +439,109 @@ def _word_score_rounds(whash, n_words, carry0, round_fn, round_cap=None):
     return carry, lp_sum
 
 
+def _word_score_packed(whash, n_words, win0, lookup_wid, score_pos,
+                       round_size=None):
+    """Per-row data-adaptive word replay: score the completed words of a
+    chunk over a PACKED row-major worklist instead of the (M, w_cap)
+    round grid (VERDICT r4 item 8 — `_word_score_rounds` is bounded by
+    the MAX word count across rows and scores every grid slot, ~80%
+    padding at typical occupancy; here lookups are issued only for words
+    that exist, in while-loop rounds of `round_size` packed positions).
+
+    whash: (M, w_max) uint32 left-compacted spell hashes; n_words: (M,);
+    win0: (M, n_ctx) int32 per-row word-history windows (oldest first,
+    -1 = empty).  lookup_wid(whash (R,)) -> wid (R,) int32;
+    score_pos(win (R, n_ctx), wid (R,)) -> lp (R,) must be the LM's exact
+    per-position score (same lookups/accumulation as its sequential
+    `score`).  Returns (final windows (M, n_ctx), lp_sum (M,)).
+
+    Mechanics: worklist position p of word j in row r is off[r] + j
+    (off = exclusive cumsum), so packing is a gather at (rowid, local j),
+    with rowid recovered by a vectorized rank-count against off (an
+    (R, M) compare-sum — cheaper than per-position binary-search
+    gathers).  In-round word contexts come from the round's own wid
+    vector (row-major ⇒ a word's predecessors are at p-1, p-2, …) with
+    per-row carried windows covering round/chunk boundaries; per-row
+    score sums use a segmented in-round scan (sums stay segment-local,
+    no large-magnitude cumsum cancellation).
+    """
+    from .indexing import flat_take
+
+    m, w_max = whash.shape
+    n_ctx = win0.shape[1]
+    r_sz = min(round_size or m, m * w_max)
+    off = jnp.cumsum(n_words) - n_words  # exclusive offsets (M,)
+    total = off[-1] + n_words[-1] if m else jnp.int32(0)
+    iota_r = jnp.arange(r_sz, dtype=jnp.int32)
+
+    def seg_op(a, b):
+        # segmented running sum: (start_flag, value) pairs
+        return a[0] | b[0], jnp.where(b[0], b[1], a[1] + b[1])
+
+    def cond(c):
+        return c[0] * r_sz < total
+
+    def body(c):
+        r, win_cur, acc = c
+        s = r * r_sz
+        p = s + iota_r
+        live = p < total
+        # rowid by rank count: last row with off <= p
+        rid = jnp.sum((off[None, :] <= p[:, None]).astype(jnp.int32),
+                      axis=1) - 1
+        rid = jnp.clip(rid, 0, m - 1)
+        j = p - off[rid]
+        # flat 1-D gather (the fast TPU form — ops/indexing.py)
+        wid = lookup_wid(whash.reshape(-1)[rid * w_max + j])
+
+        # context: k-th previous word of the same row is wid[i-k] when it
+        # falls inside this round, else carried window column
+        # n_ctx - k + m_cnt (m_cnt = in-round same-row predecessors < k)
+        shifted = []
+        for k in range(1, n_ctx + 1):
+            wk = jnp.concatenate(
+                [jnp.zeros((k,), wid.dtype), wid[:-k]]) if k < r_sz else (
+                jnp.zeros((r_sz,), wid.dtype))
+            rk = jnp.concatenate(
+                [jnp.full((k,), -1, jnp.int32), rid[:-k]]) if k < r_sz \
+                else jnp.full((r_sz,), -1, jnp.int32)
+            shifted.append((wk, (rk == rid) & (p - k >= s)))
+        m_cnt = sum(sk.astype(jnp.int32) for _, sk in shifted)
+        wrows = win_cur[rid]  # (R, n_ctx)
+        cols = []
+        for k in range(1, n_ctx + 1):
+            wk, same_k = shifted[k - 1]
+            fb_col = jnp.clip(n_ctx - k + m_cnt, 0, n_ctx - 1)
+            fb = flat_take(wrows, fb_col[:, None])[:, 0]
+            cols.append(jnp.where(same_k, wk, fb))
+        win_v = jnp.stack(cols[::-1], axis=1)  # oldest first
+
+        lp = jnp.where(live, score_pos(win_v, wid), 0.0)
+        # per-row sums: segmented scan keeps additions segment-local
+        start = ~shifted[0][1] if n_ctx >= 1 else jnp.ones((r_sz,), bool)
+        run = jax.lax.associative_scan(seg_op, (start, lp))[1]
+        lo = jnp.clip(off - s, 0, r_sz)            # round-local [lo, hi)
+        hi = jnp.clip(off + n_words - s, 0, r_sz)
+        row_lp = jnp.where(hi > lo, run[jnp.clip(hi - 1, 0, r_sz - 1)], 0.0)
+        acc = acc + row_lp
+
+        # carried-window advance: last n_ctx of (win_cur ++ round words)
+        cnt = hi - lo
+        new_cols = []
+        for k in range(n_ctx):  # k-th newest
+            from_round = wid[jnp.clip(hi - 1 - k, 0, r_sz - 1)]
+            old_col = jnp.clip(n_ctx - 1 - (k - cnt), 0, n_ctx - 1)
+            from_old = flat_take(win_cur, old_col[:, None])[:, 0]
+            new_cols.append(jnp.where(cnt > k, from_round, from_old))
+        win_cur = jnp.stack(new_cols[::-1], axis=1)
+        return r + 1, win_cur, acc
+
+    _, win_fin, lp_sum = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), win0,
+                     jnp.zeros((m,), jnp.float32)))
+    return win_fin, lp_sum
+
+
 class _FastTable:
     """Device hash table with a TPU-cost-aware layout (two regimes,
     measured on v5e — ops/indexing.py):
@@ -448,8 +551,11 @@ class _FastTable:
         BUCKETS read as one wide row — one gather + 8 compare-selects per
         lookup, ~4x cheaper than probing.
       * SMALL tables (<= _PROBE_MAX entries, VMEM-resident): gathers are
-        bandwidth-bound, so narrow (2 + payload)-wide rows with 4 linear
-        probes move ~5x fewer bytes and win.
+        bandwidth-bound, so narrow (2 + payload)-wide rows win over wide
+        buckets; entries are placed by CUCKOO 2-choice hashing (each key
+        owns exactly two candidate slots, displacement at build time), so
+        a lookup is TWO independent narrow gathers — half the round-3
+        4-probe linear walk (VERDICT r4 item 8).
 
     items: [(bucket_hash uint32, key uint32, payload float tuple)]; the
     builder grows-and-rebuilds on overflow; `on_dup='error'` rejects
@@ -461,8 +567,6 @@ class _FastTable:
     ~0.4% of hashes and TPU pipelines flush denormals to zero, silently
     breaking those entries (caught by the on-chip suite, round 3).
     """
-
-    _PROBES = 4
 
     def __init__(self, items, payload_width, on_dup="overwrite"):
         self._pw = payload_width
@@ -513,40 +617,68 @@ class _FastTable:
         packed[..., 3:] = pay
         return m_b, jnp.asarray(packed)
 
+    # second-choice slot: a fixed remix of the bucket hash, identical in
+    # the NumPy builder and the jnp lookup (uint32 wraparound both sides)
+    _REMIX = np.uint32(0x85EBCA6B)
+
+    @classmethod
+    def _alt_slot(cls, h):
+        """The two candidate slots of bucket-hash h are (h & m-1) and
+        this remix (& m-1); an entry always lives in one of them."""
+        return (h * cls._REMIX) ^ (h >> np.uint32(15))
+
     @classmethod
     def _build_probe(cls, items, pw, on_dup):
-        """Linear-probe layout: (m, 2 + pw) narrow rows, probe window 4 —
-        a 1-entry 'bucket' per row reusing the same builder via window
-        remapping is messier than just probing here."""
+        """Cuckoo 2-choice layout: (m, 2 + pw) narrow rows; each key owns
+        slots i1 = h & (m-1) and i2 = remix(h) & (m-1), with build-time
+        displacement (kick loop) — so a lookup is exactly TWO gathers.
+        4x-sized tables (load 0.25) place without displacement almost
+        always; the builder grows on a stuck kick chain."""
         m = 8
         while m < 4 * max(len(items), 1):
             m *= 2
         while True:
             keys = np.zeros((m,), np.uint32)
+            hsh = np.zeros((m,), np.uint32)  # builder-only: occupant's h
             occ = np.zeros((m,), bool)
             pay = np.zeros((m, pw), np.float32)
             ok = True
-            for hidx, key, payload in items:
-                idx = int(hidx) & (m - 1)
-                placed = False
-                for p in range(cls._PROBES):
-                    j = (idx + p) & (m - 1)
-                    if occ[j] and keys[j] == key:
+            with np.errstate(over="ignore"):
+                for hidx, key, payload in items:
+                    h = np.uint32(hidx)
+                    i1 = int(h) & (m - 1)
+                    i2 = int(cls._alt_slot(h)) & (m - 1)
+                    dup = next((j for j in (i1, i2)
+                                if occ[j] and keys[j] == key
+                                and hsh[j] == h), None)
+                    if dup is not None:
                         if on_dup == "error":
                             raise ValueError(
                                 f"hash collision for key {int(key):#x}")
-                        pay[j] = payload
-                        placed = True
+                        pay[dup] = payload
+                        continue
+                    # cuckoo insert: take an empty candidate slot, else
+                    # evict i1's occupant to ITS alternate, repeat
+                    cur = (h, key, np.asarray(payload, np.float32))
+                    j = i1 if not occ[i1] else (i2 if not occ[i2] else i1)
+                    for _ in range(64):
+                        if not occ[j]:
+                            occ[j] = True
+                            hsh[j], keys[j], pay[j] = cur
+                            cur = None
+                            break
+                        vic = (hsh[j], keys[j], pay[j].copy())
+                        hsh[j], keys[j], pay[j] = cur
+                        v1 = int(vic[0]) & (m - 1)
+                        v2 = int(cls._alt_slot(vic[0])) & (m - 1)
+                        nxt = v2 if j == v1 else v1
+                        if nxt == j:  # degenerate i1 == i2: stuck
+                            cur = vic
+                            break
+                        cur, j = vic, nxt
+                    if cur is not None:
+                        ok = False
                         break
-                    if not occ[j]:
-                        occ[j] = True
-                        keys[j] = key
-                        pay[j] = payload
-                        placed = True
-                        break
-                if not placed:
-                    ok = False
-                    break
             if ok:
                 break
             m *= 2
@@ -575,11 +707,13 @@ class _FastTable:
             outs = [jnp.sum(jnp.where(hit_s, rows[..., 3 + i], 0.0), axis=-1)
                     for i in range(pw)]
             return hit, outs
-        idx0 = (hidx & jnp.uint32(self._m - 1)).astype(jnp.int32)
+        mask = jnp.uint32(self._m - 1)
+        idx0 = (hidx & mask).astype(jnp.int32)
+        idx1 = (self._alt_slot(hidx) & mask).astype(jnp.int32)
         hit = jnp.zeros(hidx.shape, bool)
         outs = [jnp.zeros(hidx.shape, jnp.float32) for _ in range(pw)]
-        for p in range(self._PROBES):
-            row = self._packed[(idx0 + p) % self._m]
+        for idx in (idx0, idx1):  # the key's two cuckoo slots
+            row = self._packed[idx]
             h = ((row[..., 2] > 0.5) & (row[..., 0] == khi)
                  & (row[..., 1] == klo) & ~hit)
             outs = [jnp.where(h, row[..., 3 + i], o)
@@ -636,7 +770,6 @@ class WordNGramLM(_WordBoundaryMode):
 
     _MULT = np.uint32(31)
     _SEED = np.uint32(5381)
-    _PROBES = 4
 
     def __init__(self, word_spellings, bigram_logp, start_logp, space_id,
                  unigram_logp=None, eos_logp=None, unk_logp=-13.8,
@@ -738,30 +871,22 @@ class WordNGramLM(_WordBoundaryMode):
     def score_chunk(self, state, toks):
         """Vectorized chunk replay (see NGramLM.score_chunk): words
         completed inside the chunk are segmented/hashed with _chunk_words,
-        then scored in data-adaptive ROUNDS (_word_score_rounds): spell
-        lookup + one flat bigram gather per position, only for word slots
-        each chunk actually completed — no per-frame scan."""
+        then scored over the PER-ROW packed worklist (_word_score_packed):
+        spell lookup + one flat bigram gather per word that actually
+        exists — no per-frame scan, no (M, w_cap) grid padding."""
         prev, curh, curlen = state
         seg = self._segment_chunk(toks, curh, curlen)
-        from .indexing import flat_take
-
         ncol = self._wv + 1
 
-        def round_fn(prev_r, whash_sl, nv):
-            wid = self._wh.lookup(whash_sl)  # (M, w_cap); miss -> _unk
-            w_cap = wid.shape[1]
-            vmask = jnp.arange(w_cap, dtype=jnp.int32)[None] < nv[:, None]
-            ctx = jnp.concatenate([prev_r[:, None], wid[:, :-1]], axis=1)
+        def score_pos(win_v, wid):
             lp = self._table.reshape(-1)[
-                ctx * ncol + jnp.minimum(wid, self._wv)]
-            lp = jnp.where(wid == self._unk, self._unk_logp, lp)
-            last = flat_take(wid, jnp.maximum(nv - 1, 0)[:, None])[:, 0]
-            new_prev = jnp.where(nv > 0, last, prev_r).astype(jnp.int32)
-            return new_prev, jnp.sum(jnp.where(vmask, lp, 0.0), axis=1)
+                win_v[:, 0] * ncol + jnp.minimum(wid, self._wv)]
+            return jnp.where(wid == self._unk, self._unk_logp, lp)
 
-        new_prev, lp_sum = _word_score_rounds(
-            seg["whash"], seg["n_words"], prev, round_fn)
-        return lp_sum, (new_prev, seg["new_curh"], seg["new_curlen"])
+        new_win, lp_sum = _word_score_packed(
+            seg["whash"], seg["n_words"], prev[:, None].astype(jnp.int32),
+            self._wh.lookup, score_pos)
+        return lp_sum, (new_win[:, 0], seg["new_curh"], seg["new_curlen"])
 
 
 class _HashedNGramTables:
@@ -1276,30 +1401,17 @@ class HashedWordNGramLM(_WordBoundaryMode):
     @partial(jax.jit, static_argnums=0)
     def score_chunk(self, state, toks):
         """Vectorized chunk replay (see NGramLM.score_chunk): chunk words
-        from _chunk_words, then data-adaptive ROUNDS (_word_score_rounds)
-        of spell lookup + `score_sequence` over win ++ word-ids (each
-        (order, position) gram looked up once, shared between scoring and
-        backoff contexts) — no per-frame scan, and no lookups at all for
-        the (majority) word slots beyond each chunk's completed count."""
+        from _chunk_words, then PER-ROW data-adaptive packed replay
+        (_word_score_packed): spell lookup + the exact backoff `score`
+        only at word positions that exist — table traffic scales with the
+        chunk's actual word count, not the (M, w_cap) round grid."""
         win, curh, curlen = state
         seg = self._segment_chunk(toks, curh, curlen)
-        n_ctx = win.shape[1]
-        from .indexing import flat_take
 
-        def round_fn(win_r, whash_sl, nv):
-            wid = self._wh.lookup(whash_sl)  # (M, w_cap); miss -> -2 (unk)
-            w_cap = wid.shape[1]
-            vmask = jnp.arange(w_cap, dtype=jnp.int32)[None] < nv[:, None]
-            fullr = jnp.concatenate([win_r, wid], axis=1)
-            lp = self._t.score_sequence(fullr, w_cap)
-            # advance the window past this round's nv valid words (junk
-            # slots past nv sit beyond the taken suffix)
-            idx = nv[:, None] + jnp.arange(n_ctx, dtype=jnp.int32)[None]
-            return (flat_take(fullr, idx),
-                    jnp.sum(jnp.where(vmask, lp, 0.0), axis=1))
-
-        new_win, lp_sum = _word_score_rounds(
-            seg["whash"], seg["n_words"], win, round_fn)
+        new_win, lp_sum = _word_score_packed(
+            seg["whash"], seg["n_words"], win,
+            self._wh.lookup,                       # miss -> -2 (unk)
+            lambda w_v, wid: self._t.score(w_v, wid))
         return lp_sum, (new_win, seg["new_curh"], seg["new_curlen"])
 
 
