@@ -598,12 +598,16 @@ def bench_rnnt_beam(N, T, V, W, r_long=5, s_cap=128):
 
 
 def bench_rnnt_beam_rt(N, T, V, W, r_long=5, s_cap=128, lookahead=8):
-    """ALSD beam on the BLANK-DOMINATED workload (~5% emission rate) with
-    `lookahead` frames' joints evaluated per sequential dispatch — the
-    window replays exact ALSD mini-steps and stops at the first emission
-    (ops/rnnt_decode.py window_body; tokens bit-identical to lookahead=1).
-    Baseline: the Python dict-beam host loop on the same blank-biased
-    joint (scripts/baseline_rnnt_torch.py --decode-beam-rt)."""
+    """ALSD beam with `lookahead` frames' joints per sequential dispatch
+    (ops/rnnt_decode.py window_body; tokens bit-identical to
+    lookahead=1).  NOT emitted as a default bench row: chip measurement
+    (2026-08-20, this workload) showed the window LOSES ~22x vs
+    lookahead=1 — with W=4 the probability that ANY selected beam emits
+    is ~1 per ALSD step even at a ~5% top-1 emission rate, so every
+    dispatch pays F joint evals + F select_cores to advance ~1 step.
+    The greedy (W=1) lookahead row keeps its win; see STATUS.md "Known
+    gaps" for the measured analysis and the withdrawn-lever note.
+    Kept callable for manual probes."""
     from end2end_tpu.ops.rnnt_decode import rnnt_beam_decode
 
     enc, il, pred, init_h, joint = _rnnt_decoder(N, T, V, blank_bias=1.1)
@@ -790,10 +794,6 @@ def main():
         dt, sps = bench_rnnt_beam(16, 400, 256, 4)
         emit("rnnt_beam4 seq/s (B=16,T=400,V=256,GRU-256)", sps, "seq/s",
              BASELINE_RNNT_BEAM_SEQ_PER_S,
-             dt=dt, min_hbm_bytes=4 * 16 * 400 * 256)
-        dt, sps = bench_rnnt_beam_rt(16, 400, 256, 4)
-        emit("rnnt_beam4_rt seq/s (B=16,T=400,V=256,blank-dom,lookahead=8)",
-             sps, "seq/s", BASELINE_RNNT_BEAM_RT_SEQ_PER_S,
              dt=dt, min_hbm_bytes=4 * 16 * 400 * 256)
         dt, sps = bench_rnnt_beam_lm(16, 400, 256, 4)
         emit("rnnt_beam4+bigramLM seq/s (B=16,T=400,V=256,GRU-256)", sps,
