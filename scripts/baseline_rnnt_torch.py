@@ -265,7 +265,8 @@ def bench_decode_beam_rt(n=16, t=400, v=256, W=4, s_cap=128, blank=0,
                          bias=1.1):
     """ALSD dict-beam host-loop baseline on the BLANK-DOMINATED workload
     (same blank-biased joint as bench_decode_rt; same dict-beam code as
-    bench_decode) — the comparator for bench.py's rnnt_beam4_rt row."""
+    bench_decode) — comparator for bench.py's bench_rnnt_beam_rt harness
+    (row withdrawn 2026-08-20; see STATUS.md known-gaps)."""
     enc, params, init_h, mats = _decode_setup(n, t, v)
     w_enc, w_pred, b_j, w_out, b_out = mats
     b_out = b_out.copy()
