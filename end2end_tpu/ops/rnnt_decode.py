@@ -721,8 +721,16 @@ def rnnt_beam_decode(encoder_out, input_lengths, predictor_step,
         at the first step that selects any emission — beams, merges,
         tokens, lengths, and timestamps are step-identical to lookahead=1;
         scores differ only by f32 re-association of the same per-frame
-        terms.  Pays off on blank-dominated (realistic ASR) joints: up to
-        `lookahead`x fewer sequential dispatches; 4-8 is a good range.
+        terms.  CAVEAT (chip-measured 2026-08-20, STATUS.md known-gaps):
+        the window pays only when ALL W beams select blank for runs of
+        frames.  At W >= 4 the selected top-W nearly always contains an
+        emission even on ~5%-emission-rate joints, so each dispatch pays
+        `lookahead` joint passes + mini-step replays to advance ~1 step
+        (measured ~22x SLOWER at W=4, F=8).  Use lookahead > 1 only for
+        W <= 2 or strongly peaked joints where all-beam blank runs are
+        real; the default 1 is right for typical beams (greedy decode's
+        `lookahead` keeps its win — single-hypothesis blank runs are
+        common).
       lm / lm_alpha / lm_beta: optional shallow-fusion LM — ANY
         `ShallowFusionLM` protocol object from ops/lm.py (dense/hashed
         token n-gram, word-boundary, hotword, composite) or a `NeuralLM`
