@@ -10,6 +10,26 @@ from end2end_tpu.ops.neural_lm import gru_step, random_gru_params
 from end2end_tpu.ops.rnnt_decode import additive_joint, rnnt_greedy_decode
 
 
+try:
+    import pytest
+except ImportError:  # pragma: no cover
+    pytest = None
+
+if pytest is not None:
+    @pytest.fixture(autouse=True)
+    def _oracle_matmul_precision():
+        """ORACLE-PARITY tests: decode scores compare against host/f64
+        oracles at ~1e-3 tolerances.  On TPU the default f32 matmul runs
+        a bf16 MXU pass (CLAUDE.md MXU trap), drifting GRU/joint logits
+        ~1e-3 per step — cumulative scores then miss the tolerance
+        (measured 3.4e-2 over a 49-nat sum, tokens/timestamps still
+        exact; chip run 2026-08-20).  Parity tests pin the precision;
+        perf rows (bench.py) keep the fast default."""
+        with jax.default_matmul_precision("highest"):
+            yield
+
+
+
 def _setup(seed, n=3, t=12, v=6, h_enc=8, emb=4, hid=5):
     rng = np.random.default_rng(seed)
     enc = rng.normal(size=(n, t, h_enc)).astype(np.float32)

@@ -22,6 +22,26 @@ from end2end_tpu.utils.rnnt_reference import rnnt_loss_ref
 from tests.test_rnnt_beam import _lattice, _np_joint_lp, _setup
 
 
+try:
+    import pytest
+except ImportError:  # pragma: no cover
+    pytest = None
+
+if pytest is not None:
+    @pytest.fixture(autouse=True)
+    def _oracle_matmul_precision():
+        """ORACLE-PARITY tests: decode scores compare against host/f64
+        oracles at ~1e-3 tolerances.  On TPU the default f32 matmul runs
+        a bf16 MXU pass (CLAUDE.md MXU trap), drifting GRU/joint logits
+        ~1e-3 per step — cumulative scores then miss the tolerance
+        (measured 3.4e-2 over a 49-nat sum, tokens/timestamps still
+        exact; chip run 2026-08-20).  Parity tests pin the precision;
+        perf rows (bench.py) keep the fast default."""
+        with jax.default_matmul_precision("highest"):
+            yield
+
+
+
 def _np_conf(lp_row, method, blank, exclude_blank):
     lp = np.asarray(lp_row, np.float64)
     v = lp.shape[-1]
