@@ -22,20 +22,15 @@ logits never leave VMEM.
     out of its (static) tile, and the label column reduced via a
     lane-id == target match.  Outputs per row: the two DP plane values
     + the softmax stats (max, log-sum-exp) — 4 floats instead of V.
-  * backward (`_bwd_fused_kernel`): dL/dlogits = scatter − p·c is
-    formed TILE BY TILE in registers from ONE logit recompute and feeds
-    BOTH weight-side and activation-side products in the same pass.
-    Grid = (v-groups outer × row blocks inner): each v-group walks G
-    v-tiles whose f32 dW accumulator fits VMEM scratch
-    (dW_scr[(G, J, 512)], leading-axis indexed inside the fori loop;
-    flushed once per group via the sequential-grid accumulator pattern
-    of ctc_loss_pallas), while dh accumulates in registers across the
-    group's tiles and is emitted as a per-group PARTIAL (summed by one
-    XLA reduction outside — exact at f32, different association only).
-    Total matmul volume is 4x the forward (recompute + dh + dW on top
-    of the fwd walk) — down from 5x when dh and dW each recomputed the
-    logits in separate kernels — in exchange for retiring ~100 GB of
-    HBM traffic vs the chunked path.
+  * backward: dL/dlogits = p * c - scatter is formed TILE BY TILE in
+    registers from the recomputed logits.  `_dh_kernel` (grid over row
+    blocks, W resident) accumulates dh = sum_tiles dtile @ W_tile^T;
+    `_dw_kernel` (grid v-tiles outer x row blocks inner, the sequential-
+    grid accumulator pattern of ctc_loss_pallas) accumulates
+    dW_tile = sum_blocks h^T @ dtile and db_tile in VMEM scratch,
+    emitting each tile once.  Total matmul volume is 5x the forward —
+    ~55 ms of MXU at bf16 — in exchange for retiring ~100 GB of HBM
+    traffic.
 
 Numerics: W/h are stored bf16 for the MXU (f32 accumulation), so the
 logits carry O(1e-2) absolute error — the same training-quality budget
@@ -70,7 +65,6 @@ from .semiring import LOG0
 _VT = 512                 # V-tile lanes per inner step
 _RC = 512                 # activation rows per grid block
 _NEG = -3.0e38            # running-max identity (finite, f32)
-_VGB = 10 * 2 ** 20       # bwd VMEM budget: f32 dW scratch + bf16 W group
 
 
 def _pad_up(x, m):
@@ -117,16 +111,50 @@ def _fwd_kernel(v, blank, n_vt, h_ref, w_ref, b_ref, y_ref,
     logs_ref[:] = logs
 
 
-def _bwd_fused_kernel(v, n_tg, vg, h_ref, w_ref, b_ref, y_ref, yb_ref,
-                      m_ref, logs_ref, gb_ref, gl_ref,
-                      dh_ref, dw_ref, db_ref, dw_scr, db_scr):
-    # grid = (n_vg, n_rb): v-GROUP outer, row blocks inner.  ONE logit
-    # recompute per (row block, v-tile) feeds both weight-side and
-    # activation-side products: dW accumulates in the per-group f32 VMEM
-    # scratch (sequential over row blocks, flushed once per group) while
-    # dh accumulates in registers across the group's tiles and is emitted
-    # as this group's PARTIAL (summed outside — module docstring).
-    g = pl.program_id(0)
+def _dh_kernel(v, blank, n_vt, h_ref, w_ref, b_ref, y_ref, m_ref, logs_ref,
+               gb_ref, gl_ref, dh_ref):
+    rc, j = h_ref.shape
+    hb = h_ref[:].astype(jnp.bfloat16)
+    y = y_ref[:]
+    m = m_ref[:]
+    logs = logs_ref[:]
+    gb = gb_ref[:]                                 # (rc, 1), g-scaled
+    gl = gl_ref[:]
+    c = gb + gl                                    # p * c - scatter
+    tile_b = blank // _VT
+    col_b = blank % _VT
+    oh_b = (jax.lax.broadcasted_iota(jnp.int32, (rc, _VT), 1)
+            == col_b).astype(jnp.float32)
+
+    def tile(t, dh):
+        w_t = w_ref[:, pl.ds(t * _VT, _VT)]
+        acc = jax.lax.dot_general(
+            hb, w_t, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + b_ref[0, pl.ds(t * _VT, _VT)][None, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rc, _VT), 1) + t * _VT
+        p = jnp.where(lane < v, jnp.exp((acc - m) - logs), 0.0)
+        # VJP of (b_pl, l_pl) wrt logits: d = gb*oh_blank + gl*oh_y - p*c
+        d = -p * c
+        d = jnp.where(t == tile_b, d + gb * oh_b, d)
+        d = jnp.where(lane == y, d + gl, d)
+        dh = dh + jax.lax.dot_general(
+            d.astype(jnp.bfloat16), w_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dh
+
+    dh = jax.lax.fori_loop(0, n_vt, tile,
+                           jnp.zeros((rc, j), jnp.float32))
+    dh_ref[:] = dh
+
+
+def _dw_kernel(v, blank, n_rows_used, h_ref, y_ref, m_ref, logs_ref,
+               gb_ref, gl_ref, w_ref, b_ref, dw_ref, db_ref,
+               dw_scr, db_scr):
+    # grid = (n_vt, n_rb): v-tile outer, row blocks inner; the scratch
+    # accumulates over row blocks and flushes once per v-tile.
+    t = pl.program_id(0)
     i = pl.program_id(1)
     rc, j = h_ref.shape
 
@@ -136,107 +164,38 @@ def _bwd_fused_kernel(v, n_tg, vg, h_ref, w_ref, b_ref, y_ref, yb_ref,
         db_scr[:] = jnp.zeros_like(db_scr)
 
     hb = h_ref[:].astype(jnp.bfloat16)
-    y = y_ref[:]                                   # (rc, 1) lane id, or -1
-    yb = yb_ref[:]                                 # blank lane id, or -1
+    y = y_ref[:]
     m = m_ref[:]
     logs = logs_ref[:]
-    gb = gb_ref[:]                                 # (rc, 1), g-scaled
+    gb = gb_ref[:]
     gl = gl_ref[:]
-    c = gb + gl                                    # p * c - scatter
-    base = g * vg
+    c = gb + gl
+    tile_b = blank // _VT
+    col_b = blank % _VT
 
-    def tile(tt, dh):
-        w_t = w_ref[:, pl.ds(tt * _VT, _VT)]
-        acc = jax.lax.dot_general(
-            hb, w_t, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc = acc + b_ref[0, pl.ds(tt * _VT, _VT)][None, :]
-        lane = (jax.lax.broadcasted_iota(jnp.int32, (rc, _VT), 1)
-                + base + tt * _VT)
-        p = jnp.where(lane < v, jnp.exp((acc - m) - logs), 0.0)
-        # VJP of (b_pl, l_pl) wrt logits: d = gb*oh_blank + gl*oh_y - p*c
-        # (padding rows beyond the real R carry gb = gl = 0 -> d = 0)
-        d = -p * c
-        d = jnp.where(lane == yb, d + gb, d)
-        d = jnp.where(lane == y, d + gl, d)
-        d16 = d.astype(jnp.bfloat16)
-        dw_scr[tt] = dw_scr[tt] + jax.lax.dot_general(
-            hb, d16, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        db_scr[tt] = db_scr[tt] + jnp.sum(d, axis=0, keepdims=True)
-        return dh + jax.lax.dot_general(
-            d16, w_t, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    dh = jax.lax.fori_loop(0, n_tg, tile,
-                           jnp.zeros((rc, j), jnp.float32))
-    dh_ref[0] = dh
+    acc = jax.lax.dot_general(
+        hb, w_ref[:],                              # (J, _VT) tile block
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc = acc + b_ref[0][None, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rc, _VT), 1) + t * _VT
+    p = jnp.where(lane < v, jnp.exp((acc - m) - logs), 0.0)
+    # padding rows (beyond the real R) carry gb = gl = 0 -> d = 0
+    d = -p * c
+    oh_b = (jax.lax.broadcasted_iota(jnp.int32, (rc, _VT), 1)
+            == col_b).astype(jnp.float32)
+    d = jnp.where(t == tile_b, d + gb * oh_b, d)
+    d = jnp.where(lane == y, d + gl, d)
+    dw_scr[:] = dw_scr[:] + jax.lax.dot_general(
+        hb, d.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_scr[:] = db_scr[:] + jnp.sum(d, axis=0, keepdims=True)
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
         dw_ref[:] = dw_scr[:]
         db_ref[:] = db_scr[:]
-
-
-def _bwd_fused(h_p, w_p, b_p, y_p, yb_p, m, logs, gb, gl, v):
-    """Shared one-pass fused backward (single-device AND per-shard TP).
-
-    `v` is the real lane count (global vocab, or the local shard width);
-    `y_p`/`yb_p` are label/blank LANE ids per row (-1 = owned elsewhere).
-    Returns (dh (r_pad, j), dw (j, >=v_pad), db (>=v_pad,)) — callers
-    slice to their own v.
-    """
-    r_pad, j = h_p.shape
-    v_pad = w_p.shape[1]
-    n_vt = v_pad // _VT
-    n_rb = r_pad // _RC
-    # group size: one group's f32 dW scratch + bf16 W block must fit the
-    # budget — 6 bytes per (j, lane); equal groups, lanes >= v masked.
-    max_tg = max(1, _VGB // (6 * j * _VT))
-    n_vg = -(-n_vt // max_tg)
-    n_tg = -(-n_vt // n_vg)
-    vg = n_tg * _VT
-    if n_vg * vg != v_pad:
-        w_p = jnp.pad(w_p, ((0, 0), (0, n_vg * vg - v_pad)))
-        b_p = jnp.pad(b_p, ((0, 0), (0, n_vg * vg - v_pad)))
-    rspec = pl.BlockSpec((_RC, j), lambda g, i: (i, 0),
-                         memory_space=pltpu.VMEM)
-    cspec = lambda: pl.BlockSpec((_RC, 1), lambda g, i: (i, 0),
-                                 memory_space=pltpu.VMEM)
-    dh_part, dw_t, db_t = pl.pallas_call(
-        partial(_bwd_fused_kernel, v, n_tg, vg),
-        grid=(n_vg, n_rb),
-        in_specs=[
-            rspec,
-            pl.BlockSpec((j, vg), lambda g, i: (0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, vg), lambda g, i: (0, g),
-                         memory_space=pltpu.VMEM),
-            cspec(), cspec(), cspec(), cspec(), cspec(), cspec(),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, _RC, j), lambda g, i: (g, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tg, j, _VT), lambda g, i: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tg, 1, _VT), lambda g, i: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_vg, r_pad, j), jnp.float32),
-            jax.ShapeDtypeStruct((n_vg * n_tg, j, _VT), jnp.float32),
-            jax.ShapeDtypeStruct((n_vg * n_tg, 1, _VT), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((n_tg, j, _VT), jnp.float32),
-            pltpu.VMEM((n_tg, 1, _VT), jnp.float32),
-        ],
-        interpret=_interpret(),
-    )(h_p, w_p, b_p, y_p, yb_p, m, logs, gb, gl)
-    dh = dh_part.sum(axis=0) if n_vg > 1 else dh_part[0]
-    dw = dw_t.transpose(1, 0, 2).reshape(j, n_vg * vg)
-    db = db_t.reshape(n_vg * vg)
-    return dh, dw, db
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -282,14 +241,60 @@ def _joint_planes_bwd(blank, v, res, gouts):
     g_b, g_l = gouts                               # (R,) cotangents
     h_p, w_p, b_p, y_p, m, logs = res
     r_pad, j = h_p.shape
+    v_pad = w_p.shape[1]
+    n_vt = v_pad // _VT
+    n_rb = r_pad // _RC
     r = g_b.shape[0]
     gb = jnp.pad(g_b, (0, r_pad - r))[:, None]
     gl = jnp.pad(g_l, (0, r_pad - r))[:, None]
-    # blank as a lane-id match: the scatter lands on exactly the element
-    # the fwd's static tile pick read — bit-identical either way
-    yb = jnp.full_like(y_p, blank)
-    dh, dw, db = _bwd_fused(h_p, w_p, b_p, y_p, yb, m, logs, gb, gl, v)
-    return dh[:r], dw[:, :v], db[:v], None
+
+    rspec = lambda: pl.BlockSpec((_RC, j), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    cspec = lambda: pl.BlockSpec((_RC, 1), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    dh = pl.pallas_call(
+        partial(_dh_kernel, v, blank, n_vt),
+        grid=(n_rb,),
+        in_specs=[rspec(), full((j, v_pad)), full((1, v_pad)), cspec(),
+                  cspec(), cspec(), cspec(), cspec()],
+        out_specs=rspec(),
+        out_shape=jax.ShapeDtypeStruct((r_pad, j), jnp.float32),
+        interpret=_interpret(),
+    )(h_p, w_p, b_p, y_p, m, logs, gb, gl)
+
+    rspec2 = lambda: pl.BlockSpec((_RC, j), lambda t, i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    cspec2 = lambda: pl.BlockSpec((_RC, 1), lambda t, i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    dw, db = pl.pallas_call(
+        partial(_dw_kernel, v, blank, r),
+        grid=(n_vt, n_rb),
+        in_specs=[
+            rspec2(), cspec2(), cspec2(), cspec2(), cspec2(), cspec2(),
+            pl.BlockSpec((j, _VT), lambda t, i: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _VT), lambda t, i: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((j, _VT), lambda t, i: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _VT), lambda t, i: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((j, v_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, v_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((j, _VT), jnp.float32),
+            pltpu.VMEM((1, _VT), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(h_p, y_p, m, logs, gb, gl, w_p, b_p)
+    return dh[:r], dw[:, :v], db[0, :v], None
 
 
 _joint_planes.defvjp(_joint_planes_fwd, _joint_planes_bwd)
@@ -403,6 +408,83 @@ def _fwd_kernel_tp(v_loc, n_vt, h_ref, w_ref, b_ref, y_ref, yb_ref,
     logs_ref[:] = jnp.log(s)                       # LOCAL log sum-exp @ m
 
 
+def _dh_kernel_tp(v_loc, n_vt, h_ref, w_ref, b_ref, y_ref, yb_ref,
+                  m_ref, logs_ref, gb_ref, gl_ref, dh_ref):
+    rc, j = h_ref.shape
+    hb = h_ref[:].astype(jnp.bfloat16)
+    y = y_ref[:]
+    yb = yb_ref[:]
+    m = m_ref[:]                                   # GLOBAL stats
+    logs = logs_ref[:]
+    gb = gb_ref[:]
+    gl = gl_ref[:]
+    c = gb + gl
+
+    def tile(t, dh):
+        w_t = w_ref[:, pl.ds(t * _VT, _VT)]
+        acc = jax.lax.dot_general(
+            hb, w_t, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + b_ref[0, pl.ds(t * _VT, _VT)][None, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rc, _VT), 1) + t * _VT
+        p = jnp.where(lane < v_loc, jnp.exp((acc - m) - logs), 0.0)
+        d = -p * c
+        d = jnp.where(lane == yb, d + gb, d)
+        d = jnp.where(lane == y, d + gl, d)
+        dh = dh + jax.lax.dot_general(
+            d.astype(jnp.bfloat16), w_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dh
+
+    dh = jax.lax.fori_loop(0, n_vt, tile,
+                           jnp.zeros((rc, j), jnp.float32))
+    dh_ref[:] = dh                                 # PARTIAL: psum at boundary
+
+
+def _dw_kernel_tp(v_loc, h_ref, y_ref, yb_ref, m_ref, logs_ref,
+                  gb_ref, gl_ref, w_ref, b_ref, dw_ref, db_ref,
+                  dw_scr, db_scr):
+    t = pl.program_id(0)
+    i = pl.program_id(1)
+    rc, j = h_ref.shape
+
+    @pl.when(i == 0)
+    def _():
+        dw_scr[:] = jnp.zeros_like(dw_scr)
+        db_scr[:] = jnp.zeros_like(db_scr)
+
+    hb = h_ref[:].astype(jnp.bfloat16)
+    y = y_ref[:]
+    yb = yb_ref[:]
+    m = m_ref[:]
+    logs = logs_ref[:]
+    gb = gb_ref[:]
+    gl = gl_ref[:]
+    c = gb + gl
+
+    acc = jax.lax.dot_general(
+        hb, w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc = acc + b_ref[0][None, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rc, _VT), 1) + t * _VT
+    p = jnp.where(lane < v_loc, jnp.exp((acc - m) - logs), 0.0)
+    d = -p * c
+    d = jnp.where(lane == yb, d + gb, d)
+    d = jnp.where(lane == y, d + gl, d)
+    dw_scr[:] = dw_scr[:] + jax.lax.dot_general(
+        hb, d.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_scr[:] = db_scr[:] + jnp.sum(d, axis=0, keepdims=True)
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        dw_ref[:] = dw_scr[:]
+        db_ref[:] = db_scr[:]
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _joint_planes_tp(h, w, b, y_rel, yb_rel, v_loc, axis):
     out, _ = _joint_planes_tp_fwd_impl(h, w, b, y_rel, yb_rel, v_loc, axis)
@@ -465,14 +547,61 @@ def _joint_planes_tp_bwd(v_loc, axis, res, gouts):
     g_b, g_l = jax.lax.psum((g_b, g_l), axis)
     h_p, w_p, b_p, y_p, yb_p, m, logs = res
     r_pad, j = h_p.shape
+    v_pad = w_p.shape[1]
+    n_vt = v_pad // _VT
+    n_rb = r_pad // _RC
     r = g_b.shape[0]
     gb = jnp.pad(g_b, (0, r_pad - r))[:, None]
     gl = jnp.pad(g_l, (0, r_pad - r))[:, None]
-    # per-shard pass of the shared fused backward: dW/db columns are owned,
-    # dh comes back as this shard's PARTIAL (psum at the shard_map boundary)
-    dh, dw, db = _bwd_fused(h_p, w_p, b_p, y_p, yb_p, m, logs, gb, gl,
-                            v_loc)
-    return dh[:r], dw[:, :v_loc], db[:v_loc], None, None
+
+    rspec = lambda: pl.BlockSpec((_RC, j), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    cspec = lambda: pl.BlockSpec((_RC, 1), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    dh = pl.pallas_call(
+        partial(_dh_kernel_tp, v_loc, n_vt),
+        grid=(n_rb,),
+        in_specs=[rspec(), full((j, v_pad)), full((1, v_pad)), cspec(),
+                  cspec(), cspec(), cspec(), cspec(), cspec()],
+        out_specs=rspec(),
+        out_shape=jax.ShapeDtypeStruct((r_pad, j), jnp.float32),
+        interpret=_interpret(),
+    )(h_p, w_p, b_p, y_p, yb_p, m, logs, gb, gl)
+
+    rspec2 = lambda: pl.BlockSpec((_RC, j), lambda t, i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    cspec2 = lambda: pl.BlockSpec((_RC, 1), lambda t, i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    dw, db = pl.pallas_call(
+        partial(_dw_kernel_tp, v_loc),
+        grid=(n_vt, n_rb),
+        in_specs=[
+            rspec2(), cspec2(), cspec2(), cspec2(), cspec2(), cspec2(),
+            cspec2(),
+            pl.BlockSpec((j, _VT), lambda t, i: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _VT), lambda t, i: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((j, _VT), lambda t, i: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _VT), lambda t, i: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((j, v_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, v_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((j, _VT), jnp.float32),
+            pltpu.VMEM((1, _VT), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(h_p, y_p, yb_p, m, logs, gb, gl, w_p, b_p)
+    return dh[:r], dw[:, :v_loc], db[0, :v_loc], None, None
 
 
 _joint_planes_tp.defvjp(_joint_planes_tp_fwd, _joint_planes_tp_bwd)
