@@ -274,10 +274,13 @@ def _word_trigram_lm(V, seed=1):
     return HashedWordNGramLM(spellings, 3, ngrams, V - 1)
 
 
-def bench_beam_word_lm(B, T, V, W, K, r_long=9, chunk_t=64):
+def bench_beam_word_lm(B, T, V, W, K, r_long=9, chunk_t=128):
     """Word-TRIGRAM beam decode on the chunked kernel path.  Round 2 could
     only run this on the XLA scan (165 seq/s at this exact workload); the
-    chunked path steers at chunk granularity instead."""
+    chunked path steers at chunk granularity instead.  chunk_t=128 is the
+    measured optimum (chip 2026-08-21: 64/128/256 -> 9158/9625/7293 seq/s
+    — the per-chunk replay/backtrace work grows with chunk length, so
+    boundary amortization has a shallow optimum, not a linear win)."""
     from end2end_tpu.ops.beam_chunked import beam_search_chunked_lm
 
     lm = _word_trigram_lm(V)
